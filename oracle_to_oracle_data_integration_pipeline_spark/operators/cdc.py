@@ -1,0 +1,223 @@
+"""CDC kernel: change-time derivation, delta predicates, latest-per-key
+dedup, and the soft-delete upsert merge.
+
+This re-expresses the reference pipeline's data plane as Spark algebra:
+
+- ``change_ts_col`` — the synthetic event-time expression
+  ``GREATEST(COALESCE(UPDATED_AT, CREATED_AT), CREATED_AT)``
+  (`/root/reference/scripts/03_cdc_etl.py:284-289`).
+- ``delta_predicate`` — the incremental filter, rewritten onto *base*
+  columns so it pushes down to parquet row-group stats / JDBC
+  (the reference filters on the derived column after a full read,
+  `/root/reference/scripts/03_cdc_etl.py:291-294` — see SURVEY.md §4).
+- ``latest_per_key`` — window dedup picking the newest version per PK.
+  The reference never needs this because it processes one batch per run
+  and lets Oracle MERGE see at most one row per key; a real engine must
+  collapse multi-change batches first (SURVEY.md §7 risk 4).
+- ``merge_soft_delete`` — the Oracle MERGE
+  (`/root/reference/scripts/03_cdc_etl.py:129-172`) as a single
+  full-outer join: matched rows take ALL delta non-PK columns (including
+  ``IS_DELETED``); unmatched delta rows insert only when
+  ``IS_DELETED='N'`` — a soft-delete for a never-replicated key is
+  dropped silently, exactly as the reference's insert gate does
+  (`/root/reference/scripts/03_cdc_etl.py:152-156`; pinned behavior).
+
+Scale notes (100 TB): the merge is ONE shuffle on the PK — both sides
+hash-partition on ``pk`` and AQE converts to broadcast when the delta is
+small (the common CDC case) or splits skewed partitions. Attribution
+counts are computed from the same joined plan rather than the
+reference's before/after ``COUNT(*)`` arithmetic
+(`/root/reference/scripts/03_cdc_etl.py:168-169`), which double-counts
+dropped soft-deletes as updates (SURVEY.md §7 risk 2) and would cost two
+extra full-table scans at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CREATED = "created_at"
+UPDATED = "updated_at"
+DELETED = "is_deleted"
+
+
+def change_ts_col(created: str = CREATED, updated: str = UPDATED) -> Column:
+    """``GREATEST(COALESCE(updated, created), created)`` — the
+    reference's synthetic change time
+    (`/root/reference/scripts/03_cdc_etl.py:284-289`)."""
+    return F.greatest(F.coalesce(F.col(updated), F.col(created)), F.col(created))
+
+
+def delta_predicate(last_ts, created: str = CREATED, updated: str = UPDATED) -> Column | None:
+    """Pushdown-safe incremental predicate.
+
+    ``change_ts > last_ts`` is equivalent to
+    ``created > last_ts OR updated > last_ts`` because
+    ``change_ts = greatest(coalesce(u, c), c)`` equals ``c`` when ``u``
+    is NULL and ``max(u, c)`` otherwise. Comparisons on base columns
+    reach the parquet reader (row-group min/max pruning) and the JDBC
+    pushed query, unlike the derived-column filter the reference applies
+    after a full scan (`/root/reference/scripts/03_cdc_etl.py:282-294`).
+
+    ``None`` (no watermark yet) means full load — first-run semantics
+    per `/root/reference/scripts/03_cdc_etl.py:291-294`.
+    """
+    if last_ts is None:
+        return None
+    ts = F.lit(last_ts)
+    return (F.col(created) > ts) | (F.col(updated) > ts)
+
+
+def delta_predicate_sql(last_ts, created: str = CREATED, updated: str = UPDATED) -> str | None:
+    """Same predicate rendered as SQL for JDBC subquery pushdown."""
+    if last_ts is None:
+        return None
+    lit = f"TIMESTAMP '{last_ts}'" if not str(last_ts).upper().startswith("TIMESTAMP") else str(last_ts)
+    return f"({created} > {lit} OR {updated} > {lit})"
+
+
+def with_change_ts(df: DataFrame, col_name: str = "__change_ts__",
+                   created: str = CREATED, updated: str = UPDATED) -> DataFrame:
+    return df.withColumn(col_name, change_ts_col(created, updated))
+
+
+def latest_per_key(df: DataFrame, pk: list[str], order_cols: list[Column] | None = None,
+                   created: str = CREATED, updated: str = UPDATED) -> DataFrame:
+    """Keep only the newest version of each key.
+
+    Default ordering: change time desc. Callers should add a
+    deterministic tiebreak column when change times can collide.
+    One shuffle on ``pk`` — the same partitioning the merge join needs,
+    so Catalyst reuses the exchange when composed with
+    ``merge_soft_delete``.
+    """
+    order = order_cols or [change_ts_col(created, updated).desc()]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+@dataclass
+class MergeStats:
+    """Exact attribution, from the merge join itself (not table-count
+    deltas — see module docstring)."""
+
+    updated: int
+    inserted: int
+    dropped_deletes: int
+
+    @property
+    def staged(self) -> int:
+        return self.updated + self.inserted + self.dropped_deletes
+
+
+@dataclass
+class MergeResult:
+    df: DataFrame
+    _joined: DataFrame
+    pk: list[str]
+
+    def stats(self) -> MergeStats:
+        """One aggregate pass over the joined plan."""
+        d_key = F.col(f"__d_{self.pk[0]}__")
+        t_key = F.col(f"__t_{self.pk[0]}__")
+        row = (
+            self._joined.agg(
+                F.sum(F.when(d_key.isNotNull() & t_key.isNotNull(), 1).otherwise(0)).alias("u"),
+                F.sum(
+                    F.when(d_key.isNotNull() & t_key.isNull() & (F.col(f"__d_{DELETED}__") == "N"), 1).otherwise(0)
+                ).alias("i"),
+                F.sum(
+                    F.when(d_key.isNotNull() & t_key.isNull() & (F.col(f"__d_{DELETED}__") == "Y"), 1).otherwise(0)
+                ).alias("x"),
+            )
+        ).collect()[0]
+        return MergeStats(updated=row["u"] or 0, inserted=row["i"] or 0, dropped_deletes=row["x"] or 0)
+
+
+def merge_attribution(target: DataFrame, delta: DataFrame, pk: list[str],
+                      deleted_col: str = DELETED) -> DataFrame:
+    """One-row DataFrame of exact merge attribution counts
+    (updated_count, inserted_count, dropped_count), computed from the
+    merge join in a single pass — replaces the reference's before/after
+    ``COUNT(*)`` arithmetic (`/root/reference/scripts/03_cdc_etl.py:122-127,168-169`)
+    which costs two extra full scans and misattributes dropped
+    soft-deletes as updates (SURVEY.md §7 risk 2)."""
+    k = pk[0]
+    t = target.select([F.col(c).alias(f"__t_{c}__") for c in target.columns])
+    d = delta.select([F.col(c).alias(f"__d_{c}__") for c in delta.columns])
+    cond = None
+    for key in pk:
+        clause = F.col(f"__t_{key}__") == F.col(f"__d_{key}__")
+        cond = clause if cond is None else (cond & clause)
+    joined = t.join(d, cond, "full_outer")
+    t_present = F.col(f"__t_{k}__").isNotNull()
+    d_present = F.col(f"__d_{k}__").isNotNull()
+    return joined.agg(
+        F.coalesce(F.sum(F.when(t_present & d_present, 1).otherwise(0)), F.lit(0)).alias("updated_count"),
+        F.coalesce(
+            F.sum(F.when(~t_present & (F.col(f"__d_{deleted_col}__") == "N"), 1).otherwise(0)), F.lit(0)
+        ).alias("inserted_count"),
+        F.coalesce(
+            F.sum(F.when(~t_present & (F.col(f"__d_{deleted_col}__") == "Y"), 1).otherwise(0)), F.lit(0)
+        ).alias("dropped_count"),
+    )
+
+
+def merge_soft_delete(
+    target: DataFrame,
+    delta: DataFrame,
+    pk: list[str],
+    deleted_col: str = DELETED,
+    dedup_delta: bool = False,
+    created: str = CREATED,
+    updated: str = UPDATED,
+) -> MergeResult:
+    """Soft-delete upsert merge (reference MERGE parity).
+
+    Semantics (pinned to `/root/reference/scripts/03_cdc_etl.py:145-157`):
+
+    - MATCHED → row takes every delta column (SET list covers all
+      non-PK columns *including* ``is_deleted``).
+    - NOT MATCHED → insert only when ``delta.is_deleted = 'N'``;
+      a soft-delete for a key the target never saw is dropped.
+    - Target rows without a delta match pass through unchanged.
+
+    Implementation: one full-outer join on ``pk`` with per-column
+    ``WHEN delta-matched THEN delta ELSE target`` resolution, then the
+    insert-gate filter. Column order of the output = target column
+    order. ``dedup_delta=True`` collapses multi-change batches via
+    ``latest_per_key`` first (same shuffle key, exchange reused).
+    """
+    if not pk:
+        raise ValueError("merge requires a non-empty primary key")
+    if dedup_delta:
+        delta = latest_per_key(delta, pk, created=created, updated=updated)
+
+    out_cols = target.columns
+    # Tag both sides so the joined plan keeps unambiguous references.
+    t = target.select([F.col(c).alias(f"__t_{c}__") for c in target.columns])
+    d = delta.select([F.col(c).alias(f"__d_{c}__") for c in delta.columns])
+    cond = None
+    for k in pk:
+        clause = F.col(f"__t_{k}__") == F.col(f"__d_{k}__")
+        cond = clause if cond is None else (cond & clause)
+    joined = t.join(d, cond, "full_outer")
+
+    d_present = F.col(f"__d_{pk[0]}__").isNotNull()
+    t_present = F.col(f"__t_{pk[0]}__").isNotNull()
+    resolved = joined.filter(
+        t_present | (F.col(f"__d_{deleted_col}__") == "N")  # insert gate
+    ).select(
+        [
+            F.when(d_present, F.col(f"__d_{c}__")).otherwise(F.col(f"__t_{c}__")).alias(c)
+            for c in out_cols
+        ]
+    )
+    return MergeResult(df=resolved, _joined=joined, pk=pk)

@@ -1,0 +1,86 @@
+"""Shared helpers for the query registry.
+
+Every query callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+its DuckDB oracle twin is a static ANSI-SQL string over the
+pre-registered fixture views. Conventions that keep the differential
+compare stable (SURVEY.md §7 risk 6):
+
+- all output columns lower-case and explicitly aliased on BOTH sides;
+- double-typed aggregates rounded identically on both sides (sums to 2
+  decimals, averages/ratios to 6) so floating-point summation order
+  cannot flip the value hash;
+- timestamps compared as UTC (session timezone pinned per call);
+- any ordering-sensitive operator (row_number, top-k) carries a
+  deterministic tiebreak column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "customer",
+    "documents",
+    "embeddings",
+    "events",
+    "lineitem",
+    "nation",
+    "orders",
+    "part",
+    "region",
+    "supplier",
+]
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Defensive runtime conf: the driver owns the session; pin the
+    semantics the oracle compare depends on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in [
+        ("spark.sql.ansi.enabled", "false"),
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read as long and convert (µs truncation matches
+        # DuckDB's ns→µs handling).
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
+def dsum(col: Column, round_to: int = 2) -> Column:
+    """Order-independent double sum: cast each term to DECIMAL(24,6)
+    (deterministic per-term rounding), sum exactly, cast back to double.
+
+    Plain double summation is order-dependent — Spark's partial
+    aggregation and DuckDB's scan order add in different sequences, and
+    a 1-ulp difference at a rounding boundary flips the value hash. The
+    decimal path is exact and associative, so any plan (and any
+    cluster-side partial-agg tree at 100 TB) produces identical bits.
+    The final round happens in the DECIMAL domain (both engines round
+    decimal ties away from zero; rounding after a double cast reopens
+    the 1-ulp boundary problem).
+    SQL twin: CAST(round(sum(CAST(x AS DECIMAL(24,6))), r) AS DOUBLE).
+    """
+    return F.round(F.sum(col.cast("decimal(24,6)")), round_to).cast("double")
+
+
+def davg(col: Column, round_to: int = 6) -> Column:
+    """Order-independent average via the decimal-sum path.
+    SQL twin: round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(x), r).
+    """
+    return F.round(F.sum(col.cast("decimal(24,6)")).cast("double") / F.count(col), round_to)

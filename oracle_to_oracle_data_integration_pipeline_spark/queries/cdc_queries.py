@@ -1,0 +1,213 @@
+"""CDC operator queries + DuckDB oracles (SURVEY.md §2.1-§2.6 qids).
+
+The fixtures carry no CDC columns, so each query derives a
+deterministic CDC-shaped snapshot from ``orders`` in BOTH engines with
+the same arithmetic (FIXTURES.md "CDC-shaped derived fixtures"):
+
+- ``created_at``  = o_orderdate
+- ``updated_at``  = o_orderdate + 30 days when o_orderkey % 5 = 0 else NULL
+- ``is_deleted``  = 'Y' when o_orderkey % 17 = 0 else 'N'
+
+Scenario cutoffs: the merge treats rows created on/before T0
+(1996-01-01) as previously replicated (the target snapshot, as-inserted
+state) and everything whose change time passed T0 as the delta batch —
+so the batch contains inserts, updates of replicated rows, and
+soft-deletes both for replicated keys (flag flips) and never-replicated
+keys (dropped by the insert gate, the reference's pinned behavior at
+`/root/reference/scripts/03_cdc_etl.py:152-156`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+    change_ts_col,
+    delta_predicate,
+    latest_per_key,
+    merge_attribution,
+    merge_soft_delete,
+    with_change_ts,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+T0 = "1996-01-01 00:00:00"
+WM = "1997-01-01 00:00:00"
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+# Shared DuckDB CTE — the SQL twin of cdc_orders() below.
+CDC_SRC_SQL = """
+cdc_src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         o_orderdate AS created_at,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 30 DAY END AS updated_at,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+  FROM orders
+)
+"""
+
+TARGET_DELTA_SQL = f"""
+{CDC_SRC_SQL},
+target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         created_at, CAST(NULL AS TIMESTAMP) AS updated_at, 'N' AS is_deleted
+  FROM cdc_src WHERE created_at <= TIMESTAMP '{T0}'
+),
+delta AS (
+  SELECT * FROM cdc_src
+  WHERE greatest(coalesce(updated_at, created_at), created_at) > TIMESTAMP '{T0}'
+)
+"""
+
+
+def cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with deterministically derived CDC columns."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        *ORDER_COLS,
+        F.col("o_orderdate").alias("created_at"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.expr("o_orderdate + INTERVAL '30' DAY")).alias("updated_at"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("Y")).otherwise(F.lit("N")).alias("is_deleted"),
+    )
+
+
+def _target_delta(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    src = cdc_orders(spark, sf_dir)
+    target = src.filter(F.col("created_at") <= F.lit(T0).cast("timestamp")).select(
+        *ORDER_COLS,
+        F.col("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.lit("N").alias("is_deleted"),
+    )
+    delta = src.filter(change_ts_col() > F.lit(T0).cast("timestamp"))
+    return target, delta
+
+
+# -- qid: change_ts ---------------------------------------------------
+
+def q_change_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_orders(spark, sf_dir).select(
+        "o_orderkey", "created_at", "updated_at", change_ts_col().alias("change_ts")
+    )
+
+
+SQL_CHANGE_TS = f"""
+WITH {CDC_SRC_SQL}
+SELECT o_orderkey, created_at, updated_at,
+       greatest(coalesce(updated_at, created_at), created_at) AS change_ts
+FROM cdc_src
+"""
+
+
+# -- qid: delta_filter (pushdown-safe rewrite; SURVEY.md §4) ----------
+
+def q_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    wm = datetime.datetime.fromisoformat(WM)
+    df = cdc_orders(spark, sf_dir).filter(delta_predicate(wm))
+    return with_change_ts(df, "change_ts").select("o_orderkey", "change_ts", "is_deleted")
+
+
+SQL_DELTA_FILTER = f"""
+WITH {CDC_SRC_SQL}
+SELECT o_orderkey,
+       greatest(coalesce(updated_at, created_at), created_at) AS change_ts,
+       is_deleted
+FROM cdc_src
+WHERE created_at > TIMESTAMP '{WM}' OR updated_at > TIMESTAMP '{WM}'
+"""
+
+
+# -- qid: watermark_max -----------------------------------------------
+
+def q_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-watermark computation
+    (`/root/reference/scripts/03_cdc_etl.py:325-329`)."""
+    return cdc_orders(spark, sf_dir).agg(F.max(change_ts_col()).alias("max_ts"))
+
+
+SQL_WATERMARK_MAX = f"""
+WITH {CDC_SRC_SQL}
+SELECT max(greatest(coalesce(updated_at, created_at), created_at)) AS max_ts FROM cdc_src
+"""
+
+
+# -- qid: latest_per_key (SURVEY.md §2.5) -----------------------------
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    out = latest_per_key(
+        e, ["user_id"], order_cols=[F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e
+) WHERE rn = 1
+"""
+
+
+# -- qid: cdc_merge (the core operator, SURVEY.md §2.3 J1) ------------
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, delta = _target_delta(spark, sf_dir)
+    return merge_soft_delete(target, delta, pk=["o_orderkey"]).df
+
+
+SQL_CDC_MERGE = f"""
+WITH {TARGET_DELTA_SQL}
+SELECT
+  coalesce(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE t.o_custkey END AS o_custkey,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.created_at ELSE t.created_at END AS created_at,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.updated_at ELSE t.updated_at END AS updated_at,
+  CASE WHEN d.o_orderkey IS NOT NULL THEN d.is_deleted ELSE t.is_deleted END AS is_deleted
+FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
+WHERE t.o_orderkey IS NOT NULL OR d.is_deleted = 'N'
+"""
+
+
+# -- qid: merge_stats (exact attribution, SURVEY.md §2.4 A3) ----------
+
+def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, delta = _target_delta(spark, sf_dir)
+    return merge_attribution(target, delta, pk=["o_orderkey"])
+
+
+SQL_MERGE_STATS = f"""
+WITH {TARGET_DELTA_SQL}
+SELECT
+  CAST(sum(CASE WHEN t.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_count,
+  CAST(sum(CASE WHEN t.o_orderkey IS NULL AND d.is_deleted = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS inserted_count,
+  CAST(sum(CASE WHEN t.o_orderkey IS NULL AND d.is_deleted = 'Y' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_count
+FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
+"""
+
+
+QUERIES = {
+    "change_ts": q_change_ts,
+    "delta_filter": q_delta_filter,
+    "watermark_max": q_watermark_max,
+    "latest_per_key": q_latest_per_key,
+    "cdc_merge": q_cdc_merge,
+    "merge_stats": q_merge_stats,
+}
+
+ORACLE_SQL = {
+    "change_ts": SQL_CHANGE_TS,
+    "delta_filter": SQL_DELTA_FILTER,
+    "watermark_max": SQL_WATERMARK_MAX,
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "cdc_merge": SQL_CDC_MERGE,
+    "merge_stats": SQL_MERGE_STATS,
+}
