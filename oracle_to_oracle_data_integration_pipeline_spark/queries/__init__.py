@@ -9,10 +9,11 @@ from __future__ import annotations
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     catalog_queries,
     cdc_queries,
+    llm_queries,
     relational,
 )
 
-_MODULES = [cdc_queries, relational, catalog_queries]
+_MODULES = [cdc_queries, relational, catalog_queries, llm_queries]
 
 
 def all_queries():

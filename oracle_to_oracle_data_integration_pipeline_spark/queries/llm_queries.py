@@ -1,0 +1,278 @@
+"""LLM training-data operator queries + DuckDB oracles (the north-star
+extension: dedup, similarity search, text analysis, multimodal
+plumbing — SURVEY.md §2.10 / build-plan M5).
+
+Shared SQL fragments mirror the Spark operators' tokenization exactly
+(split on single space, 1-indexed n-gram windows, distinct shingles),
+so both engines compute over identical intermediate sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_metadata,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_topk,
+    neardup_pairs_bruteforce,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+JACCARD_THRESHOLD = 0.5
+NEARDUP_COS = 0.4
+
+# Shared DuckDB CTEs: tokenization + distinct 3-shingles + sizes +
+# pairwise intersections (the inverted-index join).
+SHINGLE_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+SQL_JACCARD_PAIRS = f"""
+WITH {SHINGLE_SQL}
+SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# -- qid: dedup_exact -------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup. The fixture has no exact duplicates, so the input
+    is documents ∪ (doc_id < 100 re-sampled) — the operator must find
+    exactly those 100 planted copies."""
+    d = load(spark, sf_dir, "documents")
+    both = d.select("doc_id", "text").union(d.filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    return exact_dedup_groups(both)
+
+
+SQL_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 100
+)
+SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+FROM all_docs GROUP BY text HAVING count(*) > 1
+"""
+
+
+# -- qid: ngram_jaccard (exact near-dup baseline) ---------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+# -- qid: minhash_dedup (LSH scale path, exact-verified) --------------
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — same
+    contract as ngram_jaccard, so it shares the oracle; any LSH recall
+    loss (p ≈ 1e-6 per planted pair) would surface as a row-count
+    mismatch."""
+    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+# -- qid: simhash_neardup (rows-only: engine-hash dependent) ----------
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# -- qid: text_stats --------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+SQL_TEXT_STATS = f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts), 6) AS avg_token_len,
+       round(CAST(len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) AS DOUBLE) / len(ts), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS lexical_diversity
+FROM toks
+"""
+
+
+# -- qid: quality_score -----------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INT) AS n_tokens,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS diversity,
+         CAST(len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) AS DOUBLE) / len(ts) AS sw_ratio,
+         CASE WHEN len(ts) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       round(diversity, 6) AS diversity,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round((length_ok + diversity + (1.0 - least(sw_ratio * 2, 1.0))) / 3, 6) AS quality
+FROM feat
+"""
+
+
+# -- qid: lang_id -----------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       CAST(len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) AS INT) AS en_score,
+       CASE WHEN len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) >= 3 THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM toks
+"""
+
+
+# -- qid: doc_fingerprint ---------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(ts, t -> CAST(length(t) * 7 + ascii(substring(t, 1, 1)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM toks
+"""
+
+
+# -- qid: cosine_topk (brute-force exact ANN baseline) ----------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, q WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# -- qid: embed_neardup -----------------------------------------------
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs_bruteforce(load(spark, sf_dir, "embeddings"), NEARDUP_COS)
+
+
+SQL_EMBED_NEARDUP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= {NEARDUP_COS}
+"""
+
+
+# -- qid: cosine_topk_lsh (rows-only: Spark-side hyperplanes) ---------
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# -- qid: multimodal_meta (mapInPandas plumbing vs arithmetic oracle) -
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return extract_media_metadata(attach_binary_payload(d), fake=True)
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 37 + 1 AS INT) AS height,
+       'fake' AS fmt
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_neardup": q_simhash_neardup,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "embed_neardup": q_embed_neardup,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_JACCARD_PAIRS,
+    "minhash_dedup": SQL_JACCARD_PAIRS,  # LSH must reproduce the exact pairs
+    "text_stats": SQL_TEXT_STATS,
+    "quality_score": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "multimodal_meta": SQL_MULTIMODAL,
+    # simhash_neardup, cosine_topk_lsh: rows-only (engine-hash / plane
+    # literals are Spark-side constructs with no SQL twin)
+}

@@ -1,0 +1,105 @@
+"""Unit tests for the LLM-data operators: planted near-dup recovery,
+LSH vs brute-force agreement, stub gating for multimodal decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import decode_media
+from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import shingles_col
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles_col().alias("s")).collect()}
+    assert rows[1] == []  # < n tokens → empty, not a descending-sequence artifact
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    planted = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    both = docs.select("doc_id", "text").union(planted)
+    groups = exact_dedup_groups(both).collect()
+    assert len(groups) == 50
+    assert all(r["n_copies"] == 2 for r in groups)
+
+
+def test_minhash_equals_exact_jaccard(spark, docs):
+    """The LSH path with verification must reproduce the exact
+    all-pairs result at the planted-pair threshold."""
+    exact = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in minhash_dedup_pairs(docs, 0.5).collect()}
+    assert exact == lsh
+    assert len(exact) > 0  # fixture plants near-dups; vacuous test guard
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    sig = minhash_signatures(docs)
+    cand = {(r["d1"], r["d2"]) for r in minhash_lsh_candidates(sig).collect()}
+    high = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 0.9).collect()}
+    assert high <= cand
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    """SimHash at small Hamming distance should recover mostly the
+    planted near-dup pairs (different signal, same planted structure)."""
+    sim = {(r["d1"], r["d2"]) for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    exact = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 0.9).collect()}
+    assert len(sim & exact) >= len(exact) * 0.6  # recall on planted pairs
+    # precision guard: shouldn't explode into the 124k possible pairs
+    assert len(sim) < 500
+
+
+def test_cosine_topk_rank_contract(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """LSH top-k returns plausible ranks and only same-bucket
+    neighbors; top-1 agreement with brute force is the recall signal."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(e, q, k=1).collect()}
+    approx = lsh_topk(e, q, k=5).collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # every query produced candidates (buckets are non-degenerate)
+    assert {r["query_id"] for r in approx} == set(range(10))
+    # approximate recall: at least some exact top-1s survive bucketing
+    assert len(brute & approx_pairs) >= 3
+
+
+def test_decode_media_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", fake=False)
+    meta = decode_media(b"x" * 100, fake=True)
+    assert meta == {"n_bytes": 100, "width": 100 % 64 + 1, "height": 100 % 37 + 1, "fmt": "fake"}
