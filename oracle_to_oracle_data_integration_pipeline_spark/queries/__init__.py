@@ -11,9 +11,10 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     cdc_queries,
     llm_queries,
     relational,
+    streaming_queries,
 )
 
-_MODULES = [cdc_queries, relational, catalog_queries, llm_queries]
+_MODULES = [cdc_queries, relational, catalog_queries, llm_queries, streaming_queries]
 
 
 def all_queries():
