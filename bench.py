@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {qid: sec}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no collect
+or disk cost measured). A small sf0.001 warmup primes the JVM/codegen
+so the numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+from oracle_to_oracle_data_integration_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: flagship + the operators that matter at scale
+# (CDC merge, window rank, dedup scale path, ANN, text, streaming).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "cdc_merge",
+    "merge_stats",
+    "latest_per_key",
+    "window_topk",
+    "agg_rollup",
+    "minhash_dedup",
+    "cosine_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "json_extract",
+    "stream_tumbling",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="o2o_bench", cpus=CPUS,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    registry = q.all_queries()
+
+    # warmup: flagship at the smallest SF primes codegen/JIT paths
+    force(registry["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        t0 = time.perf_counter()
+        force(registry[qid](spark, SF_DIR))
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": f"headline_total_sf{sf}",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
