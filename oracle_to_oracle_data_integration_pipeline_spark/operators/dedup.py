@@ -48,8 +48,14 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     parquet file), which would serialize the shingle/hash computation;
     the downstream groupBy(id) reuses this exchange, so the shuffle is
     not an extra one. At real scale the source already has thousands of
-    partitions and this is a cheap no-op-shaped rebalance."""
-    return df.repartition(F.col(id_col))
+    partitions and this is a cheap no-op-shaped rebalance.
+
+    The partition count is pinned explicitly: a bare repartition(col)
+    is an AQE-coalescible exchange, and with tiny row *bytes* AQE's
+    64MB advisory folds it back to one partition — CPU-bound expression
+    work (hashing, shingling) must be sized by cores, not bytes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
 
 
 def _exploded_shingles(df: DataFrame, text: str, id_col: str, n: int) -> DataFrame:
