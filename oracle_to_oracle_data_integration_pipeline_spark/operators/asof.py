@@ -1,0 +1,83 @@
+"""As-of (time-travel) join — an operator Spark lacks natively
+(SURVEY.md §2.3 "absent in reference"; engine adds it per the
+custom-operator policy: composition of built-in ops first).
+
+``asof_join(left, right, on, ts)``: for each left row, the single
+right row with the greatest ``right.ts <= left.ts`` within the same
+``on`` key — the standard point-in-time lookup (latest price before a
+trade, last purchase before a click).
+
+Implementation: the union-tag window trick, NOT a per-group
+``pd.merge_asof``: union both sides ordered by (key, ts, side-order),
+then ``last(right_value, ignoreNulls)`` over an unbounded-preceding
+window carries the most recent right row forward onto each left row.
+
+Scale properties vs the alternatives:
+- one shuffle on the key (window partition) — same cost class as a
+  plain equi-join; no range explosion;
+- no Python boundary (pure window expressions, unlike an
+  ``applyInPandas`` merge_asof which pays Arrow transfer + per-group
+  pandas);
+- skew behaves like any window partition (salt the hot key upstream if
+  a single key dominates).
+
+Ties: a right row with ``ts`` equal to the left row's ``ts`` matches
+(<=), implemented by sorting right rows before left rows at equal
+timestamps — the same semantics as DuckDB/QuestDB ASOF JOIN and
+``pd.merge_asof`` defaults. Exactly one right row is carried per left
+row always; if MULTIPLE right rows share the same (key, ts), which one
+wins is unspecified (window order among them is a tie) — pre-dedup the
+right side (e.g. ``latest_per_key``) when that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    inner: bool = True,
+) -> DataFrame:
+    """Join each left row to the latest right row at or before its
+    timestamp, per key.
+
+    ``right_cols``: right columns to carry (default: all except key).
+    ``inner=False`` keeps left rows with no prior right row (NULLs).
+    """
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    lhs = left.withColumn("__side__", F.lit(1))
+    rhs = right.select(
+        on,
+        F.col(ts).alias(ts),
+        *[F.col(c).alias(f"__r_{c}__") for c in right_cols if c != ts],
+    ).withColumn("__side__", F.lit(0))
+
+    carried = [f"__r_{c}__" for c in right_cols if c != ts]
+    rhs = rhs.withColumn(f"__r_{ts}__", F.col(ts))
+    unioned = lhs.unionByName(rhs.select(on, ts, "__side__", f"__r_{ts}__", *carried), allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts → <= match semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("__side__"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in [f"__r_{ts}__", *carried]:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__side__") == 1).drop("__side__")
+    renames = {f"__r_{ts}__": f"{ts}{suffix}"}
+    renames.update({f"__r_{c}__": f"{c}{suffix}" for c in right_cols if c != ts})
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    if inner:
+        out = out.filter(F.col(f"{ts}{suffix}").isNotNull())
+    return out

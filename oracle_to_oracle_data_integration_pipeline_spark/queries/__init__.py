@@ -11,10 +11,11 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     cdc_queries,
     llm_queries,
     relational,
+    relational2,
     streaming_queries,
 )
 
-_MODULES = [cdc_queries, relational, catalog_queries, llm_queries, streaming_queries]
+_MODULES = [cdc_queries, relational, relational2, catalog_queries, llm_queries, streaming_queries]
 
 
 def all_queries():

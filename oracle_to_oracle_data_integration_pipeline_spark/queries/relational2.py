@@ -1,0 +1,248 @@
+"""Second breadth batch: as-of join, range join, exact percentiles,
+moment statistics, grouping sets, math and date scalar functions.
+
+Determinism conventions as in relational.py; moment statistics
+(variance/correlation) are computed from decimal-domain power sums in
+BOTH engines rather than the engines' internal accumulators, whose
+floating-point update order differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.asof import asof_join
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+
+# -- qid: asof_join ---------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's most recent purchase at or before
+    the click (classic point-in-time semantics)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# -- qid: range_join --------------------------------------------------
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) join: orders classified into price bands. The
+    band table is tiny → broadcast nested-loop, which is exactly right:
+    the big side streams once, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(
+        [(0.0, 100_000.0, "small"), (100_000.0, 300_000.0, "medium"), (300_000.0, 1e9, "large")],
+        "lo double, hi double, band string",
+    )
+    j = o.join(
+        F.broadcast(bands), (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(24,6)")), 2).cast("double").alias("sum_price"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands(lo, hi, band) AS (VALUES (0.0, 100000.0, 'small'), (100000.0, 300000.0, 'medium'), (300000.0, 1e9, 'large'))
+SELECT band, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# -- qid: percentiles -------------------------------------------------
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — the
+    order-statistics path (full sort within group), vs
+    approx_percentile's sketch path for 100 TB (not oracle-comparable,
+    exercised in tests)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 4).alias("pmin"),
+        F.round(F.max("o_totalprice"), 4).alias("pmax"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(min(o_totalprice), 4) AS pmin,
+       round(max(o_totalprice), 4) AS pmax
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# -- qid: stats_moments -----------------------------------------------
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev and Pearson correlation from
+    decimal power sums — identical bits in any engine and any
+    aggregation tree (the native stddev/corr accumulators are
+    float-order-dependent)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(24,6)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(dec("l_quantity")).cast("double")
+    sy = F.sum(dec("l_extendedprice")).cast("double")
+    sxx = F.sum((dec("l_quantity") * dec("l_quantity")).cast("decimal(30,6)")).cast("double")
+    syy = F.sum((dec("l_extendedprice") * dec("l_extendedprice")).cast("decimal(30,6)")).cast("double")
+    sxy = F.sum((dec("l_quantity") * dec("l_extendedprice")).cast("decimal(30,6)")).cast("double")
+    var_x = (sxx - sx * sx / n) / n
+    var_y = (syy - sy * sy / n) / n
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n"),
+        F.round(var_x, 4).alias("var_qty"),
+        F.round(F.sqrt(var_y), 4).alias("std_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+SQL_STATS_MOMENTS = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((sxx - sx * sx / n) / n, 4) AS var_qty,
+       round(sqrt((syy - sy * sy / n) / n), 4) AS std_price,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(24,6)) AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6)) AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6)) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+# -- qid: grouping_sets (SQL API surface) -----------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# -- qid: math_funcs (IEEE-exact scalar math only) --------------------
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/x² — all IEEE-correctly-rounded, so raw
+    doubles compare bit-identically (transcendentals like ln/exp are
+    libm-dependent and deliberately excluded from the oracle set)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 250_000).alias("abs_dev"),
+        F.ceil(p).alias("ceil_price"),
+        F.floor(p / 1000).alias("floor_k"),
+        F.sqrt(p).alias("sqrt_price"),
+        (p * p).alias("price_sq"),
+        F.greatest(p, F.lit(200_000.0)).alias("floored_price"),
+        F.pmod(F.col("o_orderkey"), F.lit(97)).alias("key_mod"),
+    )
+
+
+SQL_MATH_FUNCS = """
+SELECT o_orderkey,
+       abs(o_totalprice - 250000) AS abs_dev,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
+       sqrt(o_totalprice) AS sqrt_price,
+       o_totalprice * o_totalprice AS price_sq,
+       greatest(o_totalprice, 200000.0) AS floored_price,
+       o_orderkey % 97 AS key_mod
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+# -- qid: date_parts --------------------------------------------------
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),  # 1=Sunday..7=Saturday
+        F.date_add(d.cast("date"), 90).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("age_days"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(o_orderdate AS DATE) + 90 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "percentiles": q_percentiles,
+    "stats_moments": q_stats_moments,
+    "grouping_sets": q_grouping_sets,
+    "math_funcs": q_math_funcs,
+    "date_parts": q_date_parts,
+}
+
+ORACLE_SQL = {
+    "asof_join": SQL_ASOF,
+    "range_join": SQL_RANGE_JOIN,
+    "percentiles": SQL_PERCENTILES,
+    "stats_moments": SQL_STATS_MOMENTS,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "math_funcs": SQL_MATH_FUNCS,
+    "date_parts": SQL_DATE_PARTS,
+}

@@ -1,0 +1,45 @@
+"""As-of join operator semantics: <= matching, tie handling, no-prior
+rows, outer mode (operators/asof.py)."""
+
+import datetime
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.asof import asof_join
+
+TS = datetime.datetime
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 100, TS(2024, 1, 1, 10)), (2, 100, TS(2024, 1, 1, 12)), (3, 200, TS(2024, 1, 1, 9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, TS(2024, 1, 1, 9), 1.0),
+            (100, TS(2024, 1, 1, 12), 2.0),  # equal-ts: must match row 2 (<=)
+            (200, TS(2024, 1, 1, 11), 3.0),  # after left row 3: no match
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: (r["ts_asof"], r["value_asof"]) for r in
+           asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert out[1] == (TS(2024, 1, 1, 9), 1.0)
+    assert out[2] == (TS(2024, 1, 1, 12), 2.0)  # tie matches
+    assert 3 not in out  # inner mode drops no-prior rows
+
+
+def test_asof_outer_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 5, TS(2024, 1, 1))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(5, TS(2024, 2, 1), 9.0)], "user_id long, ts timestamp, value double")
+    rows = asof_join(left, right, on="user_id", ts="ts", inner=False).collect()
+    assert len(rows) == 1 and rows[0]["ts_asof"] is None and rows[0]["value_asof"] is None
+
+
+def test_asof_latest_wins_among_many(spark):
+    left = spark.createDataFrame([(1, 7, TS(2024, 1, 10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, TS(2024, 1, d), float(d)) for d in range(1, 9)],
+        "user_id long, ts timestamp, value double",
+    )
+    [row] = asof_join(left, right, on="user_id", ts="ts").collect()
+    assert row["value_asof"] == 8.0
