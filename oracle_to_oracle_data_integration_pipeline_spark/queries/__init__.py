@@ -9,13 +9,24 @@ from __future__ import annotations
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     catalog_queries,
     cdc_queries,
+    io_queries,
     llm_queries,
     relational,
     relational2,
+    relational3,
     streaming_queries,
 )
 
-_MODULES = [cdc_queries, relational, relational2, catalog_queries, llm_queries, streaming_queries]
+_MODULES = [
+    cdc_queries,
+    relational,
+    relational2,
+    relational3,
+    catalog_queries,
+    io_queries,
+    llm_queries,
+    streaming_queries,
+]
 
 
 def all_queries():
