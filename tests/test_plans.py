@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: pushdown, broadcast choice, partial
+aggregation, shuffle counts. These pin the plans we designed for —
+a regression here is a scale regression even when results stay correct.
+Evaluated at sf0.01 (plan shapes are stable at fixed stats)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+
+REG = q.all_queries()
+
+
+def plan_str(spark, sf_dir, qid: str) -> str:
+    df = REG[qid](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_full_pushdown_and_pruning(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "scan_full")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # projection pruning: only the 3 selected + filter column
+    assert read_cols == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"}
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final agg, single exchange between them
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_star_joins_broadcast(spark, sf_dir):
+    for qid in ["q3_shipping_priority", "q5_local_supplier", "join_semi"]:
+        p = plan_str(spark, sf_dir, qid)
+        assert "BroadcastHashJoin" in p, qid
+        assert "SortMergeJoin" not in p, f"{qid}: dim join fell back to SMJ"
+
+
+def test_q5_no_shuffle_joins(spark, sf_dir):
+    """The whole star resolves by broadcast — the only exchanges are
+    broadcast exchanges + the final agg shuffle."""
+    p = plan_str(spark, sf_dir, "q5_local_supplier")
+    assert p.count("BroadcastHashJoin") == 5
+
+
+def test_cdc_merge_single_join(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "cdc_merge")
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
+    assert joins == 1, "merge must be exactly one join"
+
+
+def test_latest_per_key_single_exchange(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "latest_per_key")
+    assert p.count("Exchange") == 1, "window dedup is one shuffle on the key"
+
+
+def test_range_join_broadcast_nlj(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "range_join")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_multimodal_is_arrow_batched(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "multimodal_meta")
+    assert "MapInPandas" in p  # Arrow path, not row-at-a-time PythonUDF
+    assert "BatchEvalPython" not in p
