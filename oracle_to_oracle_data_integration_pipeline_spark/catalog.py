@@ -103,16 +103,21 @@ class Catalog:
     ) -> "Catalog":
         cat = cls(spark)
         pks = pks if pks is not None else FIXTURE_PKS
-        names = sorted(
-            f[: -len(".parquet")]
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
-        for name in names:
+        # Two layouts: fixture-style single files (<name>.parquet) and
+        # production-style table directories (<name>/part-*.parquet).
+        entries: dict[str, str] = {}
+        for f in os.listdir(sf_dir):
+            full = os.path.join(sf_dir, f)
+            if f.endswith(".parquet") and os.path.isfile(full):
+                entries[f[: -len(".parquet")]] = full
+            elif os.path.isdir(full) and not f.startswith((".", "_")):
+                if any(p.endswith(".parquet") for p in os.listdir(full)):
+                    entries.setdefault(f, full)
+        for name in sorted(entries):
             cat.register(
                 TableMeta(
                     name=name,
-                    path=os.path.join(sf_dir, f"{name}.parquet"),
+                    path=entries[name],
                     pk=list(pks.get(name.lower(), [])),
                 )
             )

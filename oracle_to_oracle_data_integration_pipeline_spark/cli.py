@@ -1,0 +1,125 @@
+"""Command-line entry points — parity with the reference's three
+scripts, over any parquet directory (JDBC wiring available via
+sources/jdbc.py for production deployments):
+
+  prepare-cdc   ≙ scripts/01_prepare_cdc_columns (idempotent CDC
+                  column addition; here: schema-evolved copies)
+  clone-schema  ≙ scripts/02_clone_schema_structure.py (create empty
+                  clones of tables missing in the target; skip
+                  existing; per-table error isolation + counts)
+  replicate     ≙ scripts/03_cdc_etl.py (incremental watermark-gated
+                  soft-delete replication; exit 2 when any table fails)
+
+Usage:
+  python -m oracle_to_oracle_data_integration_pipeline_spark.cli replicate \
+      --source /root/testdata/sf0.001 --target /tmp/tgt --state /tmp/wm
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from oracle_to_oracle_data_integration_pipeline_spark.catalog import Catalog
+from oracle_to_oracle_data_integration_pipeline_spark.operators.watermark import WatermarkStore
+from oracle_to_oracle_data_integration_pipeline_spark.plans.pipeline import CdcPipeline, ParquetTargetStore
+from oracle_to_oracle_data_integration_pipeline_spark.plans.schema_tools import (
+    add_missing_cdc_columns,
+    empty_clone,
+    has_cdc_columns,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.session import get_spark
+
+
+def cmd_prepare_cdc(args) -> int:
+    spark = get_spark(app_name="o2o_prepare_cdc")
+    cat = Catalog.from_parquet_dir(spark, args.source)
+    target = ParquetTargetStore(spark, args.out)
+    added = skipped = failed = 0
+    for table in cat.list_tables():
+        try:
+            df = cat.load(table)
+            if has_cdc_columns(df):
+                skipped += 1  # idempotent re-run (reference :25-31)
+                continue
+            target.overwrite(table, add_missing_cdc_columns(df))
+            added += 1
+        except Exception as exc:  # per-table isolation, like the reference loop
+            print(f"prepare-cdc: FAILED {table}: {exc}", file=sys.stderr)
+            failed += 1
+    print(f"prepare-cdc: evolved={added} already-prepared={skipped} failed={failed}")
+    return 1 if failed else 0
+
+
+def cmd_clone_schema(args) -> int:
+    spark = get_spark(app_name="o2o_clone_schema")
+    cat = Catalog.from_parquet_dir(spark, args.source)
+    target = ParquetTargetStore(spark, args.target)
+    created = skipped = failed = 0
+    for table in cat.list_tables():
+        if target.exists(table):  # skip-existing (reference :72-75)
+            skipped += 1
+            continue
+        try:
+            target.overwrite(table, empty_clone(cat.load(table)))
+            created += 1
+        except Exception as exc:  # rollback analog: nothing half-written
+            print(f"clone-schema: FAILED {table}: {exc}", file=sys.stderr)
+            failed += 1
+    print(f"clone-schema: created={created} skipped={skipped} failed={failed}")
+    return 1 if failed else 0
+
+
+def cmd_replicate(args) -> int:
+    spark = get_spark(app_name="o2o_replicate")
+    cat = Catalog.from_parquet_dir(spark, args.source)
+    pipe = CdcPipeline(
+        spark,
+        cat,
+        ParquetTargetStore(spark, args.target),
+        WatermarkStore(spark, args.state),
+        max_parallel_tables=args.parallel,
+    )
+    report = pipe.run(tables=args.tables or None)
+    for r in report.results:
+        line = f"replicate: {r.table}: {r.status}"
+        if r.status == "replicated":
+            line += f" (inserted={r.inserted} updated={r.updated} dropped_deletes={r.dropped_deletes})"
+        if r.error:
+            line += f" error={r.error}"
+        print(line)
+    print(
+        f"replicate: processed={report.processed} inserted={report.inserted} "
+        f"updated={report.updated} skipped={len(report.skipped)} failed={len(report.failed)}"
+    )
+    return report.exit_code
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="o2o-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("prepare-cdc", help="add missing CDC columns (idempotent)")
+    p1.add_argument("--source", required=True)
+    p1.add_argument("--out", required=True)
+    p1.set_defaults(fn=cmd_prepare_cdc)
+
+    p2 = sub.add_parser("clone-schema", help="create empty clones of missing tables")
+    p2.add_argument("--source", required=True)
+    p2.add_argument("--target", required=True)
+    p2.set_defaults(fn=cmd_clone_schema)
+
+    p3 = sub.add_parser("replicate", help="incremental CDC replication run")
+    p3.add_argument("--source", required=True)
+    p3.add_argument("--target", required=True)
+    p3.add_argument("--state", required=True)
+    p3.add_argument("--parallel", type=int, default=4)
+    p3.add_argument("--tables", nargs="*", default=None)
+    p3.set_defaults(fn=cmd_replicate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

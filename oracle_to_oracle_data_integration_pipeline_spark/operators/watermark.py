@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 from datetime import datetime
 
@@ -39,6 +40,12 @@ class WatermarkStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # upsert is read-modify-write of the whole (tiny) state; the
+        # pipeline replicates independent tables from driver threads,
+        # so serialize mutations or concurrent upserts lose updates
+        # (observed: a parallel wave dropped a table's watermark and
+        # the next run re-replicated it).
+        self._lock = threading.Lock()
 
     def _read_all(self) -> dict[str, datetime]:
         if not os.path.exists(self.path):
@@ -54,9 +61,10 @@ class WatermarkStore:
     def upsert(self, table: str, ts: datetime) -> None:
         """``upsert_watermark`` parity
         (`/root/reference/scripts/03_cdc_etl.py:85-96`)."""
-        state = self._read_all()
-        state[table.upper()] = ts
-        self._write_all(state)
+        with self._lock:
+            state = self._read_all()
+            state[table.upper()] = ts
+            self._write_all(state)
 
     def _write_all(self, state: dict[str, datetime]) -> None:
         df = self.spark.createDataFrame(

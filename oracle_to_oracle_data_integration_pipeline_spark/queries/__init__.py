@@ -14,6 +14,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     streaming_queries,
 )
 
@@ -22,6 +23,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     catalog_queries,
     io_queries,
     llm_queries,

@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # fixture events.ts is parquet TIMESTAMP(NANOS); read as long
+        # (converted to µs timestamps by the loaders that need it)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
