@@ -1,0 +1,70 @@
+"""Scale techniques as first-class operators: key salting for skew
+joins, bucketed co-located joins.
+
+These address the two shuffle pathologies a 100 TB deployment hits
+(SURVEY.md §4 / pyspark guide "Partitioning & shuffle"):
+
+- **Skew**: one hot key makes one reducer process most of the data.
+  AQE's skew-join splitting handles *sort-merge* skew at runtime;
+  salting is the explicit fallback for aggregations and for joins AQE
+  can't split (e.g. when the skewed side must broadcast-expand).
+- **Repeated shuffles on a stable key**: fact tables joined on the
+  same key every run should be bucketed once at write time; a join of
+  two tables bucketed on the key with the same bucket count needs NO
+  exchange at read time — at 100 TB this converts the dominant
+  shuffle into a free co-located merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the skewed side gets a random-ish salt
+    derived from a stable row hash (deterministic, unlike rand() —
+    replays identically); the small side is exploded ×salt_buckets so
+    every (key, salt) pair finds its match.
+
+    Shuffle keys become (key, salt): the hot key's rows spread over
+    ``salt_buckets`` reducers. The small side grows by the factor —
+    use only when `small` is genuinely small (it usually also
+    broadcasts, making the salt moot; this operator is for the
+    mid-size case where broadcast is too big but skew still bites).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("__salt__", salt.cast("int"))
+    right = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = left.join(right, [key, "__salt__"], how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    num_buckets: int = 8,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join
+    key. Requires a session with a warehouse dir + Hive-less catalog
+    (default local works). Reading it back joins co-located."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(spark: SparkSession, a: str, b: str) -> DataFrame:
+    """Read two bucketed tables for a co-located join (no exchange on
+    either side when bucket specs match)."""
+    return spark.table(a), spark.table(b)  # type: ignore[return-value]

@@ -15,7 +15,17 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="o2o_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    import tempfile
+
+    s = get_spark(
+        app_name="o2o_tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf={
+            # static conf; keep bucketed-table tests out of the repo cwd
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield s
 
 

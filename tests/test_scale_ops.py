@@ -1,0 +1,63 @@
+"""Scale-technique operators: salted join equivalence + skew spread,
+bucketed join exchange elimination (operators/scale.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed left: 90% of rows share key 1
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame([(1, "hot"), (10, "a"), (20, "b")], "k long, name string")
+    plain = {(r["k"], r["payload"], r["name"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["name"]) for r in salted_join(left, right, "k").collect()}
+    assert salted == plain and len(plain) > 1000
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "x"), (99, "y")], "k long, payload string")
+    right = spark.createDataFrame([(1, "hot")], "k long, name string")
+    rows = {r["k"]: r["name"] for r in salted_join(left, right, "k", how="left").collect()}
+    assert rows == {1: "hot", 99: None}
+
+
+def test_salt_spreads_hot_key(spark):
+    left = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("p"))
+    salt = F.pmod(F.xxhash64(F.col("k"), F.col("p")), F.lit(8)).cast("int")
+    n_salts = left.select(salt.alias("s")).distinct().count()
+    assert n_salts == 8  # the hot key fans out across all salt buckets
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    # warehouse dir is a static conf, set at session build (conftest)
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_a", ["k"], num_buckets=4, sort_by=["k"])
+    write_bucketed(b, "bk_b", ["k"], num_buckets=4, sort_by=["k"])
+    yield spark.table("bk_a"), spark.table("bk_b")
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    a, b = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
