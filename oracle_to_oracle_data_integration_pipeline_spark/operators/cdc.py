@@ -120,25 +120,39 @@ class MergeStats:
 @dataclass
 class MergeResult:
     df: DataFrame
-    _joined: DataFrame
+    _stats_df: DataFrame  # one-row frame: u / i / x counts
     pk: list[str]
 
     def stats(self) -> MergeStats:
-        """One aggregate pass over the joined plan."""
-        d_key = F.col(f"__d_{self.pk[0]}__")
-        t_key = F.col(f"__t_{self.pk[0]}__")
-        row = (
-            self._joined.agg(
-                F.sum(F.when(d_key.isNotNull() & t_key.isNotNull(), 1).otherwise(0)).alias("u"),
-                F.sum(
-                    F.when(d_key.isNotNull() & t_key.isNull() & (F.col(f"__d_{DELETED}__") == "N"), 1).otherwise(0)
-                ).alias("i"),
-                F.sum(
-                    F.when(d_key.isNotNull() & t_key.isNull() & (F.col(f"__d_{DELETED}__") == "Y"), 1).otherwise(0)
-                ).alias("x"),
-            )
-        ).collect()[0]
+        """One aggregate pass over the strategy's joined plan."""
+        row = self._stats_df.collect()[0]
         return MergeStats(updated=row["u"] or 0, inserted=row["i"] or 0, dropped_deletes=row["x"] or 0)
+
+
+def _merge_broadcast_delta(
+    target: DataFrame, delta: DataFrame, pk: list[str], deleted_col: str
+) -> MergeResult:
+    """No-target-shuffle merge: see ``merge_soft_delete`` docstring."""
+    out_cols = target.columns
+    keys = delta.select(*pk)
+    # target-side passes: broadcast the (small) delta keys
+    untouched = target.join(F.broadcast(keys), pk, "left_anti")
+    matched_keys = target.join(F.broadcast(keys), pk, "left_semi").select(*pk)
+    # resolve delta rows against the (≤|delta|) matched-key set
+    d_flagged = delta.join(
+        F.broadcast(matched_keys.withColumn("__m__", F.lit(1))), pk, "left"
+    )
+    kept = d_flagged.filter(
+        F.col("__m__").isNotNull() | (F.col(deleted_col) == "N")
+    ).select(*out_cols)
+    merged = untouched.select(*out_cols).unionByName(kept)
+    matched = F.col("__m__").isNotNull()
+    stats_df = d_flagged.agg(
+        F.sum(F.when(matched, 1).otherwise(0)).alias("u"),
+        F.sum(F.when(~matched & (F.col(deleted_col) == "N"), 1).otherwise(0)).alias("i"),
+        F.sum(F.when(~matched & (F.col(deleted_col) == "Y"), 1).otherwise(0)).alias("x"),
+    )
+    return MergeResult(df=merged, _stats_df=stats_df, pk=pk)
 
 
 def merge_attribution(target: DataFrame, delta: DataFrame, pk: list[str],
@@ -178,6 +192,7 @@ def merge_soft_delete(
     dedup_delta: bool = False,
     created: str = CREATED,
     updated: str = UPDATED,
+    strategy: str = "shuffle",
 ) -> MergeResult:
     """Soft-delete upsert merge (reference MERGE parity).
 
@@ -189,16 +204,35 @@ def merge_soft_delete(
       a soft-delete for a key the target never saw is dropped.
     - Target rows without a delta match pass through unchanged.
 
-    Implementation: one full-outer join on ``pk`` with per-column
-    ``WHEN delta-matched THEN delta ELSE target`` resolution, then the
-    insert-gate filter. Column order of the output = target column
-    order. ``dedup_delta=True`` collapses multi-change batches via
-    ``latest_per_key`` first (same shuffle key, exchange reused).
+    Two physical strategies, identical results:
+
+    - ``strategy="shuffle"`` (default): ONE full-outer join on ``pk``
+      with per-column ``WHEN delta-matched THEN delta ELSE target``
+      resolution, then the insert-gate filter. Both sides shuffle —
+      right when target and delta are comparable sizes.
+    - ``strategy="broadcast_delta"``: full-outer joins cannot
+      broadcast, so the default shuffles the ENTIRE target every run —
+      at 100 TB that dominates everything. When the delta is small
+      (the steady-state CDC case) this strategy decomposes the merge
+      into target-side anti/semi joins against the broadcast delta:
+      the target is scanned but NEVER shuffled, and the surviving
+      delta rows are resolved against the (tiny) matched-key set.
+      Cost: ~2 target scans, 0 target shuffles vs 1 scan + 1 full
+      shuffle — scans are far cheaper than a cluster-wide shuffle of
+      the same bytes.
+
+    ``dedup_delta=True`` collapses multi-change batches via
+    ``latest_per_key`` first. Column order of the output = target
+    column order.
     """
     if not pk:
         raise ValueError("merge requires a non-empty primary key")
+    if strategy not in ("shuffle", "broadcast_delta"):
+        raise ValueError(f"unknown merge strategy: {strategy}")
     if dedup_delta:
         delta = latest_per_key(delta, pk, created=created, updated=updated)
+    if strategy == "broadcast_delta":
+        return _merge_broadcast_delta(target, delta, pk, deleted_col)
 
     out_cols = target.columns
     # Tag both sides so the joined plan keeps unambiguous references.
@@ -220,4 +254,13 @@ def merge_soft_delete(
             for c in out_cols
         ]
     )
-    return MergeResult(df=resolved, _joined=joined, pk=pk)
+    stats_df = joined.agg(
+        F.sum(F.when(d_present & t_present, 1).otherwise(0)).alias("u"),
+        F.sum(
+            F.when(d_present & ~t_present & (F.col(f"__d_{deleted_col}__") == "N"), 1).otherwise(0)
+        ).alias("i"),
+        F.sum(
+            F.when(d_present & ~t_present & (F.col(f"__d_{deleted_col}__") == "Y"), 1).otherwise(0)
+        ).alias("x"),
+    )
+    return MergeResult(df=resolved, _stats_df=stats_df, pk=pk)

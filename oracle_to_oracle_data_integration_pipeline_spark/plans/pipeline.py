@@ -145,12 +145,18 @@ class CdcPipeline:
         target: ParquetTargetStore,
         watermarks: WatermarkStore,
         max_parallel_tables: int = 4,
+        merge_strategy: str = "auto",
     ):
         self.spark = spark
         self.source = source
         self.target = target
         self.watermarks = watermarks
         self.max_parallel_tables = max_parallel_tables
+        # "auto": first run (no watermark) is a full load — the delta
+        # IS the table, so shuffle-merge; incremental runs have small
+        # deltas — broadcast_delta avoids shuffling the target at all
+        # (see operators/cdc.py merge_soft_delete docstring).
+        self.merge_strategy = merge_strategy
 
     # -- per-table replication (reference loop body,
     #    /root/reference/scripts/03_cdc_etl.py:259-351) ---------------
@@ -180,7 +186,11 @@ class CdcPipeline:
                     tgt = self.target.read(table)
                 else:
                     tgt = src.limit(0)  # first run: empty clone target
-                merged = merge_soft_delete(tgt, delta_clean, pk)
+                if self.merge_strategy == "auto":
+                    strategy = "shuffle" if last_ts is None else "broadcast_delta"
+                else:
+                    strategy = self.merge_strategy
+                merged = merge_soft_delete(tgt, delta_clean, pk, strategy=strategy)
                 stats = merged.stats()
                 self.target.overwrite(table, merged.df)
 
