@@ -69,6 +69,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     candidates: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (d1 < d2) with shingle-set Jaccard ≥ threshold.
 
@@ -87,7 +88,11 @@ def ngram_jaccard_pairs(
     Output: d1, d2, jaccard (rounded 6).
     """
     if candidates is not None:
-        sets = _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set"))
+        sets = (
+            shingle_sets
+            if shingle_sets is not None
+            else _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set"))
+        )
         s1 = sets.select(F.col(id_col).alias("d1"), F.col("sh_set").alias("set1"))
         s2 = sets.select(F.col(id_col).alias("d2"), F.col("sh_set").alias("set2"))
         n_inter = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
@@ -180,9 +185,16 @@ def minhash_dedup_pairs(
     candidates → exact-Jaccard verification ≥ threshold. Same output
     contract as ``ngram_jaccard_pairs`` (recall < 1 with probability
     (1-J^r)^b per pair — ~1e-6 for J≥0.9 at 16/2 defaults)."""
-    sig = minhash_signatures(df, text, id_col, num_perm, n)
+    # Shingle sets are the expensive expression work (interpreted
+    # higher-order functions); compute ONCE, cache, and derive both the
+    # signature explode and the verification arrays from it. Halves the
+    # CPU cost vs recomputing per branch.
+    sets = _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
+    exploded = sets.select(id_col, F.explode("sh_set").alias("sh"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
+    sig = exploded.groupBy(id_col).agg(*mins)
     cand = minhash_lsh_candidates(sig, id_col, num_perm, rows_per_band)
-    return ngram_jaccard_pairs(df, threshold, text, id_col, n, candidates=cand)
+    return ngram_jaccard_pairs(df, threshold, text, id_col, n, candidates=cand, shingle_sets=sets)
 
 
 def simhash_signatures(

@@ -1,0 +1,45 @@
+"""Contract: every qid planned in SURVEY.md §2 exists in the registry,
+and registry invariants hold (unique qids, oracle keys ⊆ query keys,
+rows-only set is the documented hash-dependent pair)."""
+
+from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+
+SURVEY_QIDS = {
+    # §2.1 scans/sources/sinks
+    "scan_full", "sink_append", "catalog_tables", "schema_clone",
+    "empty_clone", "watermark_store",
+    # §2.2 projections/filters
+    "change_ts", "delta_filter", "project_order",
+    # §2.3 joins
+    "cdc_merge",
+    # §2.4 aggregations
+    "delta_count", "merge_stats", "watermark_max",
+    # §2.5 windows
+    "latest_per_key",
+    # §2.6 sorts
+    "order_by", "topo_order",
+    # §2.7 set ops
+    "set_ops",
+    # §2.8 scalar functions
+    "json_extract", "date_buckets", "array_math",
+    # §2.9 streaming
+    "stream_tumbling", "stream_session",
+    # §2.10 UDF surface / LLM-data
+    "cosine_topk", "minhash_dedup", "text_stats",
+}
+
+
+def test_survey_qids_all_registered():
+    missing = SURVEY_QIDS - set(q.all_queries())
+    assert not missing, f"SURVEY.md §2 qids not implemented: {sorted(missing)}"
+
+
+def test_oracles_subset_of_queries():
+    extra = set(q.all_oracle_sql()) - set(q.all_queries())
+    assert not extra, f"oracle_sql without queries(): {sorted(extra)}"
+
+
+def test_rows_only_set_is_documented():
+    rows_only = set(q.all_queries()) - set(q.all_oracle_sql())
+    # hash-function/plane-literal constructs with no SQL twin (llm_queries.py)
+    assert rows_only == {"simhash_neardup", "cosine_topk_lsh"}, rows_only
