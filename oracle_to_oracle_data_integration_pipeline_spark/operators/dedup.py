@@ -87,6 +87,8 @@ def ngram_jaccard_pairs(
 
     Output: d1, d2, jaccard (rounded 6).
     """
+    if shingle_sets is not None and candidates is None:
+        raise ValueError("shingle_sets is only used in candidate-verification mode; pass candidates")
     if candidates is not None:
         sets = (
             shingle_sets
@@ -126,16 +128,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_exploded(exploded: DataFrame, id_col: str, num_perm: int) -> DataFrame:
+    """The one place the signature scheme lives: h_i = min over
+    shingles of xxhash64(i, shingle)."""
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", num_perm: int = 16, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: h_i = min over shingles of
-    xxhash64(i, shingle). One explode + one grouped agg with
-    ``num_perm`` min() columns (map-side combine keeps the shuffle at
-    num_perm longs per doc)."""
-    sh = _exploded_shingles(df, text, id_col, n)
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
-    return sh.groupBy(id_col).agg(*mins)
+    """MinHash signature per document. One explode + one grouped agg
+    with ``num_perm`` min() columns (map-side combine keeps the shuffle
+    at num_perm longs per doc)."""
+    return _signatures_from_exploded(_exploded_shingles(df, text, id_col, n), id_col, num_perm)
 
 
 def minhash_lsh_candidates(
@@ -186,15 +192,23 @@ def minhash_dedup_pairs(
     contract as ``ngram_jaccard_pairs`` (recall < 1 with probability
     (1-J^r)^b per pair — ~1e-6 for J≥0.9 at 16/2 defaults)."""
     # Shingle sets are the expensive expression work (interpreted
-    # higher-order functions); compute ONCE, cache, and derive both the
-    # signature explode and the verification arrays from it. Halves the
-    # CPU cost vs recomputing per branch.
+    # higher-order functions) and feed THREE plan branches (signature
+    # explode + both verification self-join aliases); without sharing
+    # they are recomputed per branch (measured 60-100s vs ~2s at
+    # sf0.1). Cache, materialize the (small) result eagerly, then
+    # release the cache so repeated calls in a long-lived session do
+    # not accumulate storage.
     sets = _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
-    exploded = sets.select(id_col, F.explode("sh_set").alias("sh"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
-    sig = exploded.groupBy(id_col).agg(*mins)
-    cand = minhash_lsh_candidates(sig, id_col, num_perm, rows_per_band)
-    return ngram_jaccard_pairs(df, threshold, text, id_col, n, candidates=cand, shingle_sets=sets)
+    try:
+        exploded = sets.select(id_col, F.explode("sh_set").alias("sh"))
+        sig = _signatures_from_exploded(exploded, id_col, num_perm)
+        cand = minhash_lsh_candidates(sig, id_col, num_perm, rows_per_band)
+        pairs = ngram_jaccard_pairs(
+            df, threshold, text, id_col, n, candidates=cand, shingle_sets=sets
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
 
 
 def simhash_signatures(
