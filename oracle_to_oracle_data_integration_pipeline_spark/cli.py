@@ -118,7 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     p3.set_defaults(fn=cmd_replicate)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as exc:
+        print(f"{ap.prog}: error: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational2,
     relational3,
     relational4,
+    relational5,
     streaming_queries,
 )
 
@@ -24,6 +25,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     catalog_queries,
     io_queries,
     llm_queries,

@@ -1,0 +1,134 @@
+"""Fifth breadth batch: remaining classic shapes (Q4 correlated
+EXISTS, Q6 pure scan-aggregate, Q22 anti-join with scalar subquery)
+plus the grouped-map Pandas-UDF surface (applyInPandas) with an
+integer-exact oracle.
+
+Q4/Q22 run identical SQL text on both engines (temp views on the
+Spark side) — the engine's SQL API surface is part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# -- qid: q6_forecast_revenue (pure scan-agg; max pushdown) -----------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No join at all: filter + single agg. The entire query should
+    collapse to a pruned parquet scan with pushed range filters and a
+    2-phase aggregate — the canonical 'is pushdown working' probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# -- qid: q4_order_priority (correlated EXISTS) -----------------------
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(SQL_Q4)
+
+
+# -- qid: q22_dormant_customers (scalar subquery + NOT EXISTS) --------
+
+SQL_Q22 = """
+SELECT substring(c_name, 1, 1) AS initial,
+       count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY substring(c_name, 1, 1)
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(SQL_Q22)
+
+
+# -- qid: grouped_rank_pandas (applyInPandas grouped-map surface) -----
+
+def q_grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label ranking computed in pandas (grouped-map Arrow path,
+    SURVEY.md §2.10) — integer-exact output so the oracle is a plain
+    window row_number. The pandas boundary is the operator under test;
+    the logic is deliberately oracle-checkable."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.element_at("embedding", 1).alias("comp0")
+    )
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["comp0", "vec_id"]).reset_index(drop=True)
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf
+
+    return e.groupBy("label").applyInPandas(
+        rank_group, schema="vec_id long, label int, comp0 float, rnk long"
+    )
+
+
+SQL_GROUPED_RANK = """
+SELECT vec_id, label, embedding[1] AS comp0,
+       row_number() OVER (PARTITION BY label ORDER BY embedding[1], vec_id) AS rnk
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q22_dormant_customers": q22_dormant_customers,
+    "grouped_rank_pandas": q_grouped_rank_pandas,
+}
+
+ORACLE_SQL = {
+    "q6_forecast_revenue": SQL_Q6,
+    "q4_order_priority": SQL_Q4,
+    "q22_dormant_customers": SQL_Q22,
+    "grouped_rank_pandas": SQL_GROUPED_RANK,
+}
