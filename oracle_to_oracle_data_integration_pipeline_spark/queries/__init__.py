@@ -16,6 +16,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational3,
     relational4,
     relational5,
+    partition_queries,
     streaming_queries,
 )
 
@@ -26,6 +27,7 @@ _MODULES = [
     relational3,
     relational4,
     relational5,
+    partition_queries,
     catalog_queries,
     io_queries,
     llm_queries,

@@ -1,0 +1,122 @@
+"""Partitioned-layout queries: hive-style partitioned writes, partition
+pruning at read, plus full-outer join and range window frames.
+
+Partition pruning is THE 100 TB lever: a year/month-partitioned fact
+table turns a time-range query into a directory listing — files outside
+the range are never opened. The qid writes orders partitioned by year
+to a temp dir, reads back with a year filter, and the plan test pins
+``PartitionFilters`` being applied.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load, tune
+
+
+def partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders hive-partitioned by order year (cached per sf_dir
+    within a session via a temp-dir marker on the SparkSession)."""
+    key = f"__o2o_part_dir_{sf_dir}__"
+    holder = spark.sparkContext.getLocalProperty(key)
+    if holder:
+        return holder
+    out = tempfile.mkdtemp(prefix="orders_by_year_")
+    o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.sparkContext.setLocalProperty(key, out)
+    return out
+
+
+# -- qid: partitioned_scan --------------------------------------------
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the partitioned layout with a partition-key filter: only
+    the 1997/1998 directories are listed and scanned."""
+    tune(spark)
+    path = partitioned_orders_dir(spark, sf_dir)
+    o = spark.read.parquet(path)
+    return (
+        o.filter(F.col("o_year").isin(1997, 1998))
+        .groupBy("o_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("sum_price"))
+        .withColumn("o_year", F.col("o_year").cast("int"))
+    )
+
+
+SQL_PARTITIONED_SCAN = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_price
+FROM orders
+WHERE year(o_orderdate) IN (1997, 1998)
+GROUP BY 1, 2
+"""
+
+
+# -- qid: join_outer --------------------------------------------------
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer counts vs supplier counts
+    (nations can lack suppliers in the fixture)."""
+    c = load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    s = load(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+ON c.k = s.k
+"""
+
+
+# -- qid: window_range_frame ------------------------------------------
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): count of same-status
+    orders within ±50000 of each order's price."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-50_000, 50_000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_near_price"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_orderstatus,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_near_price
+FROM orders WHERE o_orderkey % 37 = 0
+"""
+
+
+QUERIES = {
+    "partitioned_scan": q_partitioned_scan,
+    "join_outer": q_join_outer,
+    "window_range_frame": q_window_range_frame,
+}
+
+ORACLE_SQL = {
+    "partitioned_scan": SQL_PARTITIONED_SCAN,
+    "join_outer": SQL_JOIN_OUTER,
+    "window_range_frame": SQL_WINDOW_RANGE_FRAME,
+}

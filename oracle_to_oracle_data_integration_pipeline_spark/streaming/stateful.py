@@ -1,0 +1,60 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.9/§2.10: arbitrary state beyond built-in windows).
+
+``running_totals``: per-key cumulative count/sum maintained across
+micro-batches — the minimal "custom accumulator" shape (the same
+skeleton carries per-user ML feature state, rate limiting, CDC
+conflict counters...). Output one row per key per batch with the
+running values.
+
+Scale notes: state lives in the state store keyed by the group —
+bounded by key cardinality, not stream length. The pandas function
+receives Arrow batches per key; the timeout conf (unused here) is how
+production jobs expire idle keys to bound the store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame (user_id, ts, value, ...) → per-key running
+    totals, one output row per key per micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

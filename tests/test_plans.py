@@ -67,6 +67,14 @@ def test_range_join_broadcast_nlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_partition_pruning_applied(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "partitioned_scan")
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*o_year[^\]]*\]", p)
+    assert m, f"partition filter not pushed to listing: {p[:800]}"
+
+
 def test_multimodal_is_arrow_batched(spark, sf_dir):
     p = plan_str(spark, sf_dir, "multimodal_meta")
     assert "MapInPandas" in p  # Arrow path, not row-at-a-time PythonUDF
