@@ -11,6 +11,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     cdc_queries,
     io_queries,
     llm_queries,
+    llm_queries2,
     relational,
     relational2,
     relational3,
@@ -31,6 +32,7 @@ _MODULES = [
     catalog_queries,
     io_queries,
     llm_queries,
+    llm_queries2,
     streaming_queries,
 ]
 

@@ -1,0 +1,259 @@
+"""Second LLM-data batch: realistic pipeline composites.
+
+- dedup_keep_best: near-dup groups resolved by keeping the
+  highest-quality member (dedup × quality scoring composite — what a
+  training-data pipeline actually ships).
+- ann_label_agreement: top-1 neighbor label agreement per label
+  (FIXTURES.md "nearest-neighbor label-agreement checks").
+- token_freq: corpus-level token frequency top-k.
+- tfidf_top_term: per-doc top term by tf·(N/df) — log-free TF-IDF
+  variant so the score arithmetic is engine-exact (ln is libm-
+  dependent; N/df and the product are deterministic double ops).
+- events_funnel: signup→purchase conversion per user cohort.
+- sessionize: batch lag/gap-cumsum sessionization emitting session ids
+  per event (the islands pattern; the streaming twin is
+  session_window in streaming_queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import cosine_topk_bruteforce
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import tokens_col
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+
+# -- qid: dedup_keep_best ---------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected near-dup pairs → keep the longest member (tie: lowest
+    doc_id), drop the rest. Union-find collapsed to one hop because the
+    fixture plants pairs, not chains; output = dropped doc -> kept doc."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, 0.5)
+    lens = docs.select("doc_id", F.length("text").alias("len"))
+    l1 = lens.select(F.col("doc_id").alias("d1"), F.col("len").alias("len1"))
+    l2 = lens.select(F.col("doc_id").alias("d2"), F.col("len").alias("len2"))
+    scored = pairs.join(l1, "d1").join(l2, "d2")
+    keep_d1 = (F.col("len1") > F.col("len2")) | (
+        (F.col("len1") == F.col("len2")) & (F.col("d1") < F.col("d2"))
+    )
+    return scored.select(
+        F.when(keep_d1, F.col("d2")).otherwise(F.col("d1")).alias("dropped_id"),
+        F.when(keep_d1, F.col("d1")).otherwise(F.col("d2")).alias("kept_id"),
+    ).distinct()
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.5
+),
+lens AS (SELECT doc_id, length(text) AS len FROM documents)
+SELECT DISTINCT
+  CASE WHEN l1.len > l2.len OR (l1.len = l2.len AND d1 < d2) THEN d2 ELSE d1 END AS dropped_id,
+  CASE WHEN l1.len > l2.len OR (l1.len = l2.len AND d1 < d2) THEN d1 ELSE d2 END AS kept_id
+FROM pairs JOIN lens l1 ON l1.doc_id = d1 JOIN lens l2 ON l2.doc_id = d2
+"""
+
+
+# -- qid: ann_label_agreement -----------------------------------------
+
+def q_ann_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    top1 = cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 50), k=1)
+    q_lab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    n_lab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    j = top1.join(q_lab, "query_id").join(n_lab, "neighbor_id")
+    return j.groupBy("q_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)).alias("n_agree"),
+    )
+
+
+SQL_ANN_LABEL_AGREEMENT = """
+WITH q AS (SELECT vec_id AS query_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, label AS n_label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, q_label, neighbor_id, n_label,
+         round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+),
+top1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+)
+SELECT q_label, count(*) AS n_queries,
+       sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS n_agree
+FROM top1 GROUP BY q_label
+"""
+
+
+# -- qid: token_freq --------------------------------------------------
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+SQL_TOKEN_FREQ = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT token, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM counts
+) WHERE rnk <= 20
+"""
+
+
+# -- qid: tfidf_top_term ----------------------------------------------
+
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top term by tf·(N/df). N/df is an exact double division
+    of small ints, tf an int — the product is engine-deterministic
+    (no logarithm). Ties: lexicographically first term."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "score")
+    )
+
+
+SQL_TFIDF_TOP_TERM = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, round(tf * (n_docs / df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token AS top_term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM scored
+) WHERE rnk = 1
+"""
+
+
+# -- qid: events_funnel -----------------------------------------------
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion: users whose first purchase follows
+    their first signup."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+FROM firsts
+"""
+
+
+# -- qid: sessionize (batch islands) ----------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + gap>threshold + cumulative sum → session id per event
+    (batch twin of session_window; one shuffle on the key)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    new_s = F.when(gap.isNull() | (gap >= 6 * 3600), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_s).over(run).alias("session_id"),
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, event_id, ts,
+       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 21600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 30
+)
+"""
+
+
+QUERIES = {
+    "dedup_keep_best": q_dedup_keep_best,
+    "ann_label_agreement": q_ann_label_agreement,
+    "token_freq": q_token_freq,
+    "tfidf_top_term": q_tfidf_top_term,
+    "events_funnel": q_events_funnel,
+    "sessionize": q_sessionize,
+}
+
+ORACLE_SQL = {
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "ann_label_agreement": SQL_ANN_LABEL_AGREEMENT,
+    "token_freq": SQL_TOKEN_FREQ,
+    "tfidf_top_term": SQL_TFIDF_TOP_TERM,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "sessionize": SQL_SESSIONIZE,
+}
