@@ -92,7 +92,68 @@ def cmd_replicate(args) -> int:
         f"replicate: processed={report.processed} inserted={report.inserted} "
         f"updated={report.updated} skipped={len(report.skipped)} failed={len(report.failed)}"
     )
+    if args.report:
+        import json
+
+        with open(args.report, "w") as f:
+            json.dump(
+                {
+                    "processed": report.processed,
+                    "inserted": report.inserted,
+                    "updated": report.updated,
+                    "skipped": report.skipped,
+                    "failed": report.failed,
+                    "tables": [
+                        {
+                            "table": r.table,
+                            "status": r.status,
+                            "inserted": r.inserted,
+                            "updated": r.updated,
+                            "dropped_deletes": r.dropped_deletes,
+                            "error": r.error,
+                        }
+                        for r in report.results
+                    ],
+                },
+                f,
+                indent=2,
+            )
     return report.exit_code
+
+
+def cmd_validate(args) -> int:
+    """Post-replication reconciliation — the reference README's
+    validation queries (source vs target row counts, live rows only on
+    the target since soft-deleted rows remain by design)."""
+    spark = get_spark(app_name="o2o_validate")
+    cat = Catalog.from_parquet_dir(spark, args.source)
+    target = ParquetTargetStore(spark, args.target)
+    from pyspark.sql import functions as F
+
+    mismatches = 0
+    for table in cat.list_tables():
+        if not target.exists(table):
+            print(f"validate: {table}: MISSING in target")
+            mismatches += 1
+            continue
+        src = cat.load(table)
+        pk = cat.get_pk_columns(table)
+        # live source keys (latest version per PK, not soft-deleted)
+        if {c.lower() for c in src.columns} >= {"created_at", "updated_at", "is_deleted"} and pk:
+            from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import latest_per_key
+
+            live_src = latest_per_key(src, pk).filter(F.col("is_deleted") == "N").count()
+            tgt_df = target.read(table)
+            live_tgt = tgt_df.filter(F.col("is_deleted") == "N").count()
+        else:
+            live_src = src.count()
+            live_tgt = target.read(table).count()
+        status = "OK" if live_src == live_tgt else "MISMATCH"
+        if status != "OK":
+            mismatches += 1
+        print(f"validate: {table}: source_live={live_src} target_live={live_tgt} {status}")
+    print(f"validate: mismatches={mismatches}")
+    return 1 if mismatches else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -115,7 +176,13 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--state", required=True)
     p3.add_argument("--parallel", type=int, default=4)
     p3.add_argument("--tables", nargs="*", default=None)
+    p3.add_argument("--report", default=None, help="write a JSON run report to this path")
     p3.set_defaults(fn=cmd_replicate)
+
+    p4 = sub.add_parser("validate", help="reconcile live row counts source vs target")
+    p4.add_argument("--source", required=True)
+    p4.add_argument("--target", required=True)
+    p4.set_defaults(fn=cmd_validate)
 
     args = ap.parse_args(argv)
     try:
