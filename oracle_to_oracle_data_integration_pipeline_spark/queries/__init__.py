@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     catalog_queries,
+    format_queries,
     cdc_queries,
     io_queries,
     llm_queries,
@@ -31,6 +32,7 @@ _MODULES = [
     partition_queries,
     catalog_queries,
     io_queries,
+    format_queries,
     llm_queries,
     llm_queries2,
     streaming_queries,

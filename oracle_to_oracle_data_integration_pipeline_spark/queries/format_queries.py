@@ -1,0 +1,64 @@
+"""Multi-format source/sink round-trips (SURVEY.md §2.1 source
+breadth): JSON and CSV with explicit schemas (never inferSchema in a
+pipeline — inference is a full extra pass and nondeterministic under
+schema drift).
+
+Timestamps are ISO-formatted on write and parsed back with an explicit
+format so both engines agree on the wire representation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+
+
+def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+SQL_ROUNDTRIP = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+# -- qid: json_roundtrip ----------------------------------------------
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    df = _subset(spark, sf_dir)
+    df.write.mode("overwrite").json(out)
+    back = spark.read.schema(df.schema).json(out)
+    return back
+
+
+# -- qid: csv_roundtrip -----------------------------------------------
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    df = _subset(spark, sf_dir)
+    df.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(df.schema).option("header", True).csv(out)
+    return back
+
+
+QUERIES = {
+    "json_roundtrip": q_json_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
+}
+
+ORACLE_SQL = {
+    "json_roundtrip": SQL_ROUNDTRIP,
+    "csv_roundtrip": SQL_ROUNDTRIP,
+}
