@@ -111,7 +111,14 @@ class Catalog:
             if f.endswith(".parquet") and os.path.isfile(full):
                 entries[f[: -len(".parquet")]] = full
             elif os.path.isdir(full) and not f.startswith((".", "_")):
-                if any(p.endswith(".parquet") for p in os.listdir(full)):
+                children = os.listdir(full)
+                has_files = any(p.endswith(".parquet") for p in children)
+                # hive-partitioned layout: only key=value subdirs at the
+                # top level (e.g. orders/o_year=1997/part-*.parquet)
+                has_partitions = any(
+                    "=" in p and os.path.isdir(os.path.join(full, p)) for p in children
+                )
+                if has_files or has_partitions:
                     entries.setdefault(f, full)
         for name in sorted(entries):
             cat.register(

@@ -80,7 +80,10 @@ def cmd_replicate(args) -> int:
         WatermarkStore(spark, args.state),
         max_parallel_tables=args.parallel,
     )
-    report = pipe.run(tables=args.tables or None)
+    if args.tables is not None and len(args.tables) == 0:
+        print("replicate: error: --tables given with no table names", file=sys.stderr)
+        return 1
+    report = pipe.run(tables=args.tables)
     for r in report.results:
         line = f"replicate: {r.table}: {r.status}"
         if r.status == "replicated":

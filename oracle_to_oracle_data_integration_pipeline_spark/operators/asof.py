@@ -52,16 +52,22 @@ def asof_join(
     ``inner=False`` keeps left rows with no prior right row (NULLs).
     """
     right_cols = right_cols or [c for c in right.columns if c != on]
+    carried = [c for c in right_cols if c != ts]
     lhs = left.withColumn("__side__", F.lit(1))
+    # Pack the WHOLE right row into one struct and carry that: filling
+    # each column independently would tear rows apart when a carried
+    # column is NULL (last(ignorenulls) per column can mix values from
+    # different right rows — e.g. the newest row's ts with an older
+    # row's value). A NULL field inside a non-NULL struct is preserved.
     rhs = right.select(
         on,
         F.col(ts).alias(ts),
-        *[F.col(c).alias(f"__r_{c}__") for c in right_cols if c != ts],
+        F.struct(F.col(ts).alias(ts), *[F.col(c) for c in carried]).alias("__r__"),
     ).withColumn("__side__", F.lit(0))
 
-    carried = [f"__r_{c}__" for c in right_cols if c != ts]
-    rhs = rhs.withColumn(f"__r_{ts}__", F.col(ts))
-    unioned = lhs.unionByName(rhs.select(on, ts, "__side__", f"__r_{ts}__", *carried), allowMissingColumns=True)
+    unioned = lhs.unionByName(
+        rhs.select(on, ts, "__side__", "__r__"), allowMissingColumns=True
+    )
 
     # right rows sort before left rows at equal ts → <= match semantics
     w = (
@@ -69,15 +75,13 @@ def asof_join(
         .orderBy(F.col(ts), F.col("__side__"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in [f"__r_{ts}__", *carried]:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    filled = unioned.withColumn("__r__", F.last(F.col("__r__"), ignorenulls=True).over(w))
 
     out = filled.filter(F.col("__side__") == 1).drop("__side__")
-    renames = {f"__r_{ts}__": f"{ts}{suffix}"}
-    renames.update({f"__r_{c}__": f"{c}{suffix}" for c in right_cols if c != ts})
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
+    out = out.withColumn(f"{ts}{suffix}", F.col(f"__r__.{ts}"))
+    for c in carried:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__r__.{c}"))
+    out = out.drop("__r__")
     if inner:
         out = out.filter(F.col(f"{ts}{suffix}").isNotNull())
     return out

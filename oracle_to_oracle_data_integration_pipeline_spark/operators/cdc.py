@@ -51,7 +51,8 @@ def change_ts_col(created: str = CREATED, updated: str = UPDATED) -> Column:
     return F.greatest(F.coalesce(F.col(updated), F.col(created)), F.col(created))
 
 
-def delta_predicate(last_ts, created: str = CREATED, updated: str = UPDATED) -> Column | None:
+def delta_predicate(last_ts, created: str = CREATED, updated: str = UPDATED,
+                    inclusive: bool = False) -> Column | None:
     """Pushdown-safe incremental predicate.
 
     ``change_ts > last_ts`` is equivalent to
@@ -64,10 +65,22 @@ def delta_predicate(last_ts, created: str = CREATED, updated: str = UPDATED) -> 
 
     ``None`` (no watermark yet) means full load — first-run semantics
     per `/root/reference/scripts/03_cdc_etl.py:291-294`.
+
+    Boundary semantics: the default strict ``>`` matches the reference
+    exactly — which means a row that becomes VISIBLE late with
+    ``change_ts`` equal to the committed watermark is never re-read
+    (at-most-once at the boundary; the reference shares this hazard).
+    ``inclusive=True`` uses ``>=`` so equal-timestamp late arrivals
+    replay on the next run and the idempotent merge absorbs them —
+    at the cost of re-reading the boundary rows every run (and the
+    empty-delta short-circuit never firing while rows sit exactly at
+    the watermark).
     """
     if last_ts is None:
         return None
     ts = F.lit(last_ts)
+    if inclusive:
+        return (F.col(created) >= ts) | (F.col(updated) >= ts)
     return (F.col(created) > ts) | (F.col(updated) > ts)
 
 
@@ -122,11 +135,26 @@ class MergeResult:
     df: DataFrame
     _stats_df: DataFrame  # one-row frame: u / i / x counts
     pk: list[str]
+    _shared: DataFrame | None = None  # join subtree common to df and stats
 
     def stats(self) -> MergeStats:
         """One aggregate pass over the strategy's joined plan."""
         row = self._stats_df.collect()[0]
         return MergeStats(updated=row["u"] or 0, inserted=row["i"] or 0, dropped_deletes=row["x"] or 0)
+
+    def persist_shared(self) -> "MergeResult":
+        """Persist the join subtree that both ``df`` and ``stats()``
+        consume, so running stats + writing the output executes the
+        merge join ONCE instead of twice (at scale the join dominates;
+        callers that need both actions should wrap them in
+        persist_shared()/unpersist_shared())."""
+        if self._shared is not None:
+            self._shared.persist()
+        return self
+
+    def unpersist_shared(self) -> None:
+        if self._shared is not None:
+            self._shared.unpersist()
 
 
 def _merge_broadcast_delta(
@@ -152,7 +180,7 @@ def _merge_broadcast_delta(
         F.sum(F.when(~matched & (F.col(deleted_col) == "N"), 1).otherwise(0)).alias("i"),
         F.sum(F.when(~matched & (F.col(deleted_col) == "Y"), 1).otherwise(0)).alias("x"),
     )
-    return MergeResult(df=merged, _stats_df=stats_df, pk=pk)
+    return MergeResult(df=merged, _stats_df=stats_df, pk=pk, _shared=d_flagged)
 
 
 def merge_attribution(target: DataFrame, delta: DataFrame, pk: list[str],
@@ -263,4 +291,4 @@ def merge_soft_delete(
             F.when(d_present & ~t_present & (F.col(f"__d_{deleted_col}__") == "Y"), 1).otherwise(0)
         ).alias("x"),
     )
-    return MergeResult(df=resolved, _stats_df=stats_df, pk=pk)
+    return MergeResult(df=resolved, _stats_df=stats_df, pk=pk, _shared=joined)

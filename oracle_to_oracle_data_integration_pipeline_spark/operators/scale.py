@@ -39,6 +39,10 @@ def salted_join(
     broadcasts, making the salt moot; this operator is for the
     mid-size case where broadcast is too big but skew still bites).
     """
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
+        # exploding the small side x salt_buckets would emit each
+        # unmatched right row salt_buckets times under these join types
+        raise ValueError(f"salted_join does not support how={how!r}; use inner/left/semi/anti")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
     left = skewed.withColumn("__salt__", salt.cast("int"))
     right = small.withColumn(

@@ -55,8 +55,15 @@ class WatermarkStore:
 
     def get(self, table: str) -> datetime | None:
         """``get_last_watermark`` parity
-        (`/root/reference/scripts/03_cdc_etl.py:77-83`): None → full load."""
-        return self._read_all().get(table.upper())
+        (`/root/reference/scripts/03_cdc_etl.py:77-83`): None → full load.
+
+        Takes the store lock: an unlocked read can land in an upsert's
+        rename window (path briefly absent between the two renames) and
+        either fail or silently report "no watermark" → spurious full
+        reload. Same-process only; multi-driver deployments need
+        per-table state files."""
+        with self._lock:
+            return self._read_all().get(table.upper())
 
     def upsert(self, table: str, ts: datetime) -> None:
         """``upsert_watermark`` parity
@@ -80,4 +87,5 @@ class WatermarkStore:
             shutil.rmtree(old, ignore_errors=True)
 
     def all(self) -> dict[str, datetime]:
-        return self._read_all()
+        with self._lock:
+            return self._read_all()

@@ -146,17 +146,20 @@ class CdcPipeline:
         watermarks: WatermarkStore,
         max_parallel_tables: int = 4,
         merge_strategy: str = "auto",
+        broadcast_delta_max_rows: int = 1_000_000,
     ):
         self.spark = spark
         self.source = source
         self.target = target
         self.watermarks = watermarks
         self.max_parallel_tables = max_parallel_tables
-        # "auto": first run (no watermark) is a full load — the delta
-        # IS the table, so shuffle-merge; incremental runs have small
-        # deltas — broadcast_delta avoids shuffling the target at all
-        # (see operators/cdc.py merge_soft_delete docstring).
+        # "auto": broadcast_delta only when the delta is BOTH
+        # incremental (a watermark exists) AND actually small — the
+        # explicit broadcast hint overrides Spark's size safeguards, so
+        # a bulk backfill with a watermark present must still take the
+        # shuffle path (see operators/cdc.py merge_soft_delete).
         self.merge_strategy = merge_strategy
+        self.broadcast_delta_max_rows = broadcast_delta_max_rows
 
     # -- per-table replication (reference loop body,
     #    /root/reference/scripts/03_cdc_etl.py:259-351) ---------------
@@ -187,12 +190,20 @@ class CdcPipeline:
                 else:
                     tgt = src.limit(0)  # first run: empty clone target
                 if self.merge_strategy == "auto":
-                    strategy = "shuffle" if last_ts is None else "broadcast_delta"
+                    # count() is cheap here: delta is already cached
+                    small = last_ts is not None and delta.count() <= self.broadcast_delta_max_rows
+                    strategy = "broadcast_delta" if small else "shuffle"
                 else:
                     strategy = self.merge_strategy
                 merged = merge_soft_delete(tgt, delta_clean, pk, strategy=strategy)
-                stats = merged.stats()
-                self.target.overwrite(table, merged.df)
+                # persist the shared join subtree so the stats pass and
+                # the target write execute the merge join ONCE
+                merged.persist_shared()
+                try:
+                    stats = merged.stats()
+                    self.target.overwrite(table, merged.df)
+                finally:
+                    merged.unpersist_shared()
 
                 # Watermark advance only after a successful write
                 # (at-least-once protocol, 03_cdc_etl.py:324-334).

@@ -18,17 +18,21 @@ from pyspark.sql import functions as F
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load, tune
 
 
+_PART_DIR_CACHE: dict[tuple[int, str], str] = {}
+
+
 def partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write orders hive-partitioned by order year (cached per sf_dir
-    within a session via a temp-dir marker on the SparkSession)."""
-    key = f"__o2o_part_dir_{sf_dir}__"
-    holder = spark.sparkContext.getLocalProperty(key)
-    if holder:
-        return holder
+    """Write orders hive-partitioned by order year, once per
+    (session, sf_dir). A module-level dict — NOT SparkContext local
+    properties, which are thread-local and leak into scheduler job
+    properties."""
+    key = (id(spark), sf_dir)
+    if key in _PART_DIR_CACHE:
+        return _PART_DIR_CACHE[key]
     out = tempfile.mkdtemp(prefix="orders_by_year_")
     o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    spark.sparkContext.setLocalProperty(key, out)
+    _PART_DIR_CACHE[key] = out
     return out
 
 

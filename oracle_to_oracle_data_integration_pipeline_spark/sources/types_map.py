@@ -57,7 +57,7 @@ def db_number_to_spark(precision: int | None, scale: int | None) -> T.DataType:
         return T.DecimalType(38, 10)
     if (scale or 0) == 0:
         if precision <= 2:
-            return T.ByteType() if precision <= 2 else T.ShortType()
+            return T.ByteType()
         if precision <= 4:
             return T.ShortType()
         if precision <= 9:

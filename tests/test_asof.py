@@ -35,6 +35,20 @@ def test_asof_outer_keeps_unmatched(spark):
     assert len(rows) == 1 and rows[0]["ts_asof"] is None and rows[0]["value_asof"] is None
 
 
+def test_asof_null_columns_do_not_tear_rows(spark):
+    """A NULL in a carried right column must NOT pull a value from an
+    older right row — the whole matched right row is carried atomically
+    (regression: per-column last(ignorenulls) tore composite rows)."""
+    left = spark.createDataFrame([(1, 5, TS(2024, 1, 30))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(5, TS(2024, 1, 10), 7.0), (5, TS(2024, 1, 20), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    [row] = asof_join(left, right, on="user_id", ts="ts").collect()
+    assert row["ts_asof"] == TS(2024, 1, 20)
+    assert row["value_asof"] is None  # from the SAME (newest) right row
+
+
 def test_asof_latest_wins_among_many(spark):
     left = spark.createDataFrame([(1, 7, TS(2024, 1, 10))], "event_id long, user_id long, ts timestamp")
     right = spark.createDataFrame(
