@@ -157,6 +157,34 @@ class MergeResult:
             self._shared.unpersist()
 
 
+def _align_schemas(target: DataFrame, delta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution across runs (the reference handles DDL drift in
+    a separate schema-sync pass; in-engine the merge absorbs it):
+
+    - column added at the source → target gains it as NULL, existing
+      rows keep NULL until a delta updates them;
+    - column dropped at the source → delta gains it as NULL, so
+      matched rows lose the value (last-writer-wins applies to the
+      whole row) while the column survives in the schema.
+
+    Output column order: target columns, then new delta columns in
+    delta order.
+    """
+    t_cols = {c.lower(): c for c in target.columns}
+    d_cols = {c.lower(): c for c in delta.columns}
+    d_types = dict(zip([c.lower() for c in delta.columns], [f.dataType for f in delta.schema.fields]))
+    t_types = dict(zip([c.lower() for c in target.columns], [f.dataType for f in target.schema.fields]))
+    for lc, name in d_cols.items():
+        if lc not in t_cols:
+            target = target.withColumn(name, F.lit(None).cast(d_types[lc]))
+    for lc, name in t_cols.items():
+        if lc not in d_cols:
+            delta = delta.withColumn(name, F.lit(None).cast(t_types[lc]))
+    # delta projected into the (evolved) target column order
+    delta = delta.select(*target.columns)
+    return target, delta
+
+
 def _merge_broadcast_delta(
     target: DataFrame, delta: DataFrame, pk: list[str], deleted_col: str
 ) -> MergeResult:
@@ -259,6 +287,7 @@ def merge_soft_delete(
         raise ValueError(f"unknown merge strategy: {strategy}")
     if dedup_delta:
         delta = latest_per_key(delta, pk, created=created, updated=updated)
+    target, delta = _align_schemas(target, delta)
     if strategy == "broadcast_delta":
         return _merge_broadcast_delta(target, delta, pk, deleted_col)
 
