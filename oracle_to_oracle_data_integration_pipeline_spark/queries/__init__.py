@@ -18,6 +18,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational3,
     relational4,
     relational5,
+    relational6,
     partition_queries,
     streaming_queries,
 )
@@ -29,6 +30,7 @@ _MODULES = [
     relational3,
     relational4,
     relational5,
+    relational6,
     partition_queries,
     catalog_queries,
     io_queries,
