@@ -223,11 +223,42 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-# -- qid: cosine_topk_lsh (rows-only: Spark-side hyperplanes) ---------
+# -- qid: cosine_topk_lsh ---------------------------------------------
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4) -> str:
+    """DuckDB twin of ``lsh_bucket_col``: the hyperplanes are a
+    deterministic seeded LCG, so the exact same plane doubles are
+    inlined as SQL array literals (repr round-trips IEEE doubles; both
+    engines take the dot-product sign on DOUBLE[] arithmetic)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, p in enumerate(_hyperplanes(dim, n_planes)):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+SQL_COSINE_TOPK_LSH = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, {_lsh_bucket_sql()} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, ve AS qv, bucket AS qbucket FROM b WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM b),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c JOIN q ON bit_count(xor(bucket, qbucket)) <= 1 AND query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # -- qid: multimodal_meta (mapInPandas plumbing vs arithmetic oracle) -
@@ -271,8 +302,9 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "cosine_topk_lsh": SQL_COSINE_TOPK_LSH,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_meta": SQL_MULTIMODAL,
-    # simhash_neardup, cosine_topk_lsh: rows-only (engine-hash / plane
-    # literals are Spark-side constructs with no SQL twin)
+    # simhash_neardup: rows-only (xxhash64 token hashing has no
+    # DuckDB twin)
 }
