@@ -157,3 +157,74 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    cells by nearest centroid, probe only the query's ``nprobe``
+    closest cells.
+
+    ``centroids`` is any small (cid, cvec) table — in production the
+    output of an offline k-means fit. When omitted, the first
+    ``n_cells`` corpus vectors (lowest ids) seed the cells, which keeps
+    the operator deterministic and oracle-checkable without an
+    iterative fit in the plan.
+
+    Scale shape: cell assignment is a broadcast of C centroids against
+    the corpus — |N|·C dot products map-side, no shuffle of the big
+    side; the probe join shuffles only by cell id, and each query
+    scores ~nprobe/C of the corpus. Recall/cost is tuned by
+    (n_cells, nprobe) exactly as FAISS IVF's (nlist, nprobe).
+
+    Output: query_id, neighbor_id, cosine (rounded 6), rank.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    cent = F.broadcast(centroids)
+
+    def assign(df: DataFrame, idc: str, out_id: str, out_vec: str, keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
+            .join(cent)
+            .select(
+                out_id,
+                out_vec,
+                "cid",
+                cosine_col(F.col(out_vec), F.col("cvec")).alias("c_cos"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("c_cos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .select(out_id, out_vec, "cid")
+        )
+
+    cells = assign(embeddings, id_col, "neighbor_id", "cvec2", 1)
+    probes = assign(queries, id_col, "query_id", "qvec", nprobe)
+    scored = (
+        cells.join(probes, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("cvec2")), 6).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import ngram_jaccard_pairs
-from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import cosine_topk_bruteforce
+from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
 from oracle_to_oracle_data_integration_pipeline_spark.operators.text import tokens_col
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
 
@@ -240,6 +243,42 @@ FROM (
 """
 
 
+# -- qid: ivf_topk (inverted-file ANN: probe nearest cells only) ------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF complement to cosine_topk_lsh: cell partitioning by nearest
+    centroid instead of hyperplane sign bits (operators/similarity.py
+    ``ivf_topk`` docstring for the 100 TB cost shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=2)
+
+
+_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+
+SQL_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 8),
+acell AS (
+  SELECT v.vec_id, v.ve, cent.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_COS.format(a='v.ve', b='cent.cv')} DESC, cent.cid) AS crank
+  FROM v, cent
+),
+cells  AS (SELECT vec_id AS neighbor_id, ve AS cv2, cid FROM acell WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, ve AS qv, cid FROM acell WHERE vec_id < 10 AND crank <= 2),
+scored AS (
+  SELECT query_id, neighbor_id, max(round({_COS.format(a='qv', b='cv2')}, 6)) AS cosine
+  FROM cells JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "ann_label_agreement": q_ann_label_agreement,
@@ -247,6 +286,7 @@ QUERIES = {
     "tfidf_top_term": q_tfidf_top_term,
     "events_funnel": q_events_funnel,
     "sessionize": q_sessionize,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLE_SQL = {
@@ -256,4 +296,5 @@ ORACLE_SQL = {
     "tfidf_top_term": SQL_TFIDF_TOP_TERM,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "sessionize": SQL_SESSIONIZE,
+    "ivf_topk": SQL_IVF_TOPK,
 }

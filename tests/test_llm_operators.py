@@ -16,6 +16,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
 )
 from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import decode_media
 from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+    ivf_topk,
     cosine_topk_bruteforce,
     lsh_topk,
 )
@@ -103,3 +104,21 @@ def test_decode_media_stub_gated():
         decode_media(b"bytes", fake=False)
     meta = decode_media(b"x" * 100, fake=True)
     assert meta == {"n_bytes": 100, "width": 100 % 64 + 1, "height": 100 % 37 + 1, "fmt": "fake"}
+
+
+def test_ivf_topk_probes_cells(spark, sf_dir):
+    """IVF top-k: every query produces ranked candidates, ranks are
+    contiguous from 1, and top-1 agreement with brute force is the
+    recall signal (2 of 8 cells probed)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(e, q, k=1).collect()}
+    approx = ivf_topk(e, q, k=5, n_cells=8, nprobe=2).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(10))
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(brute & approx_pairs) >= 3
