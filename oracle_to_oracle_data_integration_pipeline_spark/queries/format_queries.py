@@ -53,12 +53,27 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+# -- qid: orc_roundtrip -----------------------------------------------
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip. Unlike the text formats, ORC carries
+    its own typed schema and min/max stripe statistics, so the read
+    back gets predicate pushdown and column pruning like parquet."""
+    tune(spark)
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    df = _subset(spark, sf_dir)
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 QUERIES = {
     "json_roundtrip": q_json_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 ORACLE_SQL = {
     "json_roundtrip": SQL_ROUNDTRIP,
     "csv_roundtrip": SQL_ROUNDTRIP,
+    "orc_roundtrip": SQL_ROUNDTRIP,
 }

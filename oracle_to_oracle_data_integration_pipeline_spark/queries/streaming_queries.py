@@ -113,14 +113,84 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# -- qid: stream_join (stream-stream interval join) -------------------
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases
+    joined to the signup of the same user within the following 2 hours.
+    Both sides carry watermarks so the join state store can evict rows
+    once the interval can no longer match — the mechanism that keeps
+    state bounded on an unbounded stream (at 100 TB/day the state held
+    is only the 2-hour tail per side, not the stream's history).
+
+    Runs as a REAL streaming query (two readStream sources, append
+    mode) drained with availableNow; the oracle is the equivalent batch
+    interval join.
+    """
+    tune(spark)
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_sjoin_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema  # bigint ts (nanos)
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        )
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(F.col("s_user").alias("user_id"), "s_ts", "p_ts", "value")
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAM_JOIN = """
+SELECT a.user_id, a.ts AS s_ts, b.ts AS p_ts, b.value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
 QUERIES = {
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
     "stream_session": q_stream_session,
+    "stream_join": q_stream_join,
 }
 
 ORACLE_SQL = {
     "stream_tumbling": SQL_TUMBLING,
     "stream_sliding": SQL_SLIDING,
     "stream_session": SQL_SESSION,
+    "stream_join": SQL_STREAM_JOIN,
 }
