@@ -79,3 +79,26 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     p = plan_str(spark, sf_dir, "multimodal_meta")
     assert "MapInPandas" in p  # Arrow path, not row-at-a-time PythonUDF
     assert "BatchEvalPython" not in p
+
+
+def test_q9_star_all_broadcast(spark, sf_dir):
+    """The 5-table profit star: every dimension join is broadcast at
+    fixture stats (the explicit hints on part/supplier/nation hold at
+    any scale; orders only broadcasts while small — AQE's call)."""
+    p = plan_str(spark, sf_dir, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_ivf_topk_broadcasts_centroids(spark, sf_dir):
+    """Cell assignment must broadcast the centroid table — the corpus
+    side of the assignment never shuffles."""
+    p = plan_str(spark, sf_dir, "ivf_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q17_decorrelated_no_cartesian(spark, sf_dir):
+    """The correlated small-quantity subquery decorrelates into keyed
+    joins — no cartesian product may appear."""
+    p = plan_str(spark, sf_dir, "q17_small_quantity")
+    assert "CartesianProduct" not in p

@@ -21,6 +21,8 @@ SHOW = [
     ("scan_full", "PushedFilters + ReadSchema pruning at the parquet reader"),
     ("partitioned_scan", "PartitionFilters prune year directories before any file is opened"),
     ("minhash_dedup", "LSH banding + candidate-restricted verification (no all-pairs join)"),
+    ("q9_product_profit", "5-table star join: dims broadcast, fact side never shuffles pre-agg"),
+    ("ivf_topk", "ANN cell assignment: centroids broadcast against the corpus, probe join keyed by cell"),
 ]
 
 
