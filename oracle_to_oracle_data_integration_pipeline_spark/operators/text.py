@@ -46,6 +46,21 @@ def shingles_col(text: str = "text", n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the subset both
+# Java regex (Spark) and RE2 (DuckDB) interpret identically: no
+# lookarounds, ASCII classes. Groups: contraction suffixes, space+word,
+# space+number, space+punctuation-run, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def subword_count_col(text: str = "text") -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches on the
+    lower-cased text. A real BPE vocab then splits each match into
+    learned merges; match count is the standard cheap proxy for token
+    budget in corpus curation (pure JVM regexp_count — no UDF)."""
+    return F.regexp_count(F.lower(F.col(text)), F.lit(BPE_ISH_PATTERN))
+
+
 def token_count_col(text: str = "text") -> Column:
     return F.size(tokens_col(text))
 

@@ -25,7 +25,11 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity impor
     cosine_topk_bruteforce,
     ivf_topk,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.operators.text import tokens_col
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+    subword_count_col,
+    token_count_col,
+    tokens_col,
+)
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
 
 
@@ -279,6 +283,32 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# -- qid: token_count_bpe (whitespace vs BPE-ish budget) --------------
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation per document: whitespace tokens next to
+    BPE-ish pre-tokenizer matches (operators/text.BPE_ISH_PATTERN).
+    Pure JVM regex — at 100 TB this is a map-only pass, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").alias("n_ws_tokens"),
+        subword_count_col("text").alias("n_bpe_tokens"),
+    )
+
+
+# The SQL twin doubles the embedded single quotes of the contraction
+# alternation; otherwise the pattern is byte-identical to
+# BPE_ISH_PATTERN (RE2 and Java regex agree on this subset).
+SQL_TOKEN_COUNT_BPE = (
+    "SELECT doc_id,\n"
+    "       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,\n"
+    "       CAST(len(regexp_extract_all(lower(text), "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+')) AS INT) AS n_bpe_tokens\n"
+    "FROM documents"
+)
+
+
 QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "ann_label_agreement": q_ann_label_agreement,
@@ -287,6 +317,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "sessionize": q_sessionize,
     "ivf_topk": q_ivf_topk,
+    "token_count_bpe": q_token_count_bpe,
 }
 
 ORACLE_SQL = {
@@ -297,4 +328,5 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "sessionize": SQL_SESSIONIZE,
     "ivf_topk": SQL_IVF_TOPK,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
 }
