@@ -113,14 +113,51 @@ FROM orders WHERE o_orderkey % 37 = 0
 """
 
 
+# -- qid: salted_join (skew-proof equi-join, same result set) ---------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order status through the salted join operator
+    (operators/scale.salted_join): the skewed fact side spreads each
+    hot key over 8 (key, salt) reducers; the small side explodes ×8.
+    Semantics are byte-identical to the plain join — which is exactly
+    what the oracle checks.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, key="l_orderkey", salt_buckets=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "partitioned_scan": q_partitioned_scan,
     "join_outer": q_join_outer,
     "window_range_frame": q_window_range_frame,
+    "salted_join": q_salted_join,
 }
 
 ORACLE_SQL = {
     "partitioned_scan": SQL_PARTITIONED_SCAN,
     "join_outer": SQL_JOIN_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
+    "salted_join": SQL_SALTED_JOIN,
 }
