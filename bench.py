@@ -36,10 +36,15 @@ HEADLINE = [
     "agg_rollup",
     "minhash_dedup",
     "cosine_topk",
+    "ivf_topk",
     "text_stats",
+    "token_count_bpe",
     "doc_fingerprint",
     "json_extract",
     "stream_tumbling",
+    "q9_product_profit",
+    "q18_large_orders",
+    "salted_join",
 ]
 
 

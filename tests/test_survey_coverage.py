@@ -41,5 +41,6 @@ def test_oracles_subset_of_queries():
 
 def test_rows_only_set_is_documented():
     rows_only = set(q.all_queries()) - set(q.all_oracle_sql())
-    # hash-function/plane-literal constructs with no SQL twin (llm_queries.py)
-    assert rows_only == {"simhash_neardup", "cosine_topk_lsh"}, rows_only
+    # xxhash64 token hashing has no DuckDB twin (llm_queries.py);
+    # cosine_topk_lsh gained an oracle by inlining the plane literals
+    assert rows_only == {"simhash_neardup"}, rows_only
