@@ -17,6 +17,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def partition_options(
+    fq_table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+    predicate_sql: str | None = None,
+) -> dict[str, str]:
+    """Reader options for a stride-partitioned JDBC scan (pure —
+    unit-testable without a database). When a predicate is supplied it
+    is pushed into the remote subquery, composing with the stride
+    WHERE clauses Spark appends per partition."""
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    dbtable = (
+        f"(SELECT * FROM {fq_table} WHERE {predicate_sql}) spark_pushdown"
+        if predicate_sql
+        else fq_table
+    )
+    return {
+        "dbtable": dbtable,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+    }
+
+
 class JdbcSource:
     def __init__(
         self,
@@ -38,6 +66,35 @@ class JdbcSource:
     def load(self, table: str) -> DataFrame:
         return self.spark.read.format("jdbc").options(
             url=self.url, dbtable=self._fq(table), **self.properties
+        ).load()
+
+    def load_partitioned(
+        self,
+        table: str,
+        partition_column: str,
+        lower_bound,
+        upper_bound,
+        num_partitions: int = 32,
+        predicate_sql: str | None = None,
+    ) -> DataFrame:
+        """Parallel JDBC scan: ``num_partitions`` executors each read
+        one stride of ``partition_column``'s [lower, upper] range
+        concurrently. This is the scale path the reference's
+        single-stream read lacks — a 100 TB source table reads at
+        aggregate cluster bandwidth instead of one connection's.
+
+        The column should be indexed and roughly uniform (a surrogate
+        key or epoch timestamp); a skewed column concentrates stride
+        work exactly like a skewed shuffle key. Bounds only shape the
+        strides — rows outside still arrive (Spark adds open-ended
+        edge strides), so correctness never depends on them.
+        """
+        opts = partition_options(
+            self._fq(table), partition_column, lower_bound, upper_bound,
+            num_partitions, predicate_sql,
+        )
+        return self.spark.read.format("jdbc").options(
+            url=self.url, **opts, **self.properties
         ).load()
 
     def load_where(self, table: str, predicate: Column | None, predicate_sql: str | None = None) -> DataFrame:

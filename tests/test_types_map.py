@@ -38,3 +38,32 @@ def test_db_number_inference():
     assert isinstance(db_number_to_spark(4, 0), T.ShortType)
     assert db_number_to_spark(12, 2) == T.DecimalType(12, 2)
     assert db_number_to_spark(None, None) == T.DecimalType(38, 10)
+
+
+def test_jdbc_partition_options_strides():
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.jdbc import partition_options
+
+    opts = partition_options("SRC.ORDERS", "O_ORDERKEY", 1, 1_000_000, 32)
+    assert opts["dbtable"] == "SRC.ORDERS"
+    assert opts["partitionColumn"] == "O_ORDERKEY"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("1", "1000000", "32")
+
+
+def test_jdbc_partition_options_pushdown_subquery():
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.jdbc import partition_options
+
+    opts = partition_options(
+        "SRC.ORDERS", "O_ORDERKEY", 1, 100, 4,
+        predicate_sql="UPDATED_AT > TIMESTAMP '2024-01-01 00:00:00' OR CREATED_AT > TIMESTAMP '2024-01-01 00:00:00'",
+    )
+    assert opts["dbtable"].startswith("(SELECT * FROM SRC.ORDERS WHERE UPDATED_AT")
+    assert opts["dbtable"].endswith(") spark_pushdown")
+
+
+def test_jdbc_partition_options_rejects_bad_count():
+    import pytest as _pytest
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.jdbc import partition_options
+
+    with _pytest.raises(ValueError):
+        partition_options("T", "id", 0, 1, 0)
