@@ -190,8 +190,13 @@ def ivf_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        # genuinely the n_cells lowest ids — an id-range filter would
+        # silently yield fewer (or zero) centroids on sparse or
+        # non-zero-based id spaces
+        centroids = (
+            embeddings.orderBy(F.col(id_col))
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
     cent = F.broadcast(centroids)
 
@@ -215,6 +220,10 @@ def ivf_topk(
 
     cells = assign(embeddings, id_col, "neighbor_id", "cvec2", 1)
     probes = assign(queries, id_col, "query_id", "qvec", nprobe)
+    # no pair dedup needed: each neighbor lives in exactly ONE cell
+    # (row_number keep=1) and a probe's cids are distinct, so a
+    # (query, neighbor) pair joins at most once — an agg here would be
+    # a pure extra exchange
     scored = (
         cells.join(probes, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -223,8 +232,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine_col(F.col("qvec"), F.col("cvec2")), 6).alias("cosine"),
         )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -49,8 +49,11 @@ def shingles_col(text: str = "text", n: int = 3) -> Column:
 # GPT-2-style pre-tokenizer pattern, simplified to the subset both
 # Java regex (Spark) and RE2 (DuckDB) interpret identically: no
 # lookarounds, ASCII classes. Groups: contraction suffixes, space+word,
-# space+number, space+punctuation-run, whitespace runs.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+# space+number, space+punctuation-run, whitespace runs. Whitespace is
+# an EXPLICIT class, not \s — Java's \s includes \x0B, RE2's does not,
+# and that one byte would silently flip counts between the engines.
+_WS = " \\t\\n\\r\\x0b\\x0c"
+BPE_ISH_PATTERN = rf"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS}']+|[{_WS}]+"
 
 
 def subword_count_col(text: str = "text") -> Column:

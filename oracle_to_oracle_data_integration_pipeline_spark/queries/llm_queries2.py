@@ -271,10 +271,9 @@ acell AS (
 cells  AS (SELECT vec_id AS neighbor_id, ve AS cv2, cid FROM acell WHERE crank = 1),
 probes AS (SELECT vec_id AS query_id, ve AS qv, cid FROM acell WHERE vec_id < 10 AND crank <= 2),
 scored AS (
-  SELECT query_id, neighbor_id, max(round({_COS.format(a='qv', b='cv2')}, 6)) AS cosine
+  SELECT query_id, neighbor_id, round({_COS.format(a='qv', b='cv2')}, 6) AS cosine
   FROM cells JOIN probes USING (cid)
   WHERE query_id <> neighbor_id
-  GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -297,14 +296,17 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The SQL twin doubles the embedded single quotes of the contraction
-# alternation; otherwise the pattern is byte-identical to
-# BPE_ISH_PATTERN (RE2 and Java regex agree on this subset).
+# The SQL twin is DERIVED from BPE_ISH_PATTERN (single quotes doubled
+# for the SQL literal) so the two engines are guaranteed byte-identical
+# pattern text; DuckDB default strings treat backslash literally, which
+# is exactly what RE2 should see.
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import BPE_ISH_PATTERN as _BPE
+
 SQL_TOKEN_COUNT_BPE = (
     "SELECT doc_id,\n"
     "       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,\n"
     "       CAST(len(regexp_extract_all(lower(text), "
-    "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+')) AS INT) AS n_bpe_tokens\n"
+    f"'{_BPE.replace(chr(39), chr(39) * 2)}')) AS INT) AS n_bpe_tokens\n"
     "FROM documents"
 )
 

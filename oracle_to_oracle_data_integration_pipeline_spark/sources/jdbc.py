@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def pushdown_subquery(fq_table: str, predicate_sql: str) -> str:
+    """The one place the remote-filter subquery shape lives (alias
+    without AS for Oracle compatibility)."""
+    return f"(SELECT * FROM {fq_table} WHERE {predicate_sql}) spark_pushdown"
+
+
 def partition_options(
     fq_table: str,
     partition_column: str,
@@ -31,11 +37,7 @@ def partition_options(
     WHERE clauses Spark appends per partition."""
     if num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
-    dbtable = (
-        f"(SELECT * FROM {fq_table} WHERE {predicate_sql}) spark_pushdown"
-        if predicate_sql
-        else fq_table
-    )
+    dbtable = pushdown_subquery(fq_table, predicate_sql) if predicate_sql else fq_table
     return {
         "dbtable": dbtable,
         "partitionColumn": partition_column,
@@ -102,7 +104,7 @@ class JdbcSource:
         otherwise rely on Spark's JDBC pushdown of the Column filter
         (works for base-column comparisons only)."""
         if predicate_sql:
-            sub = f"(SELECT * FROM {self._fq(table)} WHERE {predicate_sql}) spark_pushdown"
+            sub = pushdown_subquery(self._fq(table), predicate_sql)
             df = self.spark.read.format("jdbc").options(
                 url=self.url, dbtable=sub, **self.properties
             ).load()

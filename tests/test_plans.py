@@ -82,12 +82,12 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
 
 
 def test_q9_star_all_broadcast(spark, sf_dir):
-    """The 5-table profit star: every dimension join is broadcast at
-    fixture stats (the explicit hints on part/supplier/nation hold at
-    any scale; orders only broadcasts while small — AQE's call)."""
+    """The 5-table profit star: the three hinted dimension joins
+    (part/supplier/nation) must broadcast at any SF. The orders join is
+    deliberately unhinted — AQE picks broadcast at small stats and
+    sort-merge at scale, both correct — so no SMJ assertion here."""
     p = plan_str(spark, sf_dir, "q9_product_profit")
     assert p.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in p
 
 
 def test_ivf_topk_broadcasts_centroids(spark, sf_dir):
