@@ -40,3 +40,79 @@ class ParquetSink:
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         df.write.mode(mode).parquet(os.path.join(self.root, table))
+
+    def write_sized(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        target_files: int | None = None,
+        max_records_per_file: int | None = None,
+        partition_by: list[str] | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> None:
+        """Size-aware write — the knobs that keep a 100 TB table from
+        degenerating into millions of tiny files (every incremental
+        run appending shuffle-partition-count files) or a few
+        unsplittable giants:
+
+        - ``target_files``: explicit output file count via repartition
+          (hash on the partition columns so each directory gets whole
+          files, round-robin otherwise);
+        - ``max_records_per_file``: row cap per file, Spark splits
+          oversized tasks at write time;
+        - ``partition_by``: hive-style directory partitioning (enables
+          partition pruning on read — see `partitioned_scan` qid);
+        - ``sort_within_by``: per-file ordering so parquet min/max
+          row-group stats become selective for range predicates.
+        """
+        out = df
+        if target_files:
+            out = (
+                out.repartition(target_files, *[out[c] for c in partition_by])
+                if partition_by
+                else out.repartition(target_files)
+            )
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
+        writer = out.write.mode(mode)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, table))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int,
+        sort_within_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite a table directory to ``target_files`` right-sized
+        files (the maintenance job every append-heavy pipeline needs).
+        Writes to a sibling temp dir, then atomically swaps via rename
+        — readers never observe a half-compacted table. Returns the
+        file count before compaction.
+        """
+        path = os.path.join(self.root, table)
+        before = [
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        df = spark.read.parquet(path).repartition(target_files)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        tmp = path + "__compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = path + "__compact_old"
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except Exception:
+            os.rename(old, path)  # roll back: the original stays live
+            raise
+        import shutil
+
+        shutil.rmtree(old)
+        return len(before)

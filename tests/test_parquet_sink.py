@@ -1,0 +1,55 @@
+"""Sized writes + compaction: file-count shaping, partition dirs,
+atomic swap, content preservation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.sources.parquet import ParquetSink
+
+
+def _files(path):
+    return [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith((".", "_"))]
+
+
+def test_write_sized_controls_file_count(spark, tmp_path):
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    sink = ParquetSink(str(tmp_path))
+    sink.write_sized(df, "t", mode="overwrite", target_files=4)
+    assert len(_files(str(tmp_path / "t"))) == 4
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 10_000
+
+
+def test_write_sized_partition_dirs(spark, tmp_path):
+    df = spark.range(1_000).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    sink = ParquetSink(str(tmp_path))
+    sink.write_sized(df, "p", mode="overwrite", target_files=3, partition_by=["bucket"])
+    dirs = sorted(d for d in os.listdir(tmp_path / "p") if d.startswith("bucket="))
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2"]
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert back.count() == 1_000
+
+
+def test_write_sized_max_records_splits_files(spark, tmp_path):
+    df = spark.range(10_000).coalesce(1)
+    sink = ParquetSink(str(tmp_path))
+    sink.write_sized(df, "m", mode="overwrite", max_records_per_file=2_500)
+    assert len(_files(str(tmp_path / "m"))) >= 4
+
+
+def test_compact_swaps_atomically_and_preserves_rows(spark, tmp_path):
+    df = spark.range(5_000).withColumn("v", F.col("id") % 7)
+    sink = ParquetSink(str(tmp_path))
+    # fragment: 16 small files
+    df.repartition(16).write.mode("overwrite").parquet(str(tmp_path / "c"))
+    assert len(_files(str(tmp_path / "c"))) == 16
+    before = sink.compact(spark, "c", target_files=2, sort_within_by=["id"])
+    assert before == 16
+    assert len(_files(str(tmp_path / "c"))) == 2
+    back = spark.read.parquet(str(tmp_path / "c"))
+    assert back.count() == 5_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(5_000))
+    assert not os.path.exists(str(tmp_path / "c__compact_tmp"))
+    assert not os.path.exists(str(tmp_path / "c__compact_old"))
