@@ -159,6 +159,26 @@ def cmd_validate(args) -> int:
     return 1 if mismatches else 0
 
 
+def cmd_compact(args) -> int:
+    """Maintenance compaction: rewrite fragmented target tables to
+    right-sized files (append-heavy CDC runs accumulate one file set
+    per run; readers slow down long before data size is the problem)."""
+    import os
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.parquet import ParquetSink
+
+    spark = get_spark(app_name="o2o_compact")
+    sink = ParquetSink(args.target)
+    tables = args.tables or sorted(
+        d for d in os.listdir(args.target)
+        if os.path.isdir(os.path.join(args.target, d)) and not d.startswith((".", "_"))
+    )
+    for table in tables:
+        before = sink.compact(spark, table, target_files=args.files)
+        print(f"compact: {table}: {before} -> {args.files} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="o2o-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -186,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     p4.add_argument("--source", required=True)
     p4.add_argument("--target", required=True)
     p4.set_defaults(fn=cmd_validate)
+
+    p5 = sub.add_parser("compact", help="rewrite fragmented target tables to N files")
+    p5.add_argument("--target", required=True)
+    p5.add_argument("--files", type=int, default=8)
+    p5.add_argument("--tables", nargs="*", default=None)
+    p5.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
     try:
