@@ -96,6 +96,18 @@ class ParquetSink:
         file count before compaction.
         """
         path = os.path.join(self.root, table)
+        part_dirs = [
+            d for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        ]
+        if part_dirs:
+            # a flat rewrite would silently DROP the hive partitioning
+            # (and with it partition pruning on every future read)
+            raise ValueError(
+                f"{table} is hive-partitioned ({part_dirs[0]}, ...); "
+                "compact per partition or rewrite with "
+                "write_sized(partition_by=...) instead"
+            )
         before = [
             f for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith((".", "_"))

@@ -53,3 +53,13 @@ def test_compact_swaps_atomically_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(5_000))
     assert not os.path.exists(str(tmp_path / "c__compact_tmp"))
     assert not os.path.exists(str(tmp_path / "c__compact_old"))
+
+
+def test_compact_refuses_partitioned_table(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    df.write.partitionBy("bucket").parquet(str(tmp_path / "pp"))
+    sink = ParquetSink(str(tmp_path))
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        sink.compact(spark, "pp", target_files=1)
