@@ -25,8 +25,10 @@ def tokens_col(text: str = "text") -> Column:
     return F.split(F.col(text), " ")
 
 
-def shingles_col(text: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column.
+def shingles_col(text: str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array column — distinct (set
+    semantics, for Jaccard/MinHash) or raw in document order
+    (``distinct=False``, for repetition-rate quality filters).
 
     Built with sequence+transform over the token array (1-indexed
     element_at, matching SQL list semantics) — no explode needed until
@@ -43,7 +45,7 @@ def shingles_col(text: str = "text", n: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(gram) if distinct else gram
 
 
 # GPT-2-style pre-tokenizer pattern, simplified to the subset both
@@ -147,3 +149,29 @@ def fingerprint(df: DataFrame, text: str = "text", modulus: int = 1_000_000_007)
     vals = F.transform(toks, lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("long"))
     fp = F.aggregate(vals, F.lit(0).cast("long"), lambda acc, v: F.pmod(acc * 31 + v, F.lit(modulus)))
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+# Redaction patterns restricted to the Java-regex/RE2-common subset
+# (no lookarounds, explicit classes) so the DuckDB oracle can run the
+# byte-identical pattern text.
+PII_EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def redact_pii_col(text: str = "text") -> Column:
+    """Corpus-curation redaction: emails then phone-like digit runs
+    replaced with typed placeholder tags. Pure JVM regexp_replace —
+    map-only at scale, composes with any downstream text operator."""
+    emailless = F.regexp_replace(F.col(text), PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(emailless, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def repetition_fraction_col(text: str = "text", n: int = 3) -> Column:
+    """Gopher-style repetition rate: 1 - distinct(n-grams)/count(n-grams).
+    0.0 for fully novel text, → 1.0 for a document repeating one
+    phrase; documents above a threshold are boilerplate/spam. Empty
+    shingle lists (short docs) score 0.0."""
+    raw = shingles_col(text, n, distinct=False)
+    return F.when(F.size(raw) > 0,
+                  1.0 - F.size(F.array_distinct(raw)).cast("double") / F.size(raw)
+                  ).otherwise(F.lit(0.0))

@@ -282,6 +282,106 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# -- qid: pii_scrub (redaction over synthesized PII) ------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction. The fixture text is PII-free, so each row
+    is first augmented with a deterministic synthetic email+phone built
+    from doc_id (same construction in the oracle) — every row then
+    exercises both patterns for real; the compare is on the full
+    redacted string."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        PII_EMAIL_PATTERN,
+        redact_pii_col,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    a = d.select("doc_id", aug.alias("text"))
+    return a.select(
+        "doc_id",
+        redact_pii_col("text").alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_PATTERN)).alias("n_emails"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    email = PII_EMAIL_PATTERN.replace("'", "''")
+    phone = PII_PHONE_PATTERN.replace("'", "''")
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark's replaces all — 'g' restores equivalence.
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                      '{phone}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_emails
+FROM aug
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+# -- qid: repetition_filter (Gopher-style boilerplate detection) ------
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document; rows above 0.2 are
+    boilerplate candidates. Fixture docs are mostly novel text, so
+    every 7th doc is deterministically doubled (text || ' ' || text)
+    in both engines to plant genuine repetition."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import repetition_fraction_col
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    a = d.select("doc_id", aug.alias("text"))
+    return (
+        a.select("doc_id", F.round(repetition_fraction_col("text", 3), 6).alias("dup3_frac"))
+        .filter(F.col("dup3_frac") > 0.2)
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS raw
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM aug) t
+  WHERE len(ts) >= 3
+)
+SELECT doc_id,
+       round(1.0 - CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw), 6) AS dup3_frac
+FROM grams
+WHERE 1.0 - CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) > 0.2
+ORDER BY doc_id
+"""
+
+
 # -- qid: token_count_bpe (whitespace vs BPE-ish budget) --------------
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +420,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "ivf_topk": q_ivf_topk,
     "token_count_bpe": q_token_count_bpe,
+    "pii_scrub": q_pii_scrub,
+    "repetition_filter": q_repetition_filter,
 }
 
 ORACLE_SQL = {
@@ -331,4 +433,6 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "ivf_topk": SQL_IVF_TOPK,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition_filter": SQL_REPETITION_FILTER,
 }
