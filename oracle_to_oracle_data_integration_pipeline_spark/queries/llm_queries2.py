@@ -382,6 +382,85 @@ ORDER BY doc_id
 """
 
 
+# -- qid: curation_pipeline (end-to-end corpus curation composite) ----
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain in one plan: PII scrub →
+    quality gate (length + lexical diversity) → exact dedup (keep
+    lowest doc_id per distinct text) → per-language corpus summary
+    with BPE token budget.
+
+    Scale shape: scrub/gate/token-count are map-only; dedup is one
+    shuffle keyed by the text hash; the summary reuses map-side
+    partial aggregation. One wide stage total.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        distinct_token_count_col,
+        redact_pii_col,
+        token_count_col,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = token_count_col("text")
+    diversity = distinct_token_count_col("text").cast("double") / n_tok
+    gated = (
+        d.select("doc_id", "lang", redact_pii_col("text").alias("text"))
+        .withColumn("n_tok", n_tok)
+        .filter((F.col("n_tok") >= 5) & (F.col("n_tok") <= 400) & (diversity > 0.5))
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(subword_count_col("text").cast("long")).alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    email = PII_EMAIL_PATTERN.replace("'", "''")
+    phone = PII_PHONE_PATTERN.replace("'", "''")
+    bpe = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                        '{phone}', '<PHONE>', 'g') AS text
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tok
+  FROM scrubbed
+  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 400
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.5
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gated
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CAST(len(regexp_extract_all(lower(text), '{bpe}')) AS BIGINT)) AS total_bpe_tokens
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
 # -- qid: token_count_bpe (whitespace vs BPE-ish budget) --------------
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +501,7 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "pii_scrub": q_pii_scrub,
     "repetition_filter": q_repetition_filter,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -435,4 +515,5 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_filter": SQL_REPETITION_FILTER,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }
