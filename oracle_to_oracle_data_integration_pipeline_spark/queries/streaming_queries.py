@@ -181,11 +181,63 @@ FROM events a JOIN events b
 """
 
 
+# -- qid: stream_dedup (exactly-once under duplicate delivery) --------
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the event stream is unioned with itself (every
+    event delivered twice — the at-least-once redelivery case the
+    reference absorbs via staging MERGE idempotency), then
+    dropDuplicates on the event id restores exactly-once before a
+    per-type aggregation. The oracle is the single-delivery batch
+    count: if dedup leaked, every count would double.
+
+    State note: keyed dedup state lives in the state store; with
+    unbounded streams pair it with withWatermark so old keys evict —
+    the bounded availableNow drain here holds state for one run only.
+    """
+    tune(spark)
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        )
+
+    doubled = src().union(src())
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
     "stream_session": q_stream_session,
     "stream_join": q_stream_join,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE_SQL = {
@@ -193,4 +245,5 @@ ORACLE_SQL = {
     "stream_sliding": SQL_SLIDING,
     "stream_session": SQL_SESSION,
     "stream_join": SQL_STREAM_JOIN,
+    "stream_dedup": SQL_STREAM_DEDUP,
 }
