@@ -32,7 +32,12 @@ def test_every_oracle_has_query():
 
 
 def test_rows_only_queries_run(spark, sf_dir):
-    """Queries without an oracle still must execute and be stable."""
+    """Queries without an oracle still must execute and be
+    deterministic: two independent plan executions must agree row for
+    row (sorted collect compare — the closest local analog of the
+    driver's value hash)."""
     for qid in sorted(set(QUERIES) - set(ORACLES)):
-        n = QUERIES[qid](spark, sf_dir).count()
-        assert n >= 0, qid
+        a = sorted(map(tuple, QUERIES[qid](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[qid](spark, sf_dir).collect()))
+        assert a == b, f"{qid}: nondeterministic result"
+        assert len(a) >= 0, qid
