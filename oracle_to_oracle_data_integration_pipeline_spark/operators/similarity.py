@@ -36,6 +36,16 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the norms projected BEFORE the join: ``norm_col`` is
+    a dim-length HOF aggregate, so evaluating it inside the pair score
+    recomputes each vector's norm once per candidate pair. Precomputing
+    sqrt(dot(v,v)) per side cuts the HOF work per pair from 3 aggregates
+    to 1. IEEE-identical to ``cosine_col`` (same ops, same order), so
+    oracles need no change."""
+    return dot_col(a, b) / (na * nb)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -52,16 +62,24 @@ def cosine_topk_bruteforce(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_col(F.col(vec_col)).alias("qn"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_col(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -78,14 +96,99 @@ def neardup_pairs_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs (d1 < d2) with cosine ≥ threshold — embedding-space
-    near-duplicate detection. Quadratic: the exact verifier/baseline;
-    the LSH bucketing below is the scale path."""
-    a = embeddings.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = embeddings.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    near-duplicate detection. Quadratic: the exact TEST-SIDE verifier
+    for ``neardup_pairs_lsh`` below, never the production path."""
+    a = embeddings.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("v1"),
+        norm_col(F.col(vec_col)).alias("n1"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("v2"),
+        norm_col(F.col(vec_col)).alias("n2"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.round(cosine_col(F.col("v1"), F.col("v2")), 6).alias("cosine"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                _cosine_from_norms(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bands: int = 8,
+    band_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs: banded hyperplane LSH
+    candidate generation + exact cosine verify.
+
+    Scale shape (the reason this replaces the crossJoin):
+    - Each vector gets ``n_bands`` sign-bit bucket ids (``band_planes``
+      hyperplanes per band). The explode emits only (id, band, bucket)
+      — 8 tiny rows per vector; the dim-length arrays DO NOT ride the
+      candidate-generation shuffle.
+    - Candidates = equi-join on (band, bucket): shuffle-by-key, never a
+      CartesianProduct/BroadcastNestedLoopJoin node.
+    - DISTINCT pair ids, then the vectors join back by id (one shuffle
+      of each vector) and only candidate pairs pay the exact dot
+      product, with per-side norms precomputed.
+
+    Recall is the standard banded-LSH S-curve: P(candidate) =
+    1-(1-p^P)^B with p = 1-θ/π. At a true near-dup threshold (cos≥0.9)
+    the default 8×4 bands keep ~99% recall while scoring a vanishing
+    corpus fraction; at loose thresholds widen B / shrink P. The
+    brute-force twin above is the test-side verifier.
+    """
+    planes = _hyperplanes(dim, n_bands * band_planes)
+    bands = [planes[i * band_planes : (i + 1) * band_planes] for i in range(n_bands)]
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("nrm"),
+        *[lsh_bucket_col(F.col(vec_col), b).alias(f"b{i}") for i, b in enumerate(bands)],
+    )
+    keyed = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("c"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("c.id"))
+        .select(F.col("a.id").alias("d1"), F.col("c.id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("id").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    s2 = sig.select(F.col("id").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                _cosine_from_norms(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -136,11 +239,13 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm_col(F.col(vec_col)).alias("cn"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm_col(F.col(vec_col)).alias("qn"),
         lsh_bucket_col(F.col(vec_col), planes).alias("qbucket"),
     )
     probe = F.bit_count(
@@ -152,7 +257,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -198,28 +305,37 @@ def ivf_topk(
             .limit(n_cells)
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
-    cent = F.broadcast(centroids)
+    cent = F.broadcast(
+        centroids.select("cid", "cvec", norm_col(F.col("cvec")).alias("centn"))
+    )
 
-    def assign(df: DataFrame, idc: str, out_id: str, out_vec: str, keep: int) -> DataFrame:
+    def assign(df: DataFrame, idc: str, out_id: str, out_vec: str, out_n: str, keep: int) -> DataFrame:
         scored = (
-            df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
+            df.select(
+                F.col(idc).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                norm_col(F.col(vec_col)).alias(out_n),
+            )
             .join(cent)
             .select(
                 out_id,
                 out_vec,
+                out_n,
                 "cid",
-                cosine_col(F.col(out_vec), F.col("cvec")).alias("c_cos"),
+                _cosine_from_norms(
+                    F.col(out_vec), F.col("cvec"), F.col(out_n), F.col("centn")
+                ).alias("c_cos"),
             )
         )
         w = Window.partitionBy(out_id).orderBy(F.col("c_cos").desc(), F.col("cid"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= keep)
-            .select(out_id, out_vec, "cid")
+            .select(out_id, out_vec, out_n, "cid")
         )
 
-    cells = assign(embeddings, id_col, "neighbor_id", "cvec2", 1)
-    probes = assign(queries, id_col, "query_id", "qvec", nprobe)
+    cells = assign(embeddings, id_col, "neighbor_id", "cvec2", "cn", 1)
+    probes = assign(queries, id_col, "query_id", "qvec", "qn", nprobe)
     # no pair dedup needed: each neighbor lives in exactly ONE cell
     # (row_number keep=1) and a probe's cids are distinct, so a
     # (query, neighbor) pair joins at most once — an agg here would be
@@ -230,7 +346,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qvec"), F.col("cvec2")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(F.col("qvec"), F.col("cvec2"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -25,7 +25,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal impor
 from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
     lsh_topk,
-    neardup_pairs_bruteforce,
+    neardup_pairs_lsh,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
     fingerprint,
@@ -209,18 +209,62 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 # -- qid: embed_neardup -----------------------------------------------
 
+NEARDUP_BANDS = 8
+NEARDUP_BAND_PLANES = 4
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_pairs_bruteforce(load(spark, sf_dir, "embeddings"), NEARDUP_COS)
+    """Banded-LSH candidate pairs + exact cosine verify — the scale
+    path (equi-join on (band, bucket), no CartesianProduct node; see
+    operators/similarity.neardup_pairs_lsh). The O(N²) brute force
+    lives on only as the recall verifier in tests/test_llm_operators."""
+    return neardup_pairs_lsh(
+        load(spark, sf_dir, "embeddings"),
+        NEARDUP_COS,
+        n_bands=NEARDUP_BANDS,
+        band_planes=NEARDUP_BAND_PLANES,
+    )
 
 
-SQL_EMBED_NEARDUP = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
-SELECT a.vec_id AS d1, b.vec_id AS d2,
-       round(list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
-FROM v a, v b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= {NEARDUP_COS}
+def _sql_embed_neardup() -> str:
+    """DuckDB twin mirrors the banding: same seeded hyperplanes inlined
+    as DOUBLE[] literals, same any-band candidate rule, same
+    distinct-pairs → exact-verify shape — so the approximate operator
+    still gets a full value-hash check."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, NEARDUP_BANDS * NEARDUP_BAND_PLANES)
+    band_cols = []
+    for b in range(NEARDUP_BANDS):
+        terms = []
+        for i in range(NEARDUP_BAND_PLANES):
+            p = planes[b * NEARDUP_BAND_PLANES + i]
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN {1 << i} ELSE 0 END"
+            )
+        band_cols.append(" + ".join(terms) + f" AS b{b}")
+    any_band = " OR ".join(f"a.b{b} = c.b{b}" for b in range(NEARDUP_BANDS))
+    sig_cols = ",\n       ".join(band_cols)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+sig AS (
+  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm,
+       {sig_cols}
+  FROM v
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+  FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND ({any_band})
+)
+SELECT d1, d2,
+       round(list_dot_product(s1.ve, s2.ve) / (s1.nrm * s2.nrm), 6) AS cosine
+FROM cand JOIN sig s1 ON d1 = s1.vec_id JOIN sig s2 ON d2 = s2.vec_id
+WHERE round(list_dot_product(s1.ve, s2.ve) / (s1.nrm * s2.nrm), 6) >= {NEARDUP_COS}
 """
+
+
+SQL_EMBED_NEARDUP = _sql_embed_neardup()
 
 
 # -- qid: cosine_topk_lsh ---------------------------------------------

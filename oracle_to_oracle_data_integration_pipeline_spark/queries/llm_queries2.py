@@ -111,7 +111,7 @@ top1 AS (
   ) WHERE rnk = 1
 )
 SELECT q_label, count(*) AS n_queries,
-       sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS n_agree
+       CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
 FROM top1 GROUP BY q_label
 """
 
@@ -206,9 +206,9 @@ WITH firsts AS (
   FROM events GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+       CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM firsts
 """
 
@@ -235,8 +235,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = """
 SELECT user_id, event_id, ts,
-       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -451,7 +451,7 @@ deduped AS (
   ) WHERE rn = 1
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CAST(len(regexp_extract_all(lower(text), '{bpe}')) AS BIGINT)) AS total_bpe_tokens
+       CAST(sum(CAST(len(regexp_extract_all(lower(text), '{bpe}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
 FROM deduped
 GROUP BY lang
 ORDER BY lang

@@ -352,7 +352,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -360,8 +360,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_EXTRACT = """
 SELECT event_type,
-       sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
-       round(CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / count(props), 6) AS avg_k,
+       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       round(CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """

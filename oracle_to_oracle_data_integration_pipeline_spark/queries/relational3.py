@@ -97,7 +97,17 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-arrival order in any engine)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        # Join the sorted array to a scalar string: raw array columns are
+        # unhashable in the driver's pandas canonicalizer. Numeric sort
+        # FIRST, then element-wise cast, so order is 25,50,100 not
+        # lexicographic.
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("custkeys"),
         F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
         F.count(F.lit(1)).alias("n_customers"),
     )
@@ -105,7 +115,7 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARRAY_AGG = """
 SELECT c_nationkey,
-       list_sort(list(c_custkey)) AS custkeys,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
        CAST(count(DISTINCT c_mktsegment) AS INT) AS n_segments,
        count(*) AS n_customers
 FROM customer WHERE c_custkey % 25 = 0

@@ -57,6 +57,52 @@ def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _pandas_gate(spark_df, rel) -> tuple[bool, str]:
+    """Driver-faithful check: the driver compares toPandas() frames
+    (name-sorted columns, sort_values row canonicalization, value
+    hash). Two failure modes the tuple-level compare above cannot see:
+
+    - dtype-kind drift — DuckDB un-cast integer ``sum()`` returns
+      HUGEINT → pandas object dtype, vs Spark int64; values identical,
+      hash differs (CORRECTNESS_r01 ``q12_priority_class``).
+    - unhashable cells — raw array columns make the driver's
+      ``sort_values`` raise ``TypeError: unhashable type: 'list'``
+      (CORRECTNESS_r01 ``array_agg``).
+    """
+    s_pdf = spark_df.toPandas()
+    d_pdf = rel.df()
+    s_pdf.columns = [c.lower() for c in s_pdf.columns]
+    d_pdf.columns = [c.lower() for c in d_pdf.columns]
+    s_pdf = s_pdf[sorted(s_pdf.columns)]
+    d_pdf = d_pdf[sorted(d_pdf.columns)]
+    def kind(series):
+        k = series.dtype.kind
+        if k == "O":
+            vals = series.dropna()
+            # Spark DATE columns arrive as object-of-datetime.date;
+            # DuckDB gives datetime64 — the driver hashes these equal
+            # (date_parts was green in r01), so normalize to 'M'
+            if len(vals) and isinstance(vals.iloc[0], (datetime.date, datetime.datetime)):
+                return "M"
+        return k
+
+    for c in s_pdf.columns:
+        sk, dk = kind(s_pdf[c]), kind(d_pdf[c])
+        # empty object columns and all-NULL columns degrade arbitrarily;
+        # only flag kind drift when both sides actually carry values
+        if sk != dk and len(s_pdf) and s_pdf[c].notna().any() and d_pdf[c].notna().any():
+            return False, (
+                f"dtype-kind mismatch on '{c}': spark={s_pdf[c].dtype} "
+                f"duck={d_pdf[c].dtype} (driver hash would differ)"
+            )
+    for side, pdf in (("spark", s_pdf), ("duck", d_pdf)):
+        try:
+            pdf.sort_values(list(pdf.columns))
+        except TypeError as e:
+            return False, f"driver canonicalizer would fail on {side} result: {e}"
+    return True, "ok"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -72,4 +118,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         return False, f"value mismatch; first diffs: {diffs}"
+    ok, msg = _pandas_gate(spark_df, con.sql(sql))
+    if not ok:
+        return False, msg
     return True, f"ok ({len(s_rows)} rows)"

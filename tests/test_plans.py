@@ -102,3 +102,34 @@ def test_q17_decorrelated_no_cartesian(spark, sf_dir):
     joins — no cartesian product may appear."""
     p = plan_str(spark, sf_dir, "q17_small_quantity")
     assert "CartesianProduct" not in p
+
+
+def test_embed_neardup_no_cartesian(spark, sf_dir):
+    """The near-dup qid must run the banded-LSH equi-join path; the
+    O(N²) crossJoin stays test-side only (VERDICT r01 perf item 1)."""
+    p = plan_str(spark, sf_dir, "embed_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cosine_topk_norms_precomputed(spark, sf_dir):
+    """Norms are projected per side before the scoring join: the
+    post-join projection must divide by the precomputed columns, not
+    re-run the dim-length aggregate three times per pair."""
+    for qid in ["cosine_topk", "cosine_topk_lsh", "ivf_topk", "embed_neardup"]:
+        p = plan_str(spark, sf_dir, qid)
+        # the projection that emits `cosine` runs once per candidate
+        # pair; exactly one aggregate(...) HOF fold (the pair dot
+        # product) may appear there — 3 means the norms are being
+        # recomputed per pair again
+        scoring = [
+            proj
+            for proj in re.findall(r"Project \[[^\n]*\]", p)
+            if re.search(r"AS cosine#", proj)
+        ]
+        assert scoring, f"{qid}: no scoring projection found"
+        for proj in scoring:
+            assert proj.count("aggregate(") == 1, (
+                f"{qid}: expected 1 HOF fold in pair scoring, got "
+                f"{proj.count('aggregate(')}"
+            )
