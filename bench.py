@@ -66,12 +66,21 @@ def main() -> None:
         force(registry[qid](spark, "/root/testdata/sf0.001"))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
-    for qid in HEADLINE:
-        t0 = time.perf_counter()
-        force(registry[qid](spark, SF_DIR))
-        timings[qid] = round(time.perf_counter() - t0, 3)
+    # Median of 3 runs per query: this host carries heavy external load
+    # (the r01 driver read 4.4x over the recorded total on identical
+    # code), and a single sample cannot distinguish a real 2x
+    # regression from a loadavg spike. Rounds interleave (run 1 of all
+    # queries, then run 2, ...) so one load burst doesn't poison all
+    # three samples of the same query.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {qid: [] for qid in HEADLINE}
+    for _ in range(runs):
+        for qid in HEADLINE:
+            t0 = time.perf_counter()
+            force(registry[qid](spark, SF_DIR))
+            samples[qid].append(time.perf_counter() - t0)
 
+    timings = {qid: round(sorted(ts)[len(ts) // 2], 3) for qid, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": f"headline_total_sf{sf}",

@@ -173,10 +173,19 @@ def cmd_compact(args) -> int:
         d for d in os.listdir(args.target)
         if os.path.isdir(os.path.join(args.target, d)) and not d.startswith((".", "_"))
     )
+    failed = 0
     for table in tables:
-        before = sink.compact(spark, table, target_files=args.files)
+        # per-table isolation, like replicate: one hive-partitioned (or
+        # otherwise uncompactable) table must not abort the rest of the
+        # maintenance run
+        try:
+            before = sink.compact(spark, table, target_files=args.files)
+        except Exception as e:
+            failed += 1
+            print(f"compact: {table}: FAILED: {e}")
+            continue
         print(f"compact: {table}: {before} -> {args.files} files")
-    return 0
+    return 1 if failed else 0
 
 
 def main(argv: list[str] | None = None) -> int:

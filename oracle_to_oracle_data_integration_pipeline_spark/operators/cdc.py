@@ -157,18 +157,22 @@ class MergeResult:
             self._shared.unpersist()
 
 
-def _align_schemas(target: DataFrame, delta: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _align_schemas(target: DataFrame, delta: DataFrame) -> tuple[DataFrame, DataFrame, list[str]]:
     """Schema evolution across runs (the reference handles DDL drift in
     a separate schema-sync pass; in-engine the merge absorbs it):
 
     - column added at the source → target gains it as NULL, existing
       rows keep NULL until a delta updates them;
-    - column dropped at the source → delta gains it as NULL, so
-      matched rows lose the value (last-writer-wins applies to the
-      whole row) while the column survives in the schema.
+    - column dropped at the source → delta gains it as NULL for schema
+      alignment, but matched rows PRESERVE the target's value: the
+      reference MERGE's SET list covers only staged columns
+      (`/root/reference/scripts/03_cdc_etl.py:145-157`), so a column
+      the delta doesn't carry is never overwritten. The merge
+      strategies use the returned ``backfilled`` list to resolve those
+      columns from the target side on matched rows.
 
     Output column order: target columns, then new delta columns in
-    delta order.
+    delta order. Returns (target, delta, backfilled-column-names).
     """
     t_cols = {c.lower(): c for c in target.columns}
     d_cols = {c.lower(): c for c in delta.columns}
@@ -177,32 +181,48 @@ def _align_schemas(target: DataFrame, delta: DataFrame) -> tuple[DataFrame, Data
     for lc, name in d_cols.items():
         if lc not in t_cols:
             target = target.withColumn(name, F.lit(None).cast(d_types[lc]))
+    backfilled = []
     for lc, name in t_cols.items():
         if lc not in d_cols:
             delta = delta.withColumn(name, F.lit(None).cast(t_types[lc]))
+            backfilled.append(name)
     # delta projected into the (evolved) target column order
     delta = delta.select(*target.columns)
-    return target, delta
+    return target, delta, backfilled
 
 
 def _merge_broadcast_delta(
-    target: DataFrame, delta: DataFrame, pk: list[str], deleted_col: str
+    target: DataFrame, delta: DataFrame, pk: list[str], deleted_col: str,
+    backfilled: list[str] | None = None,
 ) -> MergeResult:
     """No-target-shuffle merge: see ``merge_soft_delete`` docstring."""
+    backfilled = backfilled or []
     out_cols = target.columns
     keys = delta.select(*pk)
     # target-side passes: broadcast the (small) delta keys
     untouched = target.join(F.broadcast(keys), pk, "left_anti")
-    matched_keys = target.join(F.broadcast(keys), pk, "left_semi").select(*pk)
+    # matched keys also carry the target's values for columns the delta
+    # does not stage (schema-drop case) — still ≤|delta| rows, so the
+    # broadcast stays delta-sized
+    matched_keys = target.join(F.broadcast(keys), pk, "left_semi").select(
+        *pk, *[F.col(c).alias(f"__tb_{c}__") for c in backfilled]
+    )
     # resolve delta rows against the (≤|delta|) matched-key set
     d_flagged = delta.join(
         F.broadcast(matched_keys.withColumn("__m__", F.lit(1))), pk, "left"
     )
-    kept = d_flagged.filter(
-        F.col("__m__").isNotNull() | (F.col(deleted_col) == "N")
-    ).select(*out_cols)
-    merged = untouched.select(*out_cols).unionByName(kept)
     matched = F.col("__m__").isNotNull()
+    kept = d_flagged.filter(
+        matched | (F.col(deleted_col) == "N")
+    ).select(
+        [
+            F.when(matched, F.col(f"__tb_{c}__")).otherwise(F.col(c)).alias(c)
+            if c in backfilled
+            else F.col(c)
+            for c in out_cols
+        ]
+    )
+    merged = untouched.select(*out_cols).unionByName(kept)
     stats_df = d_flagged.agg(
         F.sum(F.when(matched, 1).otherwise(0)).alias("u"),
         F.sum(F.when(~matched & (F.col(deleted_col) == "N"), 1).otherwise(0)).alias("i"),
@@ -287,9 +307,9 @@ def merge_soft_delete(
         raise ValueError(f"unknown merge strategy: {strategy}")
     if dedup_delta:
         delta = latest_per_key(delta, pk, created=created, updated=updated)
-    target, delta = _align_schemas(target, delta)
+    target, delta, backfilled = _align_schemas(target, delta)
     if strategy == "broadcast_delta":
-        return _merge_broadcast_delta(target, delta, pk, deleted_col)
+        return _merge_broadcast_delta(target, delta, pk, deleted_col, backfilled)
 
     out_cols = target.columns
     # Tag both sides so the joined plan keeps unambiguous references.
@@ -307,7 +327,11 @@ def merge_soft_delete(
         t_present | (F.col(f"__d_{deleted_col}__") == "N")  # insert gate
     ).select(
         [
-            F.when(d_present, F.col(f"__d_{c}__")).otherwise(F.col(f"__t_{c}__")).alias(c)
+            # backfilled = column the delta doesn't stage: matched rows
+            # keep the target value (reference MERGE SET-list scope)
+            F.when(t_present, F.col(f"__t_{c}__")).otherwise(F.col(f"__d_{c}__")).alias(c)
+            if c in backfilled
+            else F.when(d_present, F.col(f"__d_{c}__")).otherwise(F.col(f"__t_{c}__")).alias(c)
             for c in out_cols
         ]
     )

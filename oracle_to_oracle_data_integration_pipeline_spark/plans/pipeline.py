@@ -101,11 +101,16 @@ class RunReport:
 
 
 class ParquetTargetStore:
-    """Per-table parquet target with atomic swap.
+    """Per-table parquet target with rename-swap replacement.
 
     The merge output replaces the table directory via write-to-temp +
-    rename, so a reader never sees a half-written table and the merge
-    can read the current target while writing the next version.
+    two renames under the table's write lock (sources/locking.py —
+    shared with ``ParquetSink.compact``, so a concurrent compact and
+    merge serialize instead of destroying each other's writes). The
+    merge can read the current target while writing the next version.
+    Readers are not locked: between the two renames the path is briefly
+    missing (ENOENT) — retry; atomic dir exchange needs
+    renameat2(RENAME_EXCHANGE) or a table-format metadata commit.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -123,14 +128,19 @@ class ParquetTargetStore:
         return self.spark.read.parquet(self.path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
+        from oracle_to_oracle_data_integration_pipeline_spark.sources.locking import (
+            table_write_lock,
+        )
+
         final = self.path(table)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
+        with table_write_lock(final):
+            df.write.mode("overwrite").parquet(tmp)
+            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
 
 
 class CdcPipeline:

@@ -13,7 +13,10 @@ pattern.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,34 +31,69 @@ from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
 _SUM_SQL = "CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)"
 
 
+def _drain_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[Callable[[], DataFrame]], DataFrame],
+    output_mode: str,
+    prefix: str,
+) -> DataFrame:
+    """Run ``build(src)`` as a real Structured Streaming query over the
+    events fixture (file source needs a directory — the read-only
+    parquet is exposed via a symlinked temp dir) and drain it with
+    availableNow into a memory sink.
+
+    The temp dir and the memory-sink table are transient: the result is
+    materialized to a driver-local DataFrame and both are cleaned up in
+    ``finally``, so repeated bench/correctness runs don't accumulate
+    session tables or /tmp dirs. The materialization is bounded — every
+    streaming qid returns a windowed aggregate or an interval-join
+    slice of the fixture, never the raw stream.
+    """
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    try:
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+        schema = spark.read.parquet(path).schema  # bigint ts (nanos)
+
+        def src() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .parquet(stream_dir)
+                .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            )
+
+        q = (
+            build(src)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table(name)
+        return spark.createDataFrame(sunk.collect(), sunk.schema)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
 # -- qid: stream_tumbling (true readStream execution) -----------------
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    # The file stream source needs a directory; expose the read-only
-    # fixture file through a symlinked temp dir.
-    import tempfile
-
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema  # bigint ts (nanos)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda src: tumbling_agg(src(), "1 hour", by="event_type"),
+        "complete",
+        "events_stream_",
     )
-    agg = tumbling_agg(stream, "1 hour", by="event_type")
-    name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 SQL_TUMBLING = f"""
@@ -127,49 +165,27 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode) drained with availableNow; the oracle is the equivalent batch
     interval join.
     """
-    tune(spark)
-    import tempfile
-
-    path = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_sjoin_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema  # bigint ts (nanos)
-
-    def src():
-        return (
-            spark.readStream.schema(schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    def build(src):
+        signups = (
+            src()
+            .filter(F.col("event_type") == "signup")
+            .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+            .withWatermark("s_ts", "1 hour")
         )
+        purchases = (
+            src()
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+            .withWatermark("p_ts", "1 hour")
+        )
+        return signups.join(
+            purchases,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        ).select(F.col("s_user").alias("user_id"), "s_ts", "p_ts", "value")
 
-    signups = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
-        .withWatermark("s_ts", "1 hour")
-    )
-    purchases = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = signups.join(
-        purchases,
-        (F.col("s_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("s_ts"))
-        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
-    ).select(F.col("s_user").alias("user_id"), "s_ts", "p_ts", "value")
-    name = f"sjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_events_stream(spark, sf_dir, build, "append", "events_sjoin_")
 
 
 SQL_STREAM_JOIN = """
@@ -195,34 +211,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded streams pair it with withWatermark so old keys evict —
     the bounded availableNow drain here holds state for one run only.
     """
-    tune(spark)
-    import tempfile
+    def build(src):
+        doubled = src().union(src())
+        deduped = doubled.dropDuplicates(["event_id"])
+        return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
-    path = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema
-
-    def src():
-        return (
-            spark.readStream.schema(schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-        )
-
-    doubled = src().union(src())
-    deduped = doubled.dropDuplicates(["event_id"])
-    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_events_stream(spark, sf_dir, build, "complete", "events_dedup_")
 
 
 SQL_STREAM_DEDUP = """

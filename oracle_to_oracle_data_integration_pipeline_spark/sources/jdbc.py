@@ -8,8 +8,11 @@ database does the filtering — the single biggest scale win over the
 reference's read path. Fetch/batch sizing mirrors the reference knobs
 (`/root/reference/config/settings.py:31-33`).
 
-Untested in this environment (no database available); kept thin and
-import-safe.
+Live-tested against embedded Derby (the JDBC driver Spark bundles) in
+tests/test_jdbc_roundtrip.py: sink write, full/stride-partitioned load,
+and remote predicate pushdown all roundtrip through a real JDBC
+relation. Oracle differs only in dialect, not in the option plumbing
+exercised there.
 """
 
 from __future__ import annotations

@@ -91,10 +91,21 @@ class ParquetSink:
     ) -> int:
         """Rewrite a table directory to ``target_files`` right-sized
         files (the maintenance job every append-heavy pipeline needs).
-        Writes to a sibling temp dir, then atomically swaps via rename
-        — readers never observe a half-compacted table. Returns the
-        file count before compaction.
+
+        Writes to a sibling temp dir, then swaps via two renames under
+        the table's write lock (sources/locking.py). Single-WRITER is
+        enforced — a concurrent append between the renames would land in
+        the old directory and be rmtree'd. Readers are not locked: one
+        landing between the renames can see a briefly missing directory
+        (ENOENT — retry); a truly atomic dir swap needs
+        renameat2(RENAME_EXCHANGE) or manifest indirection (what a table
+        format's metadata commit provides). Returns the file count
+        before compaction.
         """
+        from oracle_to_oracle_data_integration_pipeline_spark.sources.locking import (
+            table_write_lock,
+        )
+
         path = os.path.join(self.root, table)
         part_dirs = [
             d for d in os.listdir(path)
@@ -116,15 +127,16 @@ class ParquetSink:
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
         tmp = path + "__compact_tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        old = path + "__compact_old"
-        os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except Exception:
-            os.rename(old, path)  # roll back: the original stays live
-            raise
-        import shutil
+        with table_write_lock(path):
+            df.write.mode("overwrite").parquet(tmp)
+            old = path + "__compact_old"
+            os.rename(path, old)
+            try:
+                os.rename(tmp, path)
+            except Exception:
+                os.rename(old, path)  # roll back: the original stays live
+                raise
+            import shutil
 
-        shutil.rmtree(old)
+            shutil.rmtree(old)
         return len(before)

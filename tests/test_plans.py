@@ -133,3 +133,31 @@ def test_cosine_topk_norms_precomputed(spark, sf_dir):
                 f"{qid}: expected 1 HOF fold in pair scoring, got "
                 f"{proj.count('aggregate(')}"
             )
+
+
+def test_merge_broadcast_delta_plan_shape(spark, sf_dir):
+    """broadcast_delta must resolve every join against the broadcast
+    delta (zero target shuffles); the shuffle strategy must stay a
+    full-outer sort-merge/shuffled join (full outer cannot broadcast,
+    and a bulk backfill must not be hint-forced through one)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+        merge_soft_delete,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("is_deleted", F.lit("N"))
+    delta = orders.filter(F.col("o_orderkey") % 100 == 0)
+
+    bcast = merge_soft_delete(orders, delta, ["o_orderkey"], strategy="broadcast_delta").df
+    p = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+        "broadcast_delta leaked a target shuffle"
+    )
+
+    shuf = merge_soft_delete(orders, delta, ["o_orderkey"], strategy="shuffle").df
+    p2 = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p2, "full-outer merge must not broadcast"

@@ -32,8 +32,10 @@ def test_source_dropped_column(spark, strategy):
     delta = spark.createDataFrame([(1, "a2", T1, T2, "N"), (2, "b", T2, None, "N")], BASE)
     out = merge_soft_delete(target, delta, ["id"], strategy=strategy).df
     rows = {r["id"]: (r["val"], r["extra"]) for r in out.collect()}
-    # matched row takes the whole delta row (last-writer-wins → extra nulled)
-    assert rows == {1: ("a2", None), 2: ("b", None)}
+    # the delta doesn't stage `extra`, so the matched row PRESERVES the
+    # target's value — the reference MERGE SET list covers only staged
+    # columns (03_cdc_etl.py:145-157); inserts get NULL (never had one)
+    assert rows == {1: ("a2", "OLD"), 2: ("b", None)}
 
 
 def test_column_order_target_first(spark):
