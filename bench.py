@@ -76,6 +76,11 @@ def main() -> None:
     samples: dict[str, list[float]] = {qid: [] for qid in HEADLINE}
     for _ in range(runs):
         for qid in HEADLINE:
+            # several operators persist shared subtrees (minhash verify,
+            # merge stats) and leave them cached; 57 executions deep the
+            # storage pool is full of dead entries and every query pays
+            # eviction+GC. Each timed run starts from a clean cache.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             force(registry[qid](spark, SF_DIR))
             samples[qid].append(time.perf_counter() - t0)

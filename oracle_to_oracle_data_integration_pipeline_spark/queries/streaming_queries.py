@@ -1,13 +1,12 @@
 """Streaming qids (SURVEY.md §2.9): tumbling / sliding / session
 window aggregations over the events fixture, batch-SQL-checkable.
 
-``stream_tumbling`` executes as a REAL Structured Streaming query
-(readStream → windowed agg → memory sink, drained synchronously) so the
-driver exercises the streaming engine itself; sliding/session run the
-same window builders in batch mode (`F.window`/`F.session_window` are
-mode-agnostic). All three have exact DuckDB oracles: epoch-aligned
-buckets ≙ time_bucket/date_trunc; session windows ≙ the lag/gap-islands
-pattern.
+Every qid here executes as a REAL Structured Streaming query
+(readStream → transformation → memory sink, drained synchronously with
+availableNow), so the driver exercises the streaming engine itself —
+windowed/session state, the stream-stream join state store, and keyed
+dedup state. All have exact DuckDB oracles: epoch-aligned buckets ≙
+time_bucket/date_trunc; session windows ≙ the lag/gap-islands pattern.
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import tune
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -109,7 +108,16 @@ FROM events GROUP BY 1, 2, 3
 # -- qid: stream_sliding ----------------------------------------------
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_agg(load(spark, sf_dir, "events"), "2 hours", "1 hour")
+    """True streaming execution: overlapping F.window agg drained with
+    availableNow (complete mode — the bounded drain emits final
+    per-window rows; with unbounded input add withWatermark + append)."""
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda src: sliding_agg(src(), "2 hours", "1 hour"),
+        "complete",
+        "events_sliding_",
+    )
 
 
 SQL_SLIDING = f"""
@@ -127,7 +135,16 @@ FROM exploded GROUP BY ws
 # -- qid: stream_session ----------------------------------------------
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_agg(load(spark, sf_dir, "events"), "6 hours", key="user_id")
+    """True streaming session windows: per-key gap sessions merge in
+    the state store as batches arrive; the availableNow drain emits the
+    final merged sessions (complete mode — bounded input)."""
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda src: session_agg(src(), "6 hours", key="user_id"),
+        "complete",
+        "events_session_",
+    )
 
 
 SQL_SESSION = f"""

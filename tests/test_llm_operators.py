@@ -122,3 +122,32 @@ def test_ivf_topk_probes_cells(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert len(brute & approx_pairs) >= 3
+
+
+def test_neardup_lsh_pairs_subset_with_recall(spark, sf_dir):
+    """The banded-LSH near-dup pairs must be a SUBSET of the exact
+    brute-force pairs (no false positives survive the exact verify) and
+    recall the strongest pairs: every brute-force pair with cosine well
+    above the qid threshold must be found."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+        neardup_pairs_bruteforce,
+        neardup_pairs_lsh,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["d1"], r["d2"]): r["cosine"]
+        for r in neardup_pairs_bruteforce(e, 0.4).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"]): r["cosine"]
+        for r in neardup_pairs_lsh(e, 0.4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    # the top-cosine exact pairs are the planted-near-dup proxy; banded
+    # LSH must not miss the strongest ones
+    strongest = sorted(exact, key=exact.get, reverse=True)[:5]
+    found = sum(1 for p in strongest if p in lsh)
+    assert found >= 4, f"LSH missed {5 - found} of the 5 strongest pairs"
