@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     candidates: DataFrame | None = None,
     shingle_sets: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (d1 < d2) with shingle-set Jaccard ≥ threshold.
 
@@ -84,6 +85,16 @@ def ngram_jaccard_pairs(
     - no candidates (exact baseline): inverted-index self-join on the
       exploded shingles (cost Σ_s freq(s)² — the quadratic the LSH
       path exists to avoid).
+
+    ``max_shingle_df`` caps the inverted index: shingles appearing in
+    more than that many documents (boilerplate headers, license text)
+    leave the INDEX — by definition a small set, removed with a
+    broadcast anti-join — so the Σ freq² term is bounded by cap·|index|
+    instead of the hottest shingle squared. Jaccard denominators stay
+    exact (sizes use the full shingle sets); intersections through
+    dropped shingles are missed, so scores only UNDERestimate — pairs
+    related solely by boilerplate stop matching, which is normally the
+    wanted behavior. None (default) = exact.
 
     Output: d1, d2, jaccard (rounded 6).
     """
@@ -110,8 +121,17 @@ def ngram_jaccard_pairs(
 
     sh = _exploded_shingles(df, text, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("d1"), F.col("sh"))
-    b = sh.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    sh_idx = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_shingle_df)
+            .select("sh")
+        )
+        sh_idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh_idx.select(F.col(id_col).alias("d1"), F.col("sh"))
+    b = sh_idx.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     inter = (
         a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
         .groupBy("d1", "d2")

@@ -27,6 +27,7 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: the skewed side gets a random-ish salt
     derived from a stable row hash (deterministic, unlike rand() —
@@ -38,12 +39,20 @@ def salted_join(
     use only when `small` is genuinely small (it usually also
     broadcasts, making the salt moot; this operator is for the
     mid-size case where broadcast is too big but skew still bites).
+
+    ``salt_cols`` names the columns hashed for the salt. Default is ALL
+    of ``skewed``'s columns — always deterministic, but it blocks scan
+    column pruning (every column becomes referenced): on a wide fact
+    table pass the few columns that vary within a key so the scan stays
+    pruned to what the query needs.
     """
     if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
         # exploding the small side x salt_buckets would emit each
         # unmatched right row salt_buckets times under these join types
         raise ValueError(f"salted_join does not support how={how!r}; use inner/left/semi/anti")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_cols or skewed.columns)]), F.lit(salt_buckets)
+    )
     left = skewed.withColumn("__salt__", salt.cast("int"))
     right = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -124,11 +124,18 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import salted_join
 
-    li = load(spark, sf_dir, "lineitem")
+    # project BEFORE salting: the salt hash references its columns, so
+    # salting the full 16-column fact table would block scan pruning
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    joined = salted_join(li, o, key="l_orderkey", salt_buckets=8)
+    joined = salted_join(
+        li, o, key="l_orderkey", salt_buckets=8,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
     return (
         joined.groupBy("o_orderstatus")
         .agg(

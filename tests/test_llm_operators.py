@@ -151,3 +151,30 @@ def test_neardup_lsh_pairs_subset_with_recall(spark, sf_dir):
     strongest = sorted(exact, key=exact.get, reverse=True)[:5]
     found = sum(1 for p in strongest if p in lsh)
     assert found >= 4, f"LSH missed {5 - found} of the 5 strongest pairs"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, docs):
+    """max_shingle_df drops only intersections that run through hot
+    shingles: with a cap above every shingle's document frequency the
+    result is identical to exact; with a tight cap the result is a
+    subset with under-estimated (never inflated) scores."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.0).collect()
+    }
+    loose = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.0, max_shingle_df=10**6).collect()
+    }
+    assert loose == exact
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.0, max_shingle_df=2).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, jac in capped.items():
+        assert jac <= exact[pair] + 1e-9

@@ -161,3 +161,13 @@ def test_merge_broadcast_delta_plan_shape(spark, sf_dir):
     shuf = merge_soft_delete(orders, delta, ["o_orderkey"], strategy="shuffle").df
     p2 = shuf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in p2, "full-outer merge must not broadcast"
+
+
+def test_salted_join_scan_pruned(spark, sf_dir):
+    """The salt hash must not drag unused fact columns into the scan:
+    ReadSchema stays pruned to the 4 columns the query needs."""
+    p = plan_str(spark, sf_dir, "salted_join")
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    fact = next(s for s in m if "l_orderkey" in s)
+    cols = {c.split(":")[0] for c in fact.split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
