@@ -304,3 +304,77 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph by min-label
+    propagation: the canonical last step of a dedup pipeline (pair
+    finding — exact/MinHash/SimHash above — yields EDGES; keep/drop
+    decisions need per-document GROUP labels, and transitivity means
+    a group is a connected component, not a pair).
+
+    Reference scope note: the reference has no dedup at all; this is
+    part of the LLM-data surface built beyond it (see SURVEY.md §2.12).
+
+    Algorithm: every node starts labeled with its own id; each round,
+    every node takes the min label among itself and its neighbors;
+    fixpoint = components labeled by their minimum member id. Rounds
+    needed = graph eccentricity of each component's min node — dedup
+    components are near-cliques, so 2-4 rounds in practice.
+
+    100 TB design:
+    - Each round is ONE shuffle join (labels keyed by node id against
+      symmetrized edges) + a map-side-combined min agg. No collect of
+      node/edge data to the driver — the only per-round action is the
+      convergence count.
+    - ``localCheckpoint(eager=True)`` after every round truncates
+      lineage so the plan stays O(1) per round instead of growing
+      exponentially (the classic iterative-DataFrame trap).
+    - For adversarial diameters (long path graphs) swap the body for
+      large-star/small-star (O(log n) rounds, same join shape); dedup
+      graphs never need it, and ``max_iter`` guards the cliff —
+      RuntimeError beats a silently-partial labeling.
+
+    Returns one row per node: (``id_col``, comp) where comp is the min
+    node id in the component. Singletons label themselves.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes is None:
+        labels = e.select(F.col("a").alias("id")).distinct()
+    else:
+        labels = nodes.select(F.col(id_col).alias("id")).distinct()
+    labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            e.alias("e")
+            .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
+            .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("id").alias(id_col), "comp")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -100,6 +101,34 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss (p ≈ 1e-6 per planted pair) would surface as a row-count
     mismatch."""
     return minhash_dedup_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+# -- qid: dedup_components (pairs -> transitive dedup groups) ---------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs from the MinHash scale path, closed under
+    transitivity: every document labeled with the min doc_id of its
+    duplicate component (singletons label themselves)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+    return connected_components(pairs, "d1", "d2", nodes=docs, id_col="doc_id")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {SHINGLE_SQL},
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id
+"""
 
 
 # -- qid: simhash_neardup (rows-only: engine-hash dependent) ----------
@@ -326,6 +355,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_dedup": q_minhash_dedup,
+    "dedup_components": q_dedup_components,
     "simhash_neardup": q_simhash_neardup,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -341,6 +371,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_JACCARD_PAIRS,
     "minhash_dedup": SQL_JACCARD_PAIRS,  # LSH must reproduce the exact pairs
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "text_stats": SQL_TEXT_STATS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

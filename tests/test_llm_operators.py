@@ -178,3 +178,31 @@ def test_ngram_jaccard_hot_shingle_cap(spark, docs):
     assert set(capped) <= set(exact)
     for pair, jac in capped.items():
         assert jac <= exact[pair] + 1e-9
+
+
+def test_connected_components_path_graph(spark):
+    """A path graph 1-2-3-4 needs multiple propagation rounds to pull
+    node 4 down to label 1; node 9 is isolated and labels itself."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["d1", "d2"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 8, 9)], ["doc_id"])
+    out = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_nonconvergence_guard(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
