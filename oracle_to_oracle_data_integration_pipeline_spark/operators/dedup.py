@@ -378,3 +378,42 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("id").alias(id_col), "comp")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/eval contamination scan: flag training documents sharing
+    at least ``min_overlap`` distinct word n-grams with ANY eval
+    document (the published GPT-3/Pile decontamination recipe uses
+    13-grams; pass smaller n for short texts).
+
+    100 TB design: the eval side of a decontamination run is tiny
+    relative to the corpus (benchmarks, not corpora), so its distinct
+    shingle set is collected into a broadcast hash join side — the
+    training corpus streams through one scan + one semi-join with NO
+    shuffle of the corpus, then one groupBy(doc) count keyed by the
+    (already filtered, rare) contaminated rows. If the eval set ever
+    outgrows broadcast, drop the hint: the same plan becomes a
+    shuffle join keyed by shingle.
+
+    Returns (``id_col``, n_hit) for contaminated training docs,
+    n_hit = number of distinct shingles shared with the eval set.
+    """
+    ev = (
+        _exploded_shingles(eval_set, text, id_col, n)
+        .select("sh")
+        .distinct()
+    )
+    tr = _exploded_shingles(train, text, id_col, n)
+    hits = tr.join(F.broadcast(ev), "sh")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= min_overlap)
+    )

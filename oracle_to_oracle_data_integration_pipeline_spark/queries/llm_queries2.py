@@ -490,7 +490,93 @@ SQL_TOKEN_COUNT_BPE = (
 )
 
 
+# -- qid: split_assign (deterministic train/val/test) -----------------
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split by md5 hash bucket of doc_id — engine-portable and
+    rerun-stable (operators/sampling.py)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import split_assign
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(d)
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id, lang,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+  FROM documents
+)
+"""
+
+
+# -- qid: stratified_sample (exact k per stratum) ---------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 docs per language, chosen by stable pseudo-random
+    (md5) order — balanced-corpus quota sampling."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        stratified_topk,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_topk(d, "lang", k=10)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+# -- qid: decontaminate (train/eval n-gram overlap) -------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥5 distinct 3-grams with the src0 "eval"
+    slice (the GPT-3/Pile 13-gram recipe, shrunk to the fixture's short
+    texts). Eval shingle set broadcasts; the corpus is never
+    shuffled."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=3,
+        min_overlap=5,
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+  FROM toks
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+FROM sh s JOIN ev ON s.sh = ev.sh
+WHERE s.source <> 'src0'
+GROUP BY s.doc_id
+HAVING count(*) >= 5
+"""
+
+
 QUERIES = {
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_label_agreement": q_ann_label_agreement,
     "token_freq": q_token_freq,
@@ -505,6 +591,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_label_agreement": SQL_ANN_LABEL_AGREEMENT,
     "token_freq": SQL_TOKEN_FREQ,
