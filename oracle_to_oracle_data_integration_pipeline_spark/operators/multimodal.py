@@ -64,3 +64,98 @@ def extract_media_metadata(df_with_payload: DataFrame, fake: bool = True) -> Dat
             yield out[["doc_id", "n_bytes", "width", "height", "fmt"]]
 
     return df_with_payload.mapInPandas(batches, schema=META_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes_out int"
+
+
+def resize_media(
+    df_with_payload: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize every payload to ``target_w x target_h`` — 1:1 row batch
+    shape. STUB: the fake models the real invariant (output byte count
+    is capped by the target raster, ``min(len, w*h)``) without a pixel
+    library; swapping in PIL changes only the per-row body."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not fake:
+                decode_media(b"", fake=False)  # raises: real path not available
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes_out": [
+                        min(len(p), target_w * target_h) for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return df_with_payload.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int"
+
+
+def sample_frames(
+    df_with_payload: DataFrame,
+    frame_size: int = 64,
+    stride: int = 2,
+    max_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling — the 1:N batch shape (one input row fans out to
+    up to ``max_frames`` frame rows inside the Arrow batch, no explode
+    or shuffle). STUB: fake frames are fixed-size byte windows; the
+    real path is keyframe extraction (av/ffmpeg) with the same output
+    contract."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not fake:
+                decode_media(b"", fake=False)
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n + frame_size - 1) // frame_size
+                for k, i in enumerate(range(0, n_frames, stride)):
+                    if k >= max_frames:
+                        break
+                    rows.append((doc_id, i, min(frame_size, n - i * frame_size)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return df_with_payload.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features(
+    df_with_payload: DataFrame,
+    dim: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Per-payload feature vector (``array<double>``) — the
+    media-to-embedding step that feeds the similarity/ANN operators.
+    STUB: the fake derives features from the byte length so the full
+    media→embedding→ANN composition is testable end-to-end. The real
+    path is model inference: load the model once per PYTHON WORKER
+    (module-level lazy init, not per batch), never broadcast weights
+    through the closure."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not fake:
+                decode_media(b"", fake=False)
+            feats = [
+                [float((len(p) * (i + 1)) % 97) / 97.0 for i in range(dim)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    return df_with_payload.mapInPandas(batches, schema="doc_id long, features array<double>")

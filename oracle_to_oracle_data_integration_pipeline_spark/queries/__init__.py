@@ -13,6 +13,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     io_queries,
     llm_queries,
     llm_queries2,
+    llm_queries3,
     relational,
     relational2,
     relational3,
@@ -37,6 +38,7 @@ _MODULES = [
     format_queries,
     llm_queries,
     llm_queries2,
+    llm_queries3,
     streaming_queries,
 ]
 

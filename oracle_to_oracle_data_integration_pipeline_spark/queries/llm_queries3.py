@@ -1,0 +1,111 @@
+"""Third LLM-data batch: multimodal processing verbs beyond metadata
+extraction — resize, frame sampling, feature extraction — each the
+Arrow ``mapInPandas`` plumbing a media pipeline needs, with the decode
+kernel stubbed (operators/multimodal.py) and a deterministic fake so
+every stage has a DuckDB twin.
+
+Registered OUTSIDE the round-2 verify window (queries/__init__.py
+``_VERIFY_FIRST``) — the window is at capacity; these rotate into the
+driver's 50-slot gate next round and are oracle-tested locally by
+tests/test_queries_vs_duckdb.py meanwhile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+
+# -- qid: media_resize ------------------------------------------------
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-32x32 over the opaque payload column (1:1 Arrow batch
+    shape; fake kernel models the output-bytes-capped-by-raster
+    invariant)."""
+    d = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return resize_media(d, target_w=32, target_h=32)
+
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id, 32 AS width, 32 AS height,
+       CAST(least(octet_length(encode(text)), 1024) AS INT) AS n_bytes_out
+FROM documents
+"""
+
+
+# -- qid: media_frames ------------------------------------------------
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling, max 4 frames/doc — the 1:N batch shape
+    (frame fan-out happens inside the Arrow batch, no explode, no
+    shuffle)."""
+    d = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return sample_frames(d, frame_size=64, stride=2, max_frames=4)
+
+
+SQL_MEDIA_FRAMES = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1, 2)) AS frame_idx
+  FROM p WHERE n > 0
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(64, n - frame_idx * 64) AS INT) AS frame_bytes
+FROM (
+  SELECT doc_id, n, frame_idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS k
+  FROM f
+) WHERE k <= 4
+"""
+
+
+# -- qid: media_features ----------------------------------------------
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> feature vector (the media-to-embedding step feeding
+    the ANN operators), summarized to scalars for the hash compare
+    (raw array columns break the driver's canonicalizer)."""
+    d = attach_binary_payload(load(spark, sf_dir, "documents"))
+    feat = extract_features(d, dim=8)
+    sq_sum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return feat.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.sqrt(sq_sum), 6).alias("f_norm"),
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       round(CAST(n % 97 AS DOUBLE) / 97.0, 6) AS f0,
+       round(sqrt(list_sum(list_transform(
+           generate_series(1, 8),
+           i -> (CAST((n * i) % 97 AS DOUBLE) / 97.0)
+                * (CAST((n * i) % 97 AS DOUBLE) / 97.0)))), 6) AS f_norm
+FROM p
+"""
+
+
+QUERIES = {
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "media_resize": SQL_MEDIA_RESIZE,
+    "media_frames": SQL_MEDIA_FRAMES,
+    "media_features": SQL_MEDIA_FEATURES,
+}

@@ -206,3 +206,45 @@ def test_connected_components_nonconvergence_guard(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_sample_frames_fanout_shape(spark):
+    """1:N fan-out inside the Arrow batch: 300 bytes / 64-byte frames
+    with stride 2 -> frames 0,2,4 sized 64,64,44; max_frames truncates."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 300))], "doc_id long, payload binary")
+    rows = sorted(
+        (r["frame_idx"], r["frame_bytes"]) for r in sample_frames(df).collect()
+    )
+    assert rows == [(0, 64), (2, 64), (4, 44)]
+    capped = sample_frames(
+        spark.createDataFrame([(1, bytearray(b"x" * 10000))], "doc_id long, payload binary"),
+        max_frames=4,
+    ).count()
+    assert capped == 4
+
+
+def test_resize_and_features_contract(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 2000)), (2, bytearray(b"b" * 10))],
+        "doc_id long, payload binary",
+    )
+    rz = {r["doc_id"]: r["n_bytes_out"] for r in resize_media(df, 32, 32).collect()}
+    assert rz == {1: 1024, 2: 10}  # capped by raster vs passthrough
+    ft = {r["doc_id"]: r["features"] for r in extract_features(df, dim=4).collect()}
+    assert len(ft[1]) == 4
+    assert ft[1] == [float((2000 * (i + 1)) % 97) / 97.0 for i in range(4)]
+
+
+def test_real_decode_path_raises(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        sample_frames(df, fake=False).collect()
