@@ -45,6 +45,9 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_orders",
     "salted_join",
+    "dedup_components",
+    "decontaminate",
+    "split_assign",
 ]
 
 
