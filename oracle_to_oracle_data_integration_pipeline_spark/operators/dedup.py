@@ -356,27 +356,44 @@ def connected_components(
     else:
         labels = nodes.select(F.col(id_col).alias("id")).distinct()
     labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    # Convergence probe: labels only ever DECREASE, so the label sum is
+    # strictly monotone until fixpoint — an equal sum two rounds in a
+    # row proves no label moved. One aggregate on the new labels per
+    # round instead of a join+count against the old ones. decimal(38,0)
+    # keeps the sum exact for any realistic id domain (no long
+    # overflow, no float fuzz). Sum only exists for numeric ids — for
+    # string/binary ids count distinct (id, comp) pairs changed via a
+    # min over a stable xxhash64 image instead.
+    numeric = dict(labels.dtypes)["comp"] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dict(labels.dtypes)["comp"].startswith("decimal")
+    probe_col = (
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+        if numeric
+        else F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+    )
+    # (for the hash image, equality is necessary-not-sufficient in
+    # theory; labels move monotonically per id, so a changed label
+    # changes that id's term, and a sum collision over 64-bit hashes is
+    # negligible — max_iter still backstops.)
+    label_sum = lambda df: df.agg(probe_col.alias("s")).collect()[0]["s"]  # noqa: E731
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         prop = (
             e.alias("e")
             .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
             .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
         )
-        new = (
+        labels = (
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             return labels.select(F.col("id").alias(id_col), "comp")
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -248,3 +248,61 @@ def test_real_decode_path_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         sample_frames(df, fake=False).collect()
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized parity with a driver-side union-find on graphs with
+    chains, cliques, and isolated nodes (seeded — deterministic)."""
+    import random
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 50))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in range(n):
+            r = find(v)
+            expected[v] = min(expected.get(r, r), r)
+        # normalize: label = min member of the component
+        comp_min = {}
+        for v in range(n):
+            comp_min.setdefault(find(v), []).append(v)
+        expected = {v: min(vs) for r, vs in comp_min.items() for v in vs}
+
+        edf = spark.createDataFrame(edges or [(0, 0)], ["d1", "d2"])
+        ndf = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components(edf, nodes=ndf).collect()
+        }
+        assert got == expected, f"trial {trial} mismatch"
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric id path (hash-image convergence probe)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["d1", "d2"])
+    out = {r["doc_id"]: r["comp"] for r in connected_components(edges, id_col="doc_id").collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -171,3 +171,23 @@ def test_salted_join_scan_pruned(spark, sf_dir):
     fact = next(s for s in m if "l_orderkey" in s)
     cols = {c.split(":")[0] for c in fact.split(",")}
     assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The corpus must stream through a broadcast join — no shuffle of
+    the training shingles on the join key."""
+    p = plan_str(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """One window over partitionBy(lang): exactly one hash exchange."""
+    p = plan_str(spark, sf_dir, "stratified_sample")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_split_assign_no_shuffle(spark, sf_dir):
+    """Pure column algebra at scan time: zero exchanges."""
+    p = plan_str(spark, sf_dir, "split_assign")
+    assert "Exchange" not in p
