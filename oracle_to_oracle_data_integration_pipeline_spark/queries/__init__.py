@@ -49,6 +49,14 @@ _MODULES = [
 # fixed) in the front window; qids already green in CORRECTNESS_r01.json
 # go last — they stay covered by tests/test_queries_vs_duckdb.py.
 # Rotate per round until every qid has a driver CORRECTNESS row.
+#
+# ROUND-3 ROTATION TODO: the round-2 window (slots 1-50) ends at
+# sink_append; still owed a driver row after round 2: watermark_store,
+# delta_count, q11_important_parts, q13_customer_distribution,
+# q15_top_supplier, q16_supplier_counts, q17_small_quantity,
+# q18_large_orders, q20_excess_shippers, q21_waiting_suppliers,
+# media_resize, media_frames, media_features — put those (plus any
+# round-2 reds) first next round.
 _VERIFY_FIRST = [
     # round-1 failures, fixed — re-verify before anything else
     "json_extract",
