@@ -88,9 +88,8 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` caps the inverted index: shingles appearing in
     more than that many documents (boilerplate headers, license text)
-    leave the INDEX — by definition a small set, removed with a
-    broadcast anti-join — so the Σ freq² term is bounded by cap·|index|
-    instead of the hottest shingle squared. Jaccard denominators stay
+    leave the INDEX via an anti-join — so the Σ freq² term is bounded
+    by cap·|index| instead of the hottest shingle squared. Jaccard denominators stay
     exact (sizes use the full shingle sets); intersections through
     dropped shingles are missed, so scores only UNDERestimate — pairs
     related solely by boilerplate stop matching, which is normally the
@@ -129,7 +128,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df__") > max_shingle_df)
             .select("sh")
         )
-        sh_idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # no broadcast hint: the hot set is usually tiny (AQE picks
+        # broadcast then), but a boilerplate-heavy corpus with a tight
+        # cap can make it arbitrarily large — let the optimizer decide
+        # rather than forcing it through the driver
+        sh_idx = sh.join(hot, "sh", "left_anti")
     a = sh_idx.select(F.col(id_col).alias("d1"), F.col("sh"))
     b = sh_idx.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     inter = (
@@ -361,12 +364,13 @@ def connected_components(
     # row proves no label moved. One aggregate on the new labels per
     # round instead of a join+count against the old ones. decimal(38,0)
     # keeps the sum exact for any realistic id domain (no long
-    # overflow, no float fuzz). Sum only exists for numeric ids — for
-    # string/binary ids count distinct (id, comp) pairs changed via a
-    # min over a stable xxhash64 image instead.
+    # overflow, no float fuzz). The exact-sum probe needs an integral
+    # domain — float/double ids would round away fractional label moves
+    # under the decimal(38,0) cast — so everything non-integral
+    # (strings, binaries, floats) goes through the xxhash64 image.
     numeric = dict(labels.dtypes)["comp"] in (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-    ) or dict(labels.dtypes)["comp"].startswith("decimal")
+        "tinyint", "smallint", "int", "bigint",
+    )
     probe_col = (
         F.sum(F.col("comp").cast("decimal(38,0)"))
         if numeric

@@ -105,11 +105,13 @@ class ParquetTargetStore:
 
     The merge output replaces the table directory via write-to-temp +
     two renames under the table's write lock (sources/locking.py —
-    shared with ``ParquetSink.compact``, so a concurrent compact and
-    merge serialize instead of destroying each other's writes). The
-    merge can read the current target while writing the next version.
-    Readers are not locked: between the two renames the path is briefly
-    missing (ENOENT) — retry; atomic dir exchange needs
+    shared with ``ParquetSink.compact`` and held by
+    ``CdcPipeline.replicate_table`` across its whole read→merge→swap,
+    so concurrent mutators serialize on the full critical section, not
+    just the rename window; the lock is thread-reentrant so the nested
+    acquisition here is free). A failed swap restores the previous
+    version. Readers are not locked: between the two renames the path
+    is briefly missing (ENOENT) — retry; atomic dir exchange needs
     renameat2(RENAME_EXCHANGE) or a table-format metadata commit.
     """
 
@@ -139,7 +141,14 @@ class ParquetTargetStore:
             old = f"{final}.old-{uuid.uuid4().hex[:8]}"
             if os.path.exists(final):
                 os.rename(final, old)
-            os.rename(tmp, final)
+            try:
+                os.rename(tmp, final)
+            except BaseException:
+                # restore the previous version rather than leaving the
+                # table path permanently missing
+                if os.path.exists(old) and not os.path.exists(final):
+                    os.rename(old, final)
+                raise
             shutil.rmtree(old, ignore_errors=True)
 
 
@@ -195,25 +204,36 @@ class CdcPipeline:
                     return TableResult(table, "empty_delta")
 
                 delta_clean = latest_per_key(delta, pk)
-                if self.target.exists(table):
-                    tgt = self.target.read(table)
-                else:
-                    tgt = src.limit(0)  # first run: empty clone target
-                if self.merge_strategy == "auto":
-                    # count() is cheap here: delta is already cached
-                    small = last_ts is not None and delta.count() <= self.broadcast_delta_max_rows
-                    strategy = "broadcast_delta" if small else "shuffle"
-                else:
-                    strategy = self.merge_strategy
-                merged = merge_soft_delete(tgt, delta_clean, pk, strategy=strategy)
-                # persist the shared join subtree so the stats pass and
-                # the target write execute the merge join ONCE
-                merged.persist_shared()
-                try:
-                    stats = merged.stats()
-                    self.target.overwrite(table, merged.df)
-                finally:
-                    merged.unpersist_shared()
+                # The table lock covers the whole read→merge→swap: a
+                # concurrent writer (another replicate, a compact)
+                # cannot swap the directory between this target read
+                # and the overwrite — the lost-update / stale-file-
+                # listing window. The lock is thread-reentrant, so
+                # overwrite()'s own acquisition nests freely.
+                from oracle_to_oracle_data_integration_pipeline_spark.sources.locking import (
+                    table_write_lock,
+                )
+
+                with table_write_lock(self.target.path(table)):
+                    if self.target.exists(table):
+                        tgt = self.target.read(table)
+                    else:
+                        tgt = src.limit(0)  # first run: empty clone target
+                    if self.merge_strategy == "auto":
+                        # count() is cheap here: delta is already cached
+                        small = last_ts is not None and delta.count() <= self.broadcast_delta_max_rows
+                        strategy = "broadcast_delta" if small else "shuffle"
+                    else:
+                        strategy = self.merge_strategy
+                    merged = merge_soft_delete(tgt, delta_clean, pk, strategy=strategy)
+                    # persist the shared join subtree so the stats pass
+                    # and the target write execute the merge join ONCE
+                    merged.persist_shared()
+                    try:
+                        stats = merged.stats()
+                        self.target.overwrite(table, merged.df)
+                    finally:
+                        merged.unpersist_shared()
 
                 # Watermark advance only after a successful write
                 # (at-least-once protocol, 03_cdc_etl.py:324-334).

@@ -19,21 +19,45 @@ from __future__ import annotations
 import contextlib
 import fcntl
 import os
+import threading
 from collections.abc import Iterator
+
+# Per-thread reentrancy: CdcPipeline.replicate_table holds the table
+# lock across its whole read→merge→swap and ParquetTargetStore.overwrite
+# re-acquires inside it. flock is per open-file-description, so a naive
+# second acquisition in the same thread would self-deadlock; a counter
+# keyed by (thread, lock path) makes the inner acquisition a no-op while
+# different threads (the pipeline's per-table ThreadPoolExecutor) still
+# exclude each other through the kernel lock.
+_held = threading.local()
 
 
 @contextlib.contextmanager
 def table_write_lock(table_path: str) -> Iterator[None]:
-    """Block until this process holds the exclusive advisory lock for
-    ``table_path``. Guards the rename-swap window across processes on
-    the same host (the local-mode deployment unit); multi-host writers
-    need a coordination service or a table format instead.
+    """Block until this thread holds the exclusive advisory lock for
+    ``table_path`` (reentrant within a thread). Guards the whole
+    read→compute→rename-swap critical section across processes on the
+    same host (the local-mode deployment unit); multi-host writers need
+    a coordination service or a table format instead.
     """
     lock_path = table_path.rstrip("/") + ".lock"
+    held: dict[str, list] = getattr(_held, "m", None) or {}
+    _held.m = held
+    if lock_path in held:
+        held[lock_path][1] += 1
+        try:
+            yield
+        finally:
+            held[lock_path][1] -= 1
+        return
     fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
+        held[lock_path] = [fd, 1]
+        try:
+            yield
+        finally:
+            del held[lock_path]
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)

@@ -123,11 +123,14 @@ class ParquetSink:
             f for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
-        df = spark.read.parquet(path).repartition(target_files)
-        if sort_within_by:
-            df = df.sortWithinPartitions(*sort_within_by)
         tmp = path + "__compact_tmp"
         with table_write_lock(path):
+            # read INSIDE the lock: a merge swapping the directory after
+            # this file listing would leave the compact writing from a
+            # stale (rmtree'd) file index
+            df = spark.read.parquet(path).repartition(target_files)
+            if sort_within_by:
+                df = df.sortWithinPartitions(*sort_within_by)
             df.write.mode("overwrite").parquet(tmp)
             old = path + "__compact_old"
             os.rename(path, old)

@@ -104,21 +104,28 @@ def _pandas_gate(spark_df, rel) -> tuple[bool, str]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.sql(sql)
-    d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    # persist: collect() (tuple compare) and toPandas() (driver-faithful
+    # dtype gate) must see the SAME single execution — without it every
+    # compare runs the full Spark query twice
+    spark_df = spark_df.persist()
+    try:
+        s_cols = [c.lower() for c in spark_df.columns]
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        rel = con.sql(sql)
+        d_cols = [c.lower() for c in rel.columns]
+        d_rows = rel.fetchall()
 
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    a, b = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
-        return False, f"value mismatch; first diffs: {diffs}"
-    ok, msg = _pandas_gate(spark_df, con.sql(sql))
-    if not ok:
-        return False, msg
-    return True, f"ok ({len(s_rows)} rows)"
+        if sorted(s_cols) != sorted(d_cols):
+            return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        if len(s_rows) != len(d_rows):
+            return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+        a, b = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+            return False, f"value mismatch; first diffs: {diffs}"
+        ok, msg = _pandas_gate(spark_df, rel)
+        if not ok:
+            return False, msg
+        return True, f"ok ({len(s_rows)} rows)"
+    finally:
+        spark_df.unpersist()

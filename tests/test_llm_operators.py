@@ -278,10 +278,6 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        expected = {}
-        for v in range(n):
-            r = find(v)
-            expected[v] = min(expected.get(r, r), r)
         # normalize: label = min member of the component
         comp_min = {}
         for v in range(n):

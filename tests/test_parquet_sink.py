@@ -63,3 +63,35 @@ def test_compact_refuses_partitioned_table(spark, tmp_path):
     sink = ParquetSink(str(tmp_path))
     with _pytest.raises(ValueError, match="hive-partitioned"):
         sink.compact(spark, "pp", target_files=1)
+
+
+def test_table_write_lock_reentrant_same_thread(tmp_path):
+    """replicate_table holds the lock across read->merge->swap and
+    overwrite() re-acquires inside it: same-thread nesting must not
+    self-deadlock; a second thread must still block."""
+    import threading
+    import time
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.locking import (
+        table_write_lock,
+    )
+
+    p = str(tmp_path / "tbl")
+    order = []
+    with table_write_lock(p):
+        with table_write_lock(p):  # nested: must not deadlock
+            order.append("inner")
+
+        blocked_until = []
+
+        def contender():
+            with table_write_lock(p):
+                blocked_until.append(time.monotonic())
+
+        t = threading.Thread(target=contender)
+        t.start()
+        time.sleep(0.3)
+        assert not blocked_until, "second thread acquired while lock held"
+        released_at = time.monotonic()
+    t.join(timeout=5)
+    assert blocked_until and blocked_until[0] >= released_at
