@@ -23,6 +23,10 @@ SHOW = [
     ("minhash_dedup", "LSH banding + candidate-restricted verification (no all-pairs join)"),
     ("q9_product_profit", "5-table star join: dims broadcast, fact side never shuffles pre-agg"),
     ("ivf_topk", "ANN cell assignment: centroids broadcast against the corpus, probe join keyed by cell"),
+    ("decontaminate", "eval shingle set broadcast — the training corpus streams, never shuffles"),
+    ("split_assign", "pure scan-time column algebra: zero exchanges"),
+    ("stratified_sample", "one window per stratum: a single hash exchange on lang"),
+    ("salted_join", "skew salt on a pre-projected fact side: ReadSchema stays 4 columns"),
 ]
 
 
