@@ -14,6 +14,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     llm_queries,
     llm_queries2,
     llm_queries3,
+    quality_queries,
     relational,
     relational2,
     relational3,
@@ -39,6 +40,7 @@ _MODULES = [
     llm_queries,
     llm_queries2,
     llm_queries3,
+    quality_queries,
     streaming_queries,
 ]
 
@@ -55,8 +57,8 @@ _MODULES = [
 # delta_count, q11_important_parts, q13_customer_distribution,
 # q15_top_supplier, q16_supplier_counts, q17_small_quantity,
 # q18_large_orders, q20_excess_shippers, q21_waiting_suppliers,
-# media_resize, media_frames, media_features — put those (plus any
-# round-2 reds) first next round.
+# media_resize, media_frames, media_features, profile_docs, dq_checks,
+# dq_unique — put those (plus any round-2 reds) first next round.
 _VERIFY_FIRST = [
     # round-1 failures, fixed — re-verify before anything else
     "json_extract",
