@@ -179,7 +179,9 @@ def cmd_compact(args) -> int:
         # otherwise uncompactable) table must not abort the rest of the
         # maintenance run
         try:
-            before = sink.compact(spark, table, target_files=args.files)
+            before = sink.compact(
+                spark, table, target_files=args.files, cluster_by=args.cluster_by
+            )
         except Exception as e:
             failed += 1
             print(f"compact: {table}: FAILED: {e}")
@@ -220,6 +222,10 @@ def main(argv: list[str] | None = None) -> int:
     p5.add_argument("--target", required=True)
     p5.add_argument("--files", type=int, default=8)
     p5.add_argument("--tables", nargs="*", default=None)
+    p5.add_argument(
+        "--cluster-by", nargs="*", default=None,
+        help="range-cluster the rewrite on these columns (prunable footers)",
+    )
     p5.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)

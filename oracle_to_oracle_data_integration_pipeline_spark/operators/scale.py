@@ -81,3 +81,25 @@ def bucketed_join_ready(spark: SparkSession, a: str, b: str) -> DataFrame:
     """Read two bucketed tables for a co-located join (no exchange on
     either side when bucket specs match)."""
     return spark.table(a), spark.table(b)  # type: ignore[return-value]
+
+
+def cluster_by_range(df: DataFrame, cols: list[str], num_files: int = 8) -> DataFrame:
+    """Range-cluster rows so each output file's parquet footer carries
+    a NARROW, mostly-disjoint min/max range on ``cols`` — the data
+    layout that makes selective filters skip whole row groups/files at
+    scan time (the open-table-format "OPTIMIZE ZORDER/cluster by"
+    effect, for the single-dimension case, with nothing but Spark
+    built-ins).
+
+    One range exchange (Spark samples the columns to build balanced
+    range bounds) + an in-partition sort; write the result with
+    ``.write.parquet``. At 100 TB this is the difference between a
+    timestamp-predicate scan touching every file and touching the few
+    files whose range overlaps — row groups elsewhere are skipped from
+    footer stats alone, before any column data is read. For multi-
+    column locality use an interleaved key or a space-filling curve;
+    range clustering on the dominant filter column is the 80% win.
+    """
+    return df.repartitionByRange(num_files, *[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
+    )

@@ -88,6 +88,7 @@ class ParquetSink:
         table: str,
         target_files: int,
         sort_within_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Rewrite a table directory to ``target_files`` right-sized
         files (the maintenance job every append-heavy pipeline needs).
@@ -128,7 +129,18 @@ class ParquetSink:
             # read INSIDE the lock: a merge swapping the directory after
             # this file listing would leave the compact writing from a
             # stale (rmtree'd) file index
-            df = spark.read.parquet(path).repartition(target_files)
+            df = spark.read.parquet(path)
+            if cluster_by:
+                # recluster while rewriting: footer min/max ranges come
+                # out narrow/disjoint so future selective scans prune
+                # row groups (operators/scale.py cluster_by_range)
+                from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+                    cluster_by_range,
+                )
+
+                df = cluster_by_range(df, cluster_by, num_files=target_files)
+            else:
+                df = df.repartition(target_files)
             if sort_within_by:
                 df = df.sortWithinPartitions(*sort_within_by)
             df.write.mode("overwrite").parquet(tmp)

@@ -95,3 +95,30 @@ def test_table_write_lock_reentrant_same_thread(tmp_path):
         released_at = time.monotonic()
     t.join(timeout=5)
     assert blocked_until and blocked_until[0] >= released_at
+
+
+def test_compact_cluster_by_produces_prunable_layout(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.parquet import ParquetSink
+
+    sink = ParquetSink(str(tmp_path))
+    df = spark.range(0, 40_000).selectExpr("id AS k", "id * 3 AS v")
+    # simulate fragmented appends in random key order
+    for i in range(4):
+        df.filter((F.col("k") % 4) == i).write.mode("append").parquet(
+            str(tmp_path / "t")
+        )
+    sink.compact(spark, "t", target_files=4, cluster_by=["k"])
+    path = str(tmp_path / "t")
+    ranges = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            st = md.row_group(0).column(0).statistics
+            ranges.append((st.min, st.max))
+    ranges.sort()
+    # disjoint consecutive ranges == prunable layout
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert spark.read.parquet(path).count() == 40_000

@@ -61,3 +61,47 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert joined.count() == 1000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cluster_by_range_prunable_footers(spark, tmp_path):
+    """Range clustering must produce parquet files whose footer min/max
+    ranges are narrow and mostly disjoint — the property row-group
+    skipping prunes on. An unclustered (hash-shuffled) layout makes
+    every file overlap every filter; the clustered one overlaps few."""
+    import pyarrow.parquet as pq
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        cluster_by_range,
+    )
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+
+    clustered = str(tmp_path / "clustered")
+    baseline = str(tmp_path / "baseline")
+    cluster_by_range(df, ["k"], num_files=8).write.parquet(clustered)
+    df.repartition(8).write.parquet(baseline)  # round-robin: every file spans ~full range
+
+    def overlaps(path, lo, hi):
+        import os
+        n = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                if st.min <= hi and st.max >= lo:
+                    n += 1
+        return n
+
+    # a 5%-selectivity range: clustered layout -> at most 2 of 8 files
+    # overlap; round-robin layout -> every file overlaps
+    assert overlaps(clustered, 10_000, 15_000) <= 2
+    assert overlaps(baseline, 10_000, 15_000) == 8
+
+    # results identical regardless of layout
+    a = spark.read.parquet(clustered).filter("k between 10000 and 15000").count()
+    b = spark.read.parquet(baseline).filter("k between 10000 and 15000").count()
+    assert a == b == 5001
