@@ -98,14 +98,65 @@ FROM p
 """
 
 
+# -- qid: embed_quantize ----------------------------------------------
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embeddings table, summarized
+    per vector as (first quantized value, max reconstruction error) —
+    scalars, because raw arrays break the driver canonicalizer."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e).join(e.select("vec_id", "embedding"), "vec_id")
+    err = F.array_max(
+        F.zip_with(
+            "qvec",
+            "embedding",
+            lambda qi, xi: F.abs(qi.cast("double") / F.col("scale") - xi),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.element_at("qvec", 1).alias("q0"),
+        F.when(F.col("scale") > 0, F.round(err, 6)).otherwise(F.lit(0.0)).alias("max_abs_err"),
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding,
+         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(embedding[1] * scale + 0.5) AS INT) AS q0,
+       -- the lambda result list coerces to FLOAT (the input list type);
+       -- cast back to DOUBLE before rounding or round() returns FLOAT
+       CASE WHEN scale > 0 THEN round(CAST(list_max(list_transform(
+           embedding,
+           x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - CAST(x AS DOUBLE)))) AS DOUBLE), 6)
+            ELSE 0.0 END AS max_abs_err
+FROM q
+"""
+
+
 QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
+    "embed_quantize": q_embed_quantize,
 }
 
 ORACLE_SQL = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_features": SQL_MEDIA_FEATURES,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
 }

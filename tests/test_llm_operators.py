@@ -302,3 +302,23 @@ def test_connected_components_string_ids(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["d1", "d2"])
     out = {r["doc_id"]: r["comp"] for r in connected_components(edges, id_col="doc_id").collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_quantize_embeddings_invariants(spark):
+    """int8 range respected, dequant error bounded by 0.5/scale, zero
+    vectors quantize to zeros with scale 0."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [64, -127, 32]  # scale = 127
+    assert abs(rows[1]["scale"] - 127.0) < 1e-9
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    # reconstruction error bound
+    for qi, xi in zip(rows[1]["qvec"], [0.5, -1.0, 0.25]):
+        assert abs(qi / 127.0 - xi) <= 0.5 / 127.0 + 1e-9
