@@ -194,7 +194,46 @@ FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
 """
 
 
+# -- qid: scd2_history ------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from two simulated CDC batches:
+    batch 1 = all orders at o_orderdate; batch 2 = every 7th order
+    re-statused 30 days later. Every version keeps [valid_from,
+    valid_to) + is_current (operators/scd.py)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scd import (
+        scd2_from_versions,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    b1 = o.select("o_orderkey", "o_orderstatus", F.col("o_orderdate").alias("ts"))
+    b2 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        )
+    )
+    return scd2_from_versions(b1.unionByName(b2), ["o_orderkey"], "ts")
+
+
+SQL_SCD2_HISTORY = """
+WITH v AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate AS ts FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'X', o_orderdate + INTERVAL 30 DAY FROM orders
+  WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, o_orderstatus, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) IS NULL AS is_current
+FROM v
+"""
+
+
 QUERIES = {
+    "scd2_history": q_scd2_history,
     "change_ts": q_change_ts,
     "delta_filter": q_delta_filter,
     "watermark_max": q_watermark_max,
@@ -204,6 +243,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scd2_history": SQL_SCD2_HISTORY,
     "change_ts": SQL_CHANGE_TS,
     "delta_filter": SQL_DELTA_FILTER,
     "watermark_max": SQL_WATERMARK_MAX,
