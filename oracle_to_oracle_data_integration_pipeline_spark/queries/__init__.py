@@ -58,7 +58,7 @@ _MODULES = [
 # q15_top_supplier, q16_supplier_counts, q17_small_quantity,
 # q18_large_orders, q20_excess_shippers, q21_waiting_suppliers,
 # media_resize, media_frames, media_features, profile_docs, dq_checks,
-# dq_unique, embed_quantize, scd2_history — put those (plus any round-2
+# dq_unique, embed_quantize, scd2_history, rollup_refresh — put those (plus any round-2
 # reds) first next round.
 _VERIFY_FIRST = [
     # round-1 failures, fixed — re-verify before anything else

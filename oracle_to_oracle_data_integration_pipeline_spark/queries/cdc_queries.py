@@ -232,8 +232,42 @@ FROM v
 """
 
 
+# -- qid: rollup_refresh ----------------------------------------------
+
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh: build the rollup from
+    events before Jan 15, merge in the rest as a delta — the oracle is
+    the full rebuild, which IS the operator's correctness invariant
+    (operators/rollup.py)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.rollup import (
+        rollup_build,
+        rollup_refresh,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cut = "2024-01-15"
+    state = rollup_build(ev.filter(F.col("ts") < cut), ["event_type"], ["value"])
+    refreshed = rollup_refresh(
+        state, ev.filter(F.col("ts") >= cut), ["event_type"], ["value"]
+    )
+    return refreshed.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "n_rows",
+    )
+
+
+SQL_ROLLUP_REFRESH = """
+SELECT event_type,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
+    "rollup_refresh": q_rollup_refresh,
     "change_ts": q_change_ts,
     "delta_filter": q_delta_filter,
     "watermark_max": q_watermark_max,
@@ -244,6 +278,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
+    "rollup_refresh": SQL_ROLLUP_REFRESH,
     "change_ts": SQL_CHANGE_TS,
     "delta_filter": SQL_DELTA_FILTER,
     "watermark_max": SQL_WATERMARK_MAX,
