@@ -316,6 +316,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph by min-label
     propagation: the canonical last step of a dedup pipeline (pair
@@ -327,10 +328,16 @@ def connected_components(
     part of the LLM-data surface built beyond it (see SURVEY.md §2.12).
 
     Algorithm: every node starts labeled with its own id; each round,
-    every node takes the min label among itself and its neighbors;
-    fixpoint = components labeled by their minimum member id. Rounds
-    needed = graph eccentricity of each component's min node — dedup
-    components are near-cliques, so 2-4 rounds in practice.
+    every node takes the min label among itself and its neighbors,
+    then (``shortcut=True``) pointer-jumps: ``comp(v) ← comp(comp(v))``.
+    The label a node holds is always the id of some node in its own
+    component (both steps preserve it), and the jump doubles how far
+    the minimum has propagated — convergence in O(log diameter) rounds
+    instead of O(diameter), the standard defense against adversarial
+    long-path graphs (the alternative large-star/small-star shape has
+    the same O(log n) bound and the same per-round join cost).
+    Fixpoint = components labeled by their minimum member id; dedup
+    components are near-cliques, so 2-4 rounds in practice either way.
 
     100 TB design:
     - Each round is ONE shuffle join (labels keyed by node id against
@@ -340,10 +347,12 @@ def connected_components(
     - ``localCheckpoint(eager=True)`` after every round truncates
       lineage so the plan stays O(1) per round instead of growing
       exponentially (the classic iterative-DataFrame trap).
-    - For adversarial diameters (long path graphs) swap the body for
-      large-star/small-star (O(log n) rounds, same join shape); dedup
-      graphs never need it, and ``max_iter`` guards the cliff —
-      RuntimeError beats a silently-partial labeling.
+    - The shortcut join is keyed by the label value — skewed toward
+      component minima as convergence nears, which AQE's skew split
+      handles; disable it (``shortcut=False``) only for tiny
+      near-clique graphs where the extra join outweighs the saved
+      rounds. ``max_iter`` still guards the cliff — RuntimeError beats
+      a silently-partial labeling.
 
     Returns one row per node: (``id_col``, comp) where comp is the min
     node id in the component. Singletons label themselves.
@@ -388,12 +397,20 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
             .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
         )
-        labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
+        labels = labels.union(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        if shortcut:
+            # pointer jumping: comp(v) <- comp(comp(v)). comp values are
+            # node ids, so the self-join resolves; coalesce is a guard
+            # for nodes whose label left the node set (cannot happen,
+            # but NULLing a label would silently corrupt components)
+            l2 = labels.select(
+                F.col("id").alias("__cid"), F.col("comp").alias("__comp2")
+            )
+            labels = (
+                labels.join(l2, labels["comp"] == l2["__cid"], "left")
+                .select("id", F.coalesce("__comp2", "comp").alias("comp"))
+            )
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             return labels.select(F.col("id").alias(id_col), "comp")

@@ -322,3 +322,18 @@ def test_quantize_embeddings_invariants(spark):
     # reconstruction error bound
     for qi, xi in zip(rows[1]["qvec"], [0.5, -1.0, 0.25]):
         assert abs(qi / 127.0 - xi) <= 0.5 / 127.0 + 1e-9
+
+
+def test_connected_components_long_path_needs_shortcut(spark):
+    """A 120-node path has diameter 119: plain propagation cannot
+    converge in 12 rounds, pointer-jumping does (O(log d))."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(119)], ["d1", "d2"])
+    out = connected_components(edges, max_iter=12, shortcut=True)
+    comps = {r["comp"] for r in out.collect()}
+    assert comps == {0}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=12, shortcut=False)
