@@ -37,3 +37,48 @@ def test_refresh_chains_and_new_keys(spark):
     state = rollup_refresh(state, b3, ["k"], ["v"])
     out = {r["k"]: (float(r["sum_v"]), r["n_rows"]) for r in state.collect()}
     assert out == {1: (6.5, 3), 9: (6.0, 2)}
+
+
+def test_streaming_foreachbatch_rollup_equals_rebuild(spark, tmp_path):
+    """The rollup composes with Structured Streaming: a foreachBatch
+    sink maintaining rollup state over micro-batches ends exactly equal
+    to the batch rebuild over all the data."""
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 0.5).alias("v")
+    )
+    # three separate files -> up to three micro-batches
+    for i in range(3):
+        df.filter(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    state = {"df": None}
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.localCheckpoint(eager=True)
+        if state["df"] is None:
+            state["df"] = rollup_build(batch, ["k"], ["v"]).localCheckpoint(eager=True)
+        else:
+            state["df"] = rollup_refresh(
+                state["df"], batch, ["k"], ["v"]
+            ).localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+    got = _canon(state["df"].withColumnRenamed("sum_v", "sum_v"))
+    want = _canon(rollup_build(df, ["k"], ["v"]))
+    assert got == want
