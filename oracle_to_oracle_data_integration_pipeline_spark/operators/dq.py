@@ -68,7 +68,11 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     n_violations) with every rule evaluated in the same single
     aggregation pass."""
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        # coalesce: sum() over zero rows is NULL — an empty table has 0
+        # violations, and a gate asserting n_violations == 0 must pass
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(name)
         for name, pred in rules.items()
     ]
     row = df.agg(*aggs)

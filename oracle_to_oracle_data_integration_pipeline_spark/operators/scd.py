@@ -50,17 +50,28 @@ def scd2_apply(hist: DataFrame, delta: DataFrame, pk: list[str], ts_col: str) ->
     key (pre-collapse multi-version batches with
     ``scd2_from_versions``-style ordering or ``latest_per_key``).
 
-    Stale delta versions (ts <= the key's open ``valid_from``) violate
-    the forward-only CDC contract and raise rather than silently
-    corrupting intervals.
+    Stale delta versions (ts <= the key's open ``valid_from``) and
+    NULL-ts delta rows violate the forward-only CDC contract and raise
+    rather than silently corrupting intervals (a NULL ts would slip
+    past the stale guard, leave the old row current AND append a second
+    current row for the same key).
     """
+    if not delta.filter(F.col(ts_col).isNull()).isEmpty():
+        raise ValueError(
+            "scd2_apply: delta contains NULL-ts rows — every version needs "
+            "a change timestamp to place it on the validity timeline"
+        )
     d = delta.select(
         *[F.col(c).alias(f"__d_{c}") for c in pk],
         F.col(ts_col).alias("__d_ts"),
     )
     on = [F.col(c) == F.col(f"__d_{c}") for c in pk]
     open_rows = hist.filter(F.col("is_current"))
-    joined = open_rows.join(d, on, "left")
+    # localCheckpoint: the stale probe below and the returned plan both
+    # consume this join — materialize it once instead of executing the
+    # open-slice join twice per microbatch (same double-execution class
+    # MergeResult.persist_shared solves for the CDC merge)
+    joined = open_rows.join(d, on, "left").localCheckpoint()
     stale = joined.filter(
         F.col("__d_ts").isNotNull() & (F.col("__d_ts") <= F.col("valid_from"))
     )

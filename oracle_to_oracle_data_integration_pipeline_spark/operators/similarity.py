@@ -360,6 +360,7 @@ def quantize_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = 8,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Symmetric per-vector integer quantization of an embedding
     column: scale = (2^(bits-1)-1) / max|x|, q_i = floor(x_i·scale
@@ -372,7 +373,9 @@ def quantize_embeddings(
     but floor is floor everywhere.
 
     Output: (id_col, qvec array<int>, scale double) — dequantize with
-    q_i / scale.
+    q_i / scale. ``keep_vec=True`` carries the source vector column
+    through, so callers needing both (e.g. reconstruction-error audits)
+    stay a single zero-shuffle projection instead of joining back.
     """
     qmax = float(2 ** (bits - 1) - 1)
     maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
@@ -380,10 +383,12 @@ def quantize_embeddings(
     q = F.transform(
         F.col(vec_col), lambda x: F.floor(x * F.col("__scale__") + F.lit(0.5)).cast("int")
     )
+    keep = [vec_col] if keep_vec else []
     return (
         df.withColumn("__scale__", scale)
         .select(
             id_col,
+            *keep,
             q.alias("qvec"),
             F.col("__scale__").alias("scale"),
         )

@@ -79,6 +79,19 @@ def dsum(col: Column, round_to: int = 2) -> Column:
     return F.round(F.sum(col.cast("decimal(24,6)")), round_to).cast("double")
 
 
+def pround(col: Column, round_to: int = 6) -> Column:
+    """Portable half-up rounding of a non-negative double:
+    ``floor(x·10^r + 0.5) / 10^r``. SQL ``round()`` on a raw double is
+    engine-specific at the .5 boundary (Spark rounds the exact decimal
+    expansion HALF_UP; DuckDB multiplies then std::round), so a value
+    within 1 ulp of a boundary can flip the driver's value hash. floor
+    is floor everywhere.
+    SQL twin: floor(x * 1e6 + 0.5) / 1e6 (adjust the power to r).
+    """
+    p = F.lit(float(10**round_to))
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def davg(col: Column, round_to: int = 6) -> Column:
     """Order-independent average via the decimal-sum path.
     SQL twin: round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(x), r).

@@ -246,10 +246,15 @@ def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
     cut = "2024-01-15"
-    state = rollup_build(ev.filter(F.col("ts") < cut), ["event_type"], ["value"])
-    refreshed = rollup_refresh(
-        state, ev.filter(F.col("ts") >= cut), ["event_type"], ["value"]
+    # split on one predicate and its NEGATION: `ts < cut` vs
+    # `ts >= cut` would both be false for a NULL ts, silently dropping
+    # the row from state AND delta while the full-rebuild oracle (no ts
+    # filter) still counts it
+    recent = F.col("ts") >= cut
+    state = rollup_build(
+        ev.filter(~F.coalesce(recent, F.lit(False))), ["event_type"], ["value"]
     )
+    refreshed = rollup_refresh(state, ev.filter(recent), ["event_type"], ["value"])
     return refreshed.select(
         "event_type",
         F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),

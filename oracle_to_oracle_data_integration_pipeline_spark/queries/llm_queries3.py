@@ -21,7 +21,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal impor
     resize_media,
     sample_frames,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, pround
 
 
 # -- qid: media_resize ------------------------------------------------
@@ -81,19 +81,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feat.select(
         "doc_id",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.sqrt(sq_sum), 6).alias("f_norm"),
+        pround(F.element_at("features", 1), 6).alias("f0"),
+        pround(F.sqrt(sq_sum), 6).alias("f_norm"),
     )
 
 
 SQL_MEDIA_FEATURES = """
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id,
-       round(CAST(n % 97 AS DOUBLE) / 97.0, 6) AS f0,
-       round(sqrt(list_sum(list_transform(
+       floor(CAST(n % 97 AS DOUBLE) / 97.0 * 1e6 + 0.5) / 1e6 AS f0,
+       floor(sqrt(list_sum(list_transform(
            generate_series(1, 8),
            i -> (CAST((n * i) % 97 AS DOUBLE) / 97.0)
-                * (CAST((n * i) % 97 AS DOUBLE) / 97.0)))), 6) AS f_norm
+                * (CAST((n * i) % 97 AS DOUBLE) / 97.0)))) * 1e6 + 0.5) / 1e6 AS f_norm
 FROM p
 """
 
@@ -109,7 +109,10 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    q = quantize_embeddings(e).join(e.select("vec_id", "embedding"), "vec_id")
+    # keep_vec: reconstruction error needs qvec AND the source vector —
+    # carrying it through keeps this one zero-shuffle projection (no
+    # join-back, no second scan / HOF re-evaluation)
+    q = quantize_embeddings(e, keep_vec=True)
     err = F.array_max(
         F.zip_with(
             "qvec",
@@ -120,7 +123,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         F.element_at("qvec", 1).alias("q0"),
-        F.when(F.col("scale") > 0, F.round(err, 6)).otherwise(F.lit(0.0)).alias("max_abs_err"),
+        # pround, not round(): portable half-up on a raw double (see
+        # _util.pround — round() is engine-specific at the .5 boundary)
+        F.when(F.col("scale") > 0, pround(err, 6)).otherwise(F.lit(0.0)).alias("max_abs_err"),
     )
 
 
@@ -138,10 +143,12 @@ q AS (
 SELECT vec_id,
        CAST(floor(embedding[1] * scale + 0.5) AS INT) AS q0,
        -- the lambda result list coerces to FLOAT (the input list type);
-       -- cast back to DOUBLE before rounding or round() returns FLOAT
-       CASE WHEN scale > 0 THEN round(CAST(list_max(list_transform(
+       -- cast back to DOUBLE first. floor(x*1e6+0.5)/1e6 (not round):
+       -- portable half-up — round() on a double is engine-specific at
+       -- the .5 boundary (see queries/_util.pround)
+       CASE WHEN scale > 0 THEN floor(CAST(list_max(list_transform(
            embedding,
-           x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - CAST(x AS DOUBLE)))) AS DOUBLE), 6)
+           x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - CAST(x AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS max_abs_err
 FROM q
 """

@@ -142,7 +142,12 @@ class ParquetSink:
             else:
                 df = df.repartition(target_files)
             if sort_within_by:
-                df = df.sortWithinPartitions(*sort_within_by)
+                # keep the cluster columns as the sort prefix: a bare
+                # sortWithinPartitions(sort_within_by) would REPLACE the
+                # range-cluster's in-partition order and widen the
+                # per-row-group min/max stats the clustering exists to
+                # narrow — secondary keys sort within each cluster key
+                df = df.sortWithinPartitions(*(cluster_by or []), *sort_within_by)
             df.write.mode("overwrite").parquet(tmp)
             old = path + "__compact_old"
             os.rename(path, old)

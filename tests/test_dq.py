@@ -37,6 +37,17 @@ def test_check_rules_counts(spark):
     assert out == {"nonpositive": 2, "is_null": 1}
 
 
+def test_check_rules_empty_input_zero_not_null(spark):
+    """sum() over zero rows is NULL — an empty table (routine for a
+    delta/partition validation pass) must report 0 violations so a
+    `== 0` gate passes."""
+    df = spark.createDataFrame([], "x int")
+    out = {r["rule"]: r["n_violations"] for r in check_rules(
+        df, {"nonpositive": F.col("x") <= 0}
+    ).collect()}
+    assert out == {"nonpositive": 0}
+
+
 def test_check_unique_empty_when_unique(spark):
     df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "a int, b int")
     assert check_unique(df, ["a", "b"]).count() == 0

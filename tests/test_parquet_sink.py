@@ -122,3 +122,23 @@ def test_compact_cluster_by_produces_prunable_layout(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
     assert spark.read.parquet(path).count() == 40_000
+
+
+def test_compact_cluster_by_composes_with_sort_within_by(spark, tmp_path):
+    """sort_within_by must SORT WITHIN the cluster keys, not replace
+    them — a bare secondary sort would shuffle the range-cluster's
+    in-file order and widen the row-group stats clustering exists to
+    narrow."""
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.parquet import ParquetSink
+
+    sink = ParquetSink(str(tmp_path))
+    # v is uncorrelated with k: sorting by v alone destroys k order
+    spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v").write.mode(
+        "append"
+    ).parquet(str(tmp_path / "t2"))
+    sink.compact(spark, "t2", target_files=2, cluster_by=["k"], sort_within_by=["v"])
+    path = str(tmp_path / "t2")
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            ks = [r["k"] for r in spark.read.parquet(os.path.join(path, f)).collect()]
+            assert ks == sorted(ks), f"cluster order lost in {f}"

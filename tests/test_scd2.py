@@ -58,3 +58,13 @@ def test_scd2_apply_rejects_stale_delta(spark):
     stale = _mk(spark, [(1, "old", _ts(3))])
     with pytest.raises(ValueError, match="forward"):
         scd2_apply(hist, stale, ["k"], "ts")
+
+
+def test_scd2_apply_rejects_null_ts_delta(spark):
+    """A NULL-ts delta row would slip past the stale guard and leave
+    TWO current rows for the key — it must raise instead."""
+    b1 = _mk(spark, [(1, "a", _ts(5))])
+    hist = scd2_from_versions(b1, ["k"], "ts")
+    bad = _mk(spark, [(1, "b", None)])
+    with pytest.raises(ValueError, match="NULL-ts"):
+        scd2_apply(hist, bad, ["k"], "ts")
