@@ -154,11 +154,92 @@ FROM q
 """
 
 
+# -- qid: chunk_docs --------------------------------------------------
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (20-token chunks, 5-token overlap) —
+    pure HOF expression pipeline, no shuffle, no UDF
+    (operators/chunking.py)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=20, overlap=5)
+
+
+SQL_CHUNK_DOCS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 20 THEN 1
+              ELSE CAST(ceil((len(toks) - 20) / 15.0) AS INT) + 1 END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20)) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20), ' ') AS chunk_text
+FROM c
+"""
+
+
+# -- qid: pack_sequences ----------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split packing of documents into 256-token training
+    sequences, sharded by source so no global ordering exists
+    (operators/chunking.py pack_sequences)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, "n_tokens", capacity=256, shard_cols=["source"], order_cols=["doc_id"]
+    )
+    # "offset" is a reserved word in DuckDB — alias for the oracle twin
+    return packed.select(
+        "doc_id", "source", F.col("offset").alias("tok_offset"), "seq_id", "spill_tokens"
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, source, tok_offset,
+       CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_id,
+       CAST(greatest(0, (tok_offset % 256) + n_tokens - 256) AS BIGINT) AS spill_tokens
+FROM o
+"""
+
+
 QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "embed_quantize": q_embed_quantize,
+    "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -166,4 +247,6 @@ ORACLE_SQL = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_features": SQL_MEDIA_FEATURES,
     "embed_quantize": SQL_EMBED_QUANTIZE,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
