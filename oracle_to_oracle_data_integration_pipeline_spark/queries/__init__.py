@@ -14,6 +14,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     llm_queries,
     llm_queries2,
     llm_queries3,
+    llm_queries4,
     quality_queries,
     relational,
     relational2,
@@ -40,6 +41,7 @@ _MODULES = [
     llm_queries,
     llm_queries2,
     llm_queries3,
+    llm_queries4,
     quality_queries,
     streaming_queries,
 ]
@@ -58,7 +60,9 @@ _MODULES = [
 # q15_top_supplier, q16_supplier_counts, q17_small_quantity,
 # q18_large_orders, q20_excess_shippers, q21_waiting_suppliers,
 # media_resize, media_frames, media_features, profile_docs, dq_checks,
-# dq_unique, embed_quantize, scd2_history, rollup_refresh — put those (plus any round-2
+# dq_unique, embed_quantize, scd2_history, rollup_refresh, chunk_docs,
+# pack_sequences, passage_dedup, semantic_dedup, mixture_sample,
+# budget_select, dedup_incremental — put those (plus any round-2
 # reds) first next round.
 _VERIFY_FIRST = [
     # round-1 failures, fixed — re-verify before anything else

@@ -1,0 +1,241 @@
+"""Corpus-curation qids: passage dedup, semantic dedup, mixture
+sampling, budget selection, incremental dedup (operators/curation.py).
+
+Each qid has a DuckDB oracle twin that mirrors the algorithm step for
+step (same block quantization, same centroid convention, same md5
+bucketing, same rounding points) so the driver's value-hash compare is
+exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries.llm_queries import _STOPWORDS_SQL
+
+
+# -- qid: passage_dedup -----------------------------------------------
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-passage removal at 8-token block
+    granularity (Lee et al. 2022 shape); canonical first occurrence
+    wins."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import passage_dedup
+
+    return passage_dedup(load(spark, sf_dir, "documents"), block_tokens=8)
+
+
+SQL_PASSAGE_DEDUP = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 8 THEN 1
+              ELSE CAST(ceil((len(toks) - 8) / 8.0) AS INT) + 1 END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+),
+b AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         array_to_string(list_slice(toks, chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS chunk_text
+  FROM c
+),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS occ
+  FROM b
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_blocks,
+       CAST(count(*) FILTER (occ = 1) AS INT) AS n_kept,
+       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (occ = 1), '') AS clean_text
+FROM f GROUP BY doc_id
+"""
+
+
+# -- qid: semantic_dedup ----------------------------------------------
+
+SEMDEDUP_COS = 0.4  # same fixture-calibrated threshold as embed_neardup
+SEMDEDUP_CELLS = 8
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-centroid-cell near-duplicate marking — pair
+    scoring never leaves a cell, so it cannot go quadratic in the
+    corpus."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), SEMDEDUP_COS, n_cells=SEMDEDUP_CELLS
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+  FROM e ORDER BY vec_id LIMIT {SEMDEDUP_CELLS}
+),
+assign AS (
+  SELECT vec_id, v, vn, cid FROM (
+    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS vn, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                            / (sqrt(list_dot_product(e.v, e.v)) * cent.cn), 6) DESC,
+                      cent.cid
+           ) AS r
+    FROM e, cent
+  ) WHERE r = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= {SEMDEDUP_COS}
+)
+SELECT a.vec_id, a.cid,
+       (a.vec_id NOT IN (SELECT vec_id FROM dups)) AS kept
+FROM assign a
+"""
+
+
+# -- qid: mixture_sample ----------------------------------------------
+
+MIXTURE_BUDGET = 8000  # ~30% of the sf0.01 corpus token total
+_UPWEIGHTED = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: five upweighted (3×) sources, the
+    rest at weight 1, deterministic md5-ppm Bernoulli per doc."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import mixture_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    out = mixture_sample(
+        d, {s: 3.0 for s in _UPWEIGHTED}, MIXTURE_BUDGET
+    )
+    return out.select("doc_id", "source", "n_tokens", "rate_ppm")
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+         CASE WHEN source IN {_UPWEIGHTED} THEN 3.0 ELSE 1.0 END AS w
+  FROM t GROUP BY source
+),
+r AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               CAST(floor((w / (SELECT sum(w) FROM a)) * {MIXTURE_BUDGET}.0
+                          * 1000000.0 / avail) AS BIGINT)) AS rate_ppm
+  FROM a
+)
+SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm
+FROM t JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      < r.rate_ppm
+"""
+
+
+# -- qid: budget_select -----------------------------------------------
+
+SELECT_BUDGET = 8000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold selection to a token budget via score
+    histogram — no global sort of the corpus."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import budget_select
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import quality_score
+
+    scored = quality_score(load(spark, sf_dir, "documents"))
+    out = budget_select(scored, "quality", SELECT_BUDGET)
+    return out.select("doc_id", "n_tokens", "quality", "score_bucket", "bucket_tokens")
+
+
+SQL_BUDGET_SELECT = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INT) AS n_tokens,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS diversity,
+         CAST(len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) AS DOUBLE) / len(ts) AS sw_ratio,
+         CASE WHEN len(ts) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM toks
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         round((length_ok + diversity + (1.0 - least(sw_ratio * 2, 1.0))) / 3, 6) AS quality
+  FROM feat
+),
+withb AS (
+  SELECT *, CAST(floor(quality * 1000) AS INT) AS score_bucket FROM q
+),
+agg AS (
+  SELECT score_bucket, CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+  FROM withb GROUP BY score_bucket
+),
+kept AS (
+  SELECT score_bucket, bucket_tokens FROM (
+    SELECT *, sum(bucket_tokens) OVER (ORDER BY score_bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM agg
+  ) WHERE cum <= {SELECT_BUDGET}
+)
+SELECT w.doc_id, w.n_tokens, w.quality, w.score_bucket, k.bucket_tokens
+FROM withb w JOIN kept k USING (score_bucket)
+"""
+
+
+# -- qid: dedup_incremental -------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-seen-corpus exact dedup (left-anti on content):
+    overlapping id slices make the anti join non-vacuous on the
+    fixture (docs 200-249 exist in both slices)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import dedup_incremental
+
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 250)
+    seen = d.filter(F.col("doc_id") >= 200)
+    return dedup_incremental(new, seen).select("doc_id", "source", "n_chars")
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT doc_id, source, n_chars
+FROM documents n
+WHERE doc_id < 250
+  AND NOT EXISTS (
+    SELECT 1 FROM documents s WHERE s.doc_id >= 200 AND s.text = n.text
+  )
+"""
+
+
+QUERIES = {
+    "passage_dedup": q_passage_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "mixture_sample": q_mixture_sample,
+    "budget_select": q_budget_select,
+    "dedup_incremental": q_dedup_incremental,
+}
+
+ORACLE_SQL = {
+    "passage_dedup": SQL_PASSAGE_DEDUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "budget_select": SQL_BUDGET_SELECT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+}
