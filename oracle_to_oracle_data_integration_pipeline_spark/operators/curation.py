@@ -282,6 +282,86 @@ def budget_select(
     return with_b.join(F.broadcast(kept_buckets), "score_bucket")
 
 
+def global_order_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic pseudo-random global permutation index 0..N-1 —
+    "shuffle the corpus before training" as a reproducible column, not
+    an order-by. Semantically identical to
+    ``row_number() OVER (ORDER BY md5(id), id) - 1``, but a global
+    window would single-partition 100 TB, so this is the classic
+    two-pass distributed order index:
+
+    1. bucket every row by the first byte(s) of its md5 key
+       (``buckets`` ≤ 65536 histogram cells);
+    2. count rows per bucket — a tiny aggregate — and prefix-sum it
+       into per-bucket offsets (window over ≤``buckets`` rows,
+       driver-scale);
+    3. rank within each bucket in parallel (window keyed by bucket)
+       and add the broadcast bucket offset.
+
+    Because the bucket is a PREFIX of the sort key, ordering by
+    (bucket, key, id) equals ordering by (key, id): the two-pass index
+    is exactly the global rank. Writers then ``repartitionByRange`` on
+    ``out_col`` to lay training shards out in shuffled order.
+
+    Output: input columns + (out_col BIGINT) in [0, N).
+    """
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    ndigits = 4 if buckets > 256 else 2
+    key = F.md5(F.col(id_col).cast("string"))
+    b = df.withColumn("__key__", key).withColumn(
+        "__bucket__",
+        (F.conv(F.substring("__key__", 1, ndigits), 16, 10).cast("int") % buckets),
+    )
+    wb = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("__bucket__")
+        .agg(F.count("*").alias("__n__"))
+        .select(
+            "__bucket__",
+            F.coalesce(F.sum("__n__").over(wb), F.lit(0)).cast("bigint").alias("__off__"),
+        )
+    )
+    win = Window.partitionBy("__bucket__").orderBy("__key__", id_col)
+    return (
+        b.join(F.broadcast(offsets), "__bucket__")
+        .withColumn(out_col, (F.col("__off__") + F.row_number().over(win) - 1).cast("bigint"))
+        .drop("__key__", "__bucket__", "__off__")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency cap: keep at most ``cap`` docs per source, preferring
+    the highest ``order_col`` (ties broken by id) — the guard against
+    any single domain dominating the mixture, complementing
+    ``mixture_sample``'s rate-based reweighting with a hard ceiling.
+
+    Scale: one shuffle keyed by source for a rank-k-per-group window.
+    A pathologically hot source concentrates its rows on one task, but
+    only until rank > cap rows are discarded; for extreme skew,
+    pre-filter with an approximate per-source count and salt the
+    window's sort (two-phase top-k) — not needed at fixture scale.
+
+    Output: kept rows + (domain_rank INT), rank 1 = best in source.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.col(order_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     seen_df: DataFrame,
