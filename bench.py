@@ -60,13 +60,22 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     registry = q.all_queries()
 
+    # Per-qid failure isolation: one broken query must cost ITS number,
+    # not the whole round's bench (r2: a warmup crash produced rc=1 and
+    # an empty BENCH record — a measurement outage, not a measurement).
+    broken: dict[str, str] = {}
+
     # Warmup: run every headline query at the smallest SF first. The
     # first execution of a plan pays JVM JIT + codegen compilation for
     # its expression trees (measured: 28s cold vs 8s warm for the
     # minhash pipeline's 16-hash aggregate + higher-order shingle
     # expressions); the bench measures steady-state execution.
     for qid in HEADLINE:
-        force(registry[qid](spark, "/root/testdata/sf0.001"))
+        try:
+            force(registry[qid](spark, "/root/testdata/sf0.001"))
+        except Exception as e:
+            broken[qid] = f"warmup: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            print(f"bench: {qid} failed in warmup: {broken[qid]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Median of 3 runs per query: this host carries heavy external load
@@ -79,24 +88,37 @@ def main() -> None:
     samples: dict[str, list[float]] = {qid: [] for qid in HEADLINE}
     for _ in range(runs):
         for qid in HEADLINE:
+            if qid in broken:
+                continue
             # several operators persist shared subtrees (minhash verify,
             # merge stats) and leave them cached; 57 executions deep the
             # storage pool is full of dead entries and every query pays
             # eviction+GC. Each timed run starts from a clean cache.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            force(registry[qid](spark, SF_DIR))
+            try:
+                force(registry[qid](spark, SF_DIR))
+            except Exception as e:
+                broken[qid] = f"timed: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                print(f"bench: {qid} failed in timed run: {broken[qid]}", file=sys.stderr)
+                continue
             samples[qid].append(time.perf_counter() - t0)
 
-    timings = {qid: round(sorted(ts)[len(ts) // 2], 3) for qid, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    timings: dict[str, float | None] = {
+        qid: (round(sorted(ts)[len(ts) // 2], 3) if ts else None)
+        for qid, ts in samples.items()
+    }
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    out = {
         "metric": f"headline_total_sf{sf}",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if broken:
+        out["failed"] = broken
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

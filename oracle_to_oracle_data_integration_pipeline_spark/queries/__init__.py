@@ -47,37 +47,28 @@ _MODULES = [
 ]
 
 # The driver's correctness gate evaluates qids in registry (dict) order
-# and stops after ~50; round 1 verified the first 50 and never reached
-# the LLM/streaming/format/partition/catalog/io modules. This list puts
-# the not-yet-driver-verified qids (plus the three round-1 reds, now
-# fixed) in the front window; qids already green in CORRECTNESS_r01.json
-# go last — they stay covered by tests/test_queries_vs_duckdb.py.
-# Rotate per round until every qid has a driver CORRECTNESS row.
-#
-# ROUND-3 ROTATION TODO: the round-2 window (slots 1-50) ends at
-# sink_append; still owed a driver row after round 2: watermark_store,
-# delta_count, q11_important_parts, q13_customer_distribution,
-# q15_top_supplier, q16_supplier_counts, q17_small_quantity,
-# q18_large_orders, q20_excess_shippers, q21_waiting_suppliers,
-# media_resize, media_frames, media_features, profile_docs, dq_checks,
-# dq_unique, embed_quantize, scd2_history, rollup_refresh, chunk_docs,
-# pack_sequences, passage_dedup, semantic_dedup, mixture_sample,
-# budget_select, dedup_incremental — put those (plus any round-2
-# reds) first next round.
+# and stops after ~50. Round 1 verified the first 50; round 2's window
+# covered the LLM/streaming/format/catalog/io front. This ROUND-3
+# window re-verifies the round-2 reds (events.ts type bug, fixed) FIRST,
+# then the 26 qids that have never had a driver CORRECTNESS row —
+# after this round every one of the 123 qids has been driver-checked
+# at least once. Already-green qids go last; they stay covered by
+# tests/test_queries_vs_duckdb.py every round.
 _VERIFY_FIRST = [
-    # round-1 failures, fixed — re-verify before anything else
-    "json_extract",
-    "q12_priority_class",
-    "array_agg",
-    # never-checked modules, highest-value first (every LLM-data op)
-    *llm_queries.QUERIES,
-    *llm_queries2.QUERIES,
-    *streaming_queries.QUERIES,
-    *format_queries.QUERIES,
-    *partition_queries.QUERIES,
-    *catalog_queries.QUERIES,
-    *io_queries.QUERIES,
-    # relational6 qids outside round 1's window (first 4 were checked)
+    # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
+    # fixed via _util.normalize_events_ts — re-verify before anything else
+    "sessionize",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_join",
+    "stream_dedup",
+    # simhash_neardup was rows-only (no_oracle) in r1/r2; now carries a
+    # portable-hash DuckDB oracle — treat as never-verified
+    "simhash_neardup",
+    # the 26 qids still owed a driver row after rounds 1-2
+    "watermark_store",
+    "delta_count",
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -86,6 +77,22 @@ _VERIFY_FIRST = [
     "q18_large_orders",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "media_resize",
+    "media_frames",
+    "media_features",
+    "embed_quantize",
+    "scd2_history",
+    "rollup_refresh",
+    "chunk_docs",
+    "pack_sequences",
+    "passage_dedup",
+    "semantic_dedup",
+    "dedup_incremental",
+    "mixture_sample",
+    "budget_select",
+    "profile_docs",
+    "dq_checks",
+    "dq_unique",
 ]
 
 

@@ -54,12 +54,43 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Schema-drift guard for the events fixture: ``ts`` has shipped as
+    parquet TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and as
+    timestamp[us] (TIMESTAMP_NTZ). Normalize either to a timestamp so
+    every consumer — batch loaders AND readStream sources — sees one
+    type. All events reads must route through here (or ``load``), so
+    the next fixture drift breaks exactly one function.
+
+    Works on streaming DataFrames too (dtypes is resolved from the
+    declared schema, no action triggered).
+
+    Always yields plain TIMESTAMP (not NTZ): withWatermark demands it
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the session timezone is
+    pinned UTC by ``tune`` so the NTZ cast is deterministic.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    if table == "events":
+        df = normalize_events_ts(df)
     return df
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Epoch seconds from a timestamp column of either flavor —
+    ``cast("long")`` is illegal on TIMESTAMP_NTZ; unix_timestamp
+    resolves both (session timezone pinned UTC by ``tune``).
+    SQL twin: date_diff-based arithmetic or epoch(ts)."""
+    return F.unix_timestamp(col)
 
 
 def dsum(col: Column, round_to: int = 2) -> Column:

@@ -99,8 +99,12 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — same
     contract as ngram_jaccard, so it shares the oracle; any LSH recall
     loss (p ≈ 1e-6 per planted pair) would surface as a row-count
-    mismatch."""
-    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    mismatch.
+
+    pin="driver": the fixture pair list is tiny, and driver pinning
+    frees all executor state per call so bench/driver repeat
+    executions stay flat (operators/dedup.py pin docstring)."""
+    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD, pin="driver")
 
 
 # -- qid: dedup_components (pairs -> transitive dedup groups) ---------
@@ -131,10 +135,50 @@ SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id
 """
 
 
-# -- qid: simhash_neardup (rows-only: engine-hash dependent) ----------
+# -- qid: simhash_neardup (portable-hash differential oracle) ---------
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup with ``portable=True``: the token hash is the
+    first 60 bits of md5, which DuckDB reproduces bit-for-bit, so the
+    whole pipeline — hash → sign-sum signature → 15-bit banding →
+    popcount filter — has an exact SQL twin (was rows-only under
+    xxhash64 through round 2)."""
+    return simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# DuckDB twin of the portable simhash pipeline. The per-token hash
+# decodes md5's first 15 hex chars positionally (60 bits, fits BIGINT);
+# integer shifts keep every bit exact (doubles would truncate at 2^53).
+_HEX_H = (
+    "CAST(list_sum(list_transform(generate_series(1, 15), "
+    "i -> CAST(instr('0123456789abcdef', substring(md5(tok), i, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << ((15 - i) * 4)))) AS BIGINT)"
+)
+_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60)
+)
+_SIG_PACK = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+    for b in range(60)
+)
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_HEX_H} AS h FROM tok),
+sums AS (SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({_SIG_PACK} AS BIGINT) AS sig FROM sums),
+bands AS (
+  SELECT doc_id, sig, b AS band_id, (sig >> (b * 15)) & 32767 AS band_val
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # -- qid: text_stats --------------------------------------------------
@@ -380,6 +424,5 @@ ORACLE_SQL = {
     "cosine_topk_lsh": SQL_COSINE_TOPK_LSH,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_meta": SQL_MULTIMODAL,
-    # simhash_neardup: rows-only (xxhash64 token hashing has no
-    # DuckDB twin)
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
 }

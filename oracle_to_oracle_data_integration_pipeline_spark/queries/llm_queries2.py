@@ -220,7 +220,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch twin of session_window; one shuffle on the key)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    # unix_timestamp, not cast("long"): the latter is illegal on
+    # TIMESTAMP_NTZ fixtures (see _util.normalize_events_ts).
+    ts_sec = F.unix_timestamp(F.col("ts"))
+    gap = ts_sec - F.lag(ts_sec, 1).over(w)
     new_s = F.when(gap.isNull() | (gap >= 6 * 3600), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0

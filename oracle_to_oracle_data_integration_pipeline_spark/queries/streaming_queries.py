@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import normalize_events_ts, tune
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -55,14 +55,10 @@ def _drain_events_stream(
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-        schema = spark.read.parquet(path).schema  # bigint ts (nanos)
+        schema = spark.read.parquet(path).schema  # ts dtype varies by fixture vintage
 
         def src() -> DataFrame:
-            return (
-                spark.readStream.schema(schema)
-                .parquet(stream_dir)
-                .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-            )
+            return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
         q = (
             build(src)

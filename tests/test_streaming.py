@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oracle_to_oracle_data_integration_pipeline_spark.plans.pipeline import ParquetTargetStore
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, normalize_events_ts
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.cdc_stream import run_cdc_stream
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
     tumbling_agg,
@@ -48,11 +48,7 @@ def test_stream_equals_batch_tumbling(spark, sf_dir):
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-    )
+    stream = normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = (
         tumbling_agg(stream)
