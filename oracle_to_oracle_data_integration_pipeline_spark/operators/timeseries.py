@@ -1,0 +1,148 @@
+"""Time-series operators over event streams: resample to a fixed grid,
+gap-fill (LOCF / linear interpolation) — the hypertable-rollup
+companion surface (continuous aggregates live in operators/rollup.py).
+
+Reference scope note: the reference (a CDC replication pipeline) has no
+time-series surface; this extends the engine for the events table the
+same way the LLM-data operators extend it for documents (SURVEY.md
+§2.12).
+
+100 TB design:
+- ``resample`` is one shuffle (groupBy key+bucket with map-side
+  combine); the grid synthesis is per-key ``sequence`` + explode —
+  narrow, no shuffle, output rows ≈ span/step per key.
+- The fill pass is one window per key ordered by bucket — the same
+  shuffle the resample already keyed, so AQE/exchange-reuse keeps it to
+  a single exchange end-to-end.
+- Grid explosion is the operator's real scale hazard: a key spanning a
+  year at 1-second steps synthesizes 31M rows. ``max_buckets_per_key``
+  guards it — keys whose span/step exceeds the cap are dropped (with a
+  count available via the ``gap_fill_guard`` helper) rather than
+  silently OOMing an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _step_seconds(step: str) -> int:
+    """'2 hours' → 7200. Calendar steps only (no months/years — those
+    are not fixed-width and need date arithmetic, not a grid)."""
+    n, unit = step.split(" ", 1)
+    return int(n) * _UNIT_SECONDS[unit.rstrip("s")]
+
+
+def resample(
+    df: DataFrame,
+    step: str = "1 hour",
+    key: str = "user_id",
+    ts: str = "ts",
+    agg: Column | None = None,
+    agg_name: str = "v",
+) -> DataFrame:
+    """Aggregate events onto a fixed (key, bucket) grid. Buckets are
+    epoch-aligned (floor(epoch/step)·step — DuckDB ``time_bucket``
+    semantics), so any step width works, not just 1-unit calendar
+    truncations. One shuffle, partial-agg combined map-side."""
+    sec = _step_seconds(step)
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts)) / sec) * sec).cast("long")
+    )
+    agg = agg if agg is not None else F.count(F.lit(1)).cast("long")
+    return df.groupBy(F.col(key), bucket.alias("bucket")).agg(agg.alias(agg_name))
+
+
+def gap_fill_locf(
+    sampled: DataFrame,
+    step: str = "1 hour",
+    key: str = "user_id",
+    value: str = "v",
+    max_buckets_per_key: int | None = 100_000,
+) -> DataFrame:
+    """Densify a resampled series to every step between each key's
+    first and last bucket, forward-filling missing values (LOCF — last
+    observation carried forward, the TimescaleDB ``locf()`` /
+    InfluxDB ``fill(previous)`` semantics).
+
+    Output: key, bucket, <value> (filled), is_gap (1 for synthesized
+    rows). The leading row per key is never a gap (grid starts at the
+    key's own min bucket), so LOCF never emits nulls.
+    """
+    bounds = sampled.groupBy(key).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    if max_buckets_per_key is not None:
+        n_buckets = (
+            F.unix_timestamp("__hi") - F.unix_timestamp("__lo")
+        ) / F.lit(_step_seconds(step))
+        bounds = bounds.filter(n_buckets <= F.lit(max_buckets_per_key))
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(sampled, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        "bucket",
+        F.last(value, ignorenulls=True).over(w).alias(value),
+        F.when(F.col(value).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+def gap_fill_interp(
+    sampled: DataFrame,
+    step: str = "1 hour",
+    key: str = "user_id",
+    value: str = "v",
+) -> DataFrame:
+    """Linear interpolation across gaps (TimescaleDB ``interpolate()``):
+    synthesized buckets get prev + (next - prev) · frac, where frac is
+    the bucket's position inside its gap. Trailing rows after the last
+    observation keep LOCF (no next anchor). Same single-exchange shape
+    as LOCF — the extra window functions ride the same sort."""
+    bounds = sampled.groupBy(key).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(sampled, [key, "bucket"], "left")
+    back = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(value, ignorenulls=True).over(back)
+    next_v = F.first(value, ignorenulls=True).over(fwd)
+    prev_t = F.last(F.when(F.col(value).isNotNull(), F.col("bucket")), ignorenulls=True).over(back)
+    next_t = F.first(F.when(F.col(value).isNotNull(), F.col("bucket")), ignorenulls=True).over(fwd)
+    span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / span
+    interp = F.when(F.col(value).isNotNull(), F.col(value)).otherwise(
+        F.when(next_v.isNull(), prev_v).otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        key,
+        "bucket",
+        interp.alias(value),
+        F.when(F.col(value).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     catalog_queries,
+    clustering_queries,
     format_queries,
     cdc_queries,
     io_queries,
@@ -16,6 +17,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     llm_queries3,
     llm_queries4,
     quality_queries,
+    timeseries_queries,
     relational,
     relational2,
     relational3,
@@ -43,6 +45,8 @@ _MODULES = [
     llm_queries3,
     llm_queries4,
     quality_queries,
+    timeseries_queries,
+    clustering_queries,
     streaming_queries,
 ]
 
@@ -93,6 +97,12 @@ _VERIFY_FIRST = [
     "profile_docs",
     "dq_checks",
     "dq_unique",
+    # round-3 additions (never driver-checked)
+    "gap_fill",
+    "gap_fill_interp",
+    "hll_distinct",
+    "approx_quantiles",
+    "kmeans_assign",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Time-series + sketch qids (SURVEY.md §2.12): resample/gap-fill over
+the events table (operators/timeseries.py) and accuracy-gated sketch
+aggregates (HLL distinct, quantile sketch).
+
+Sketch verification pattern: a sketch's output is engine-specific, so
+the qid emits the EXACT value plus a boolean asserting the sketch
+landed within its guaranteed error bound — computed entirely Spark-side
+— and the oracle recomputes the exact value with a literal-true flag.
+A sketch drifting out of bounds flips the flag and fails the hash
+compare; the exact columns keep the comparison meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+    gap_fill_interp,
+    gap_fill_locf,
+    resample,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load, pround
+
+
+# -- qid: gap_fill (resample + LOCF densify) --------------------------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user activity densified to a full grid with LOCF —
+    the TimescaleDB locf()/InfluxDB fill(previous) shape (operator
+    docstrings in operators/timeseries.py for the 100 TB layout)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
+    return gap_fill_locf(hourly, "1 hour")
+
+
+SQL_GAP_FILL = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS v0
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket, h.v0
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.bucket = g.bucket
+)
+SELECT user_id, bucket,
+       last_value(v0 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+       CASE WHEN v0 IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+"""
+
+
+# -- qid: gap_fill_interp (linear interpolation across gaps) ----------
+
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation variant (TimescaleDB interpolate()):
+    synthesized buckets get prev + (next-prev)·frac; trailing rows fall
+    back to LOCF. Rounded via the portable floor formula on both sides
+    so float tie behavior can't flip the hash."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
+    filled = gap_fill_interp(hourly, "1 hour")
+    return filled.select(
+        "user_id", "bucket", pround(F.col("v")).alias("v"), "is_gap"
+    )
+
+
+SQL_GAP_FILL_INTERP = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS v0
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket, h.v0
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.bucket = g.bucket
+),
+anch AS (
+  SELECT user_id, bucket, v0,
+         last_value(v0 IGNORE NULLS) OVER w_back AS prev_v,
+         first_value(v0 IGNORE NULLS) OVER w_fwd AS next_v,
+         last_value(CASE WHEN v0 IS NOT NULL THEN bucket END IGNORE NULLS) OVER w_back AS prev_t,
+         first_value(CASE WHEN v0 IS NOT NULL THEN bucket END IGNORE NULLS) OVER w_fwd AS next_t
+  FROM j
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd  AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       floor((CASE WHEN v0 IS NOT NULL THEN v0
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v)
+                        * (CAST(epoch(bucket) - epoch(prev_t) AS DOUBLE)
+                           / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE))
+              END) * 1e6 + 0.5) / 1e6 AS v,
+       CASE WHEN v0 IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM anch
+"""
+
+
+# -- qid: hll_distinct (HLL sketch, accuracy-gated) -------------------
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact per event_type.
+    At 100 TB the HLL path is the only sane one — fixed ~kilobytes of
+    state per group, mergeable across partials, vs a full shuffle of
+    distinct keys for the exact count. rsd=0.02 → flag checks ±5%."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+    )
+    ok = (
+        F.abs(F.col("n_hll") - F.col("n_exact"))
+        <= F.col("n_exact") * F.lit(0.05)
+    )
+    return per.select("event_type", "n_exact", ok.cast("int").alias("hll_within_5pct"))
+
+
+SQL_HLL_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS INT) AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+# -- qid: approx_quantiles (quantile sketch, accuracy-gated) ----------
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) vs exact per
+    event_type. accuracy=10000 guarantees rank error ≤ 1e-4; the flag
+    checks the sketch value lies inside the exact [p-0.01, p+0.01]
+    rank envelope — a guaranteed-true bound that still catches a broken
+    sketch. Exact values are the hash-compared payload."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))"
+        ).alias("ex"),
+        F.expr("percentile_approx(value, array(0.5, 0.95), 10000)").alias("ap"),
+    )
+    in_env = (
+        (F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[2])
+        & (F.col("ap")[1] >= F.col("ex")[3]) & (F.col("ap")[1] <= F.col("ex")[5])
+    )
+    return per.select(
+        "event_type",
+        pround(F.col("ex")[1]).alias("p50"),
+        pround(F.col("ex")[4]).alias("p95"),
+        in_env.cast("int").alias("sketch_in_envelope"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+       floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95,
+       CAST(1 AS INT) AS sketch_in_envelope
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "gap_fill": q_gap_fill,
+    "gap_fill_interp": q_gap_fill_interp,
+    "hll_distinct": q_hll_distinct,
+    "approx_quantiles": q_approx_quantiles,
+}
+
+ORACLE_SQL = {
+    "gap_fill": SQL_GAP_FILL,
+    "gap_fill_interp": SQL_GAP_FILL_INTERP,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "approx_quantiles": SQL_APPROX_QUANTILES,
+}
