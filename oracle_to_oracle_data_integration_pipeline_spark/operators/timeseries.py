@@ -8,12 +8,13 @@ same way the LLM-data operators extend it for documents (SURVEY.md
 §2.12).
 
 100 TB design:
-- ``resample`` is one shuffle (groupBy key+bucket with map-side
-  combine); the grid synthesis is per-key ``sequence`` + explode —
-  narrow, no shuffle, output rows ≈ span/step per key.
-- The fill pass is one window per key ordered by bucket — the same
-  shuffle the resample already keyed, so AQE/exchange-reuse keeps it to
-  a single exchange end-to-end.
+- ``resample`` is the only full-data shuffle (groupBy key+bucket with
+  map-side combine) — everything after it runs on the reduced series.
+- The fill pass adds exactly one more hash exchange, keyed by the key
+  alone, and the bounds aggregate, grid ``sequence``+explode synthesis,
+  grid↔series join, and LOCF window ALL ride that one partitioning
+  (verified by tests/test_plans.py: 2 hash exchanges total; the join
+  side broadcasts at small scale via AQE).
 - Grid explosion is the operator's real scale hazard: a key spanning a
   year at 1-second steps synthesizes 31M rows. ``max_buckets_per_key``
   guards it — keys whose span/step exceeds the cap are dropped (with a

@@ -191,3 +191,26 @@ def test_split_assign_no_shuffle(spark, sf_dir):
     """Pure column algebra at scan time: zero exchanges."""
     p = plan_str(spark, sf_dir, "split_assign")
     assert "Exchange" not in p
+
+
+def test_gap_fill_two_hash_exchanges(spark, sf_dir):
+    """Resample shuffles (key,bucket) once; bounds agg + grid synthesis
+    + grid-series join + LOCF window all share ONE (key) exchange
+    (operators/timeseries.py module docstring)."""
+    p = plan_str(spark, sf_dir, "gap_fill")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+
+
+def test_kmeans_assignment_map_only(spark, sf_dir):
+    """The returned assignment runs against literal centroids: zero
+    exchanges — the corpus never shuffles for assignment (the k*dim
+    update shuffle happens inside the pre-executed fit jobs)."""
+    p = plan_str(spark, sf_dir, "kmeans_assign")
+    assert "Exchange" not in p
+
+
+def test_hll_partial_merge_tree(spark, sf_dir):
+    """approx_count_distinct must aggregate partially map-side (the
+    sketch is mergeable state, the whole point at 100 TB)."""
+    p = plan_str(spark, sf_dir, "hll_distinct")
+    assert "partial_approx_count_distinct" in p

@@ -27,6 +27,9 @@ SHOW = [
     ("split_assign", "pure scan-time column algebra: zero exchanges"),
     ("stratified_sample", "one window per stratum: a single hash exchange on lang"),
     ("salted_join", "skew salt on a pre-projected fact side: ReadSchema stays 4 columns"),
+    ("gap_fill", "resample shuffles (key,bucket) once; bounds/grid/join/LOCF-window share one (key) exchange"),
+    ("kmeans_assign", "Lloyd assignment against literalized centroids: zero exchanges, corpus never shuffles"),
+    ("hll_distinct", "mergeable HLL sketch state: partial_approx_count_distinct map-side"),
 ]
 
 
