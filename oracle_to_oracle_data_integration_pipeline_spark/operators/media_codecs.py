@@ -1,0 +1,128 @@
+"""Pure-stdlib media codecs for uncompressed container formats —
+the REAL decode kernel behind operators/multimodal.py for formats that
+need no imaging/audio libraries:
+
+- **BMP** (Windows DIB, BITMAPINFOHEADER, 24bpp uncompressed): full
+  header parse + pixel-raster round-trip via ``struct``.
+- **WAV** (RIFF PCM): fmt-chunk parse — channels, sample rate, bit
+  depth, frame count, duration.
+
+Compressed formats (JPEG/PNG/MP4/...) still require PIL/av and remain
+stubbed in ``multimodal.decode_media`` — but the dispatch, the Spark
+plumbing, and these two decoders are the real path, so the engine's
+media surface is "real kernel for uncompressed formats, documented
+stub for codec-library formats".
+
+Everything is deterministic byte arithmetic, which is what lets the
+media qids carry exact DuckDB oracles: the oracle recomputes the
+header fields the encoder wrote from the same inputs, and the qid only
+passes if the decoder actually parsed them back out of the bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------- BMP
+
+_BMP_FILE_HDR = 14
+_BMP_INFO_HDR = 40
+
+
+def bmp_row_size(width: int, bpp: int = 24) -> int:
+    """Rows are padded to 4-byte boundaries — the detail every naive
+    BMP reader gets wrong."""
+    return ((width * bpp // 8) + 3) // 4 * 4
+
+
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Valid 24bpp bottom-up BMP. ``pixel_bytes`` fills the raster
+    row-major (BGR), truncated / zero-padded to width*height*3."""
+    row = bmp_row_size(width)
+    raster = bytearray()
+    need = width * 3
+    src = pixel_bytes.ljust(width * height * 3, b"\x00")
+    for y in range(height):
+        raster += src[y * need : (y + 1) * need].ljust(row, b"\x00")
+    size = _BMP_FILE_HDR + _BMP_INFO_HDR + len(raster)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_FILE_HDR + _BMP_INFO_HDR)
+    info = struct.pack(
+        "<IiiHHIIiiII", _BMP_INFO_HDR, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return hdr + info + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BITMAPINFOHEADER BMP: dimensions, bpp, raster size.
+    Raises ValueError on anything that is not an uncompressed 24bpp
+    DIB (the honest contract — no silent garbage)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < _BMP_INFO_HDR or compression != 0:
+        raise ValueError("only uncompressed BITMAPINFOHEADER BMPs supported")
+    height_abs = abs(height)
+    raster = len(payload) - data_off
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": height_abs,
+        "bpp": bpp,
+        "n_bytes": len(payload),
+        "raster_bytes": raster,
+    }
+
+
+def bmp_pixels(payload: bytes) -> bytes:
+    """Un-padded row-major pixel bytes (the decode that feeds feature
+    extraction) — inverse of ``encode_bmp`` up to the zero padding."""
+    meta = decode_bmp(payload)
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    row = bmp_row_size(meta["width"], meta["bpp"])
+    need = meta["width"] * meta["bpp"] // 8
+    out = bytearray()
+    for y in range(meta["height"]):
+        start = data_off + y * row
+        out += payload[start : start + need]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- WAV
+
+def encode_wav(
+    pcm: bytes, sample_rate: int = 8000, n_channels: int = 1, bits: int = 16
+) -> bytes:
+    """Valid RIFF/WAVE with a single PCM data chunk."""
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    pcm = pcm[: len(pcm) - len(pcm) % block_align]  # whole frames only
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE PCM: walks chunks (a real reader cannot assume
+    fmt/data adjacency), returns rate/channels/bits/frames/duration."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    meta: dict = {"fmt": "wav"}
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, ch, sr, _br, ba, bits = struct.unpack_from("<HHIIHH", payload, body)
+            if audio_fmt != 1:
+                raise ValueError("only PCM WAV supported (compressed needs audio libs)")
+            meta.update(n_channels=ch, sample_rate=sr, bits=bits, block_align=ba)
+        elif cid == b"data":
+            meta["n_frames"] = csize // meta["block_align"]
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    meta["duration_ms"] = meta["n_frames"] * 1000 // meta["sample_rate"]
+    meta["n_bytes"] = len(payload)
+    return meta

@@ -3,12 +3,16 @@ processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested: binary columns,
 schema contracts, per-partition batch iteration, deterministic
-metadata extraction. The actual media decoding is STUBBED — the
-image/audio libraries are not in this container — behind
-``decode_media`` which raises ``NotImplementedError`` unless
-``fake=True`` (the deterministic fake used by tests/oracles). Swapping
-the stub for PIL/ffmpeg changes only the inner function; the Spark
-plumbing (batch shape, schema, partitioning) is unchanged.
+metadata extraction. Media decoding is REAL for uncompressed container
+formats — BMP and PCM WAV are parsed byte-for-byte by the pure-stdlib
+codecs in ``operators/media_codecs.py`` (exercised end-to-end by the
+``media_decode_bmp`` / ``media_decode_wav`` qids and their DuckDB
+oracles). Compressed formats (JPEG/PNG/MP4/...) still need PIL/av,
+absent in this container, and remain STUBBED: ``decode_media`` raises
+``NotImplementedError`` for them unless ``fake=True`` (the
+deterministic fake used by the batch-shape qids). Swapping the stub
+for PIL/ffmpeg changes only the inner function; the Spark plumbing
+(batch shape, schema, partitioning) is unchanged.
 
 Scale notes: media processing is the canonical ``mapInPandas`` case —
 embarrassingly parallel, no shuffle, Arrow moves the binary batches to
@@ -32,14 +36,44 @@ META_SCHEMA = "doc_id long, n_bytes int, width int, height int, fmt string"
 def decode_media(payload: bytes, fake: bool = False) -> dict:
     """Decode one media payload to metadata.
 
-    STUB: real decoding needs PIL/av/soundfile (absent here). The
-    deterministic fake derives metadata from the byte length so tests
-    and SQL oracles can verify the full pipeline shape.
+    REAL path: BMP and RIFF/WAVE payloads are sniffed by magic bytes
+    and parsed by the stdlib codecs (operators/media_codecs.py) — no
+    external libraries. Everything else is a compressed format that
+    needs PIL/av/soundfile (absent here): raises unless ``fake=True``
+    (the deterministic fake derives metadata from byte length so the
+    batch-shape qids can verify the full pipeline shape).
     """
+    import struct
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    # magic sniffs validate the header's own size field too — a text
+    # payload that merely STARTS with "BM"/"RIFF" must not be
+    # misdetected (UTF-8 fixtures flow through this same function)
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    ):
+        m = decode_bmp(payload)
+        return {"n_bytes": m["n_bytes"], "width": m["width"], "height": m["height"], "fmt": "bmp"}
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and len(payload) >= 44
+        and struct.unpack_from("<I", payload, 4)[0] == len(payload) - 8
+    ):
+        m = decode_wav(payload)
+        # audio has no raster; map duration/channels onto the shared contract
+        return {"n_bytes": m["n_bytes"], "width": m["n_frames"], "height": m["n_channels"], "fmt": "wav"}
     if not fake:
         raise NotImplementedError(
-            "media decoding requires imaging/audio libraries not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "compressed media formats require imaging/audio libraries not present "
+            "in this environment; BMP/WAV decode natively, or pass fake=True for "
+            "the deterministic stub"
         )
     n = len(payload)
     return {"n_bytes": n, "width": n % 64 + 1, "height": n % 37 + 1, "fmt": "fake"}

@@ -103,6 +103,9 @@ _VERIFY_FIRST = [
     "hll_distinct",
     "approx_quantiles",
     "kmeans_assign",
+    "stream_incremental",
+    "media_decode_bmp",
+    "media_decode_wav",
 ]
 
 

@@ -98,6 +98,98 @@ FROM p
 """
 
 
+# -- qid: media_decode_bmp (REAL decode kernel, no stub) --------------
+
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: synthesize a valid 24bpp BMP per document
+    (raster = the text bytes, dimensions derived from byte length),
+    then parse it back through the standard ``decode_media`` dispatch —
+    the pure-stdlib codec path (operators/media_codecs.py), no fake.
+    The oracle recomputes the header fields the encoder wrote (incl.
+    4-byte row padding); the qid passes only if the decoder actually
+    parsed them back out of the bytes."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_bmp,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                w, h = len(b) % 31 + 1, len(b) % 17 + 1
+                m = decode_media(encode_bmp(w, h, b))
+                rows.append((doc_id, m["fmt"], m["width"], m["height"], m["n_bytes"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "width", "height", "n_bytes"]
+            )
+
+    return d.mapInPandas(
+        batches, "doc_id long, fmt string, width int, height int, n_bytes int"
+    )
+
+
+SQL_MEDIA_DECODE_BMP = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+d AS (SELECT doc_id, n % 31 + 1 AS w, n % 17 + 1 AS h FROM p)
+SELECT doc_id, 'bmp' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes
+FROM d
+"""
+
+
+# -- qid: media_decode_wav (REAL decode kernel, no stub) --------------
+
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio parse: text bytes as 16-bit mono PCM at 8 kHz inside
+    a valid RIFF/WAVE container, chunk-walked back by the stdlib codec.
+    duration/frame accounting must round-trip exactly."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                m = decode_wav(encode_wav(t.encode("utf-8"), sample_rate=8000))
+                rows.append(
+                    (doc_id, m["fmt"], m["sample_rate"], m["n_frames"], m["duration_ms"], m["n_bytes"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "sample_rate", "n_frames", "duration_ms", "n_bytes"],
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id long, fmt string, sample_rate int, n_frames int, duration_ms int, n_bytes int",
+    )
+
+
+SQL_MEDIA_DECODE_WAV = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+d AS (SELECT doc_id, n - n % 2 AS pcm FROM p)
+SELECT doc_id, 'wav' AS fmt, CAST(8000 AS INT) AS sample_rate,
+       CAST(pcm // 2 AS INT) AS n_frames,
+       CAST((pcm // 2) * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(44 + pcm AS INT) AS n_bytes
+FROM d
+"""
+
+
 # -- qid: embed_quantize ----------------------------------------------
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +329,8 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
+    "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_wav": q_media_decode_wav,
     "embed_quantize": q_embed_quantize,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
@@ -246,6 +340,8 @@ ORACLE_SQL = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_decode_bmp": SQL_MEDIA_DECODE_BMP,
+    "media_decode_wav": SQL_MEDIA_DECODE_WAV,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,

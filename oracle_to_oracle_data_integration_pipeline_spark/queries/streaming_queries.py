@@ -210,6 +210,50 @@ FROM events a JOIN events b
 """
 
 
+# -- qid: stream_incremental (state merged across micro-batches) ------
+
+def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True INCREMENTAL streaming: the fixture is split into 8 files
+    and drained with maxFilesPerTrigger=1, so the windowed aggregate's
+    state store merges 8 sequential micro-batches (the other stream_*
+    qids see the single-file fixture as one batch). The final
+    complete-mode emission must equal the batch answer regardless of
+    how rows were split — the mergeable-state contract that makes the
+    operator correct on an unbounded stream at any batch cadence."""
+    tune(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_incr_")
+    name = f"events_incr_{uuid.uuid4().hex[:8]}"
+    try:
+        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src_df.repartition(8).write.mode("overwrite").parquet(stream_dir)
+        schema = src_df.schema
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            tumbling_agg(stream, "1 hour", by="event_type")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table(name)
+        return spark.createDataFrame(sunk.collect(), sunk.schema)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+SQL_STREAM_INCREMENTAL = SQL_TUMBLING
+
+
 # -- qid: stream_dedup (exactly-once under duplicate delivery) --------
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +289,7 @@ QUERIES = {
     "stream_session": q_stream_session,
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
+    "stream_incremental": q_stream_incremental,
 }
 
 ORACLE_SQL = {
@@ -253,4 +298,5 @@ ORACLE_SQL = {
     "stream_session": SQL_SESSION,
     "stream_join": SQL_STREAM_JOIN,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_incremental": SQL_STREAM_INCREMENTAL,
 }

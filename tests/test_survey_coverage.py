@@ -39,8 +39,8 @@ def test_oracles_subset_of_queries():
     assert not extra, f"oracle_sql without queries(): {sorted(extra)}"
 
 
-def test_rows_only_set_is_documented():
+def test_every_qid_has_an_oracle():
+    # round 3 closed the last rows-only hole: simhash_neardup now uses
+    # the portable md5-based token hash with an exact DuckDB twin
     rows_only = set(q.all_queries()) - set(q.all_oracle_sql())
-    # xxhash64 token hashing has no DuckDB twin (llm_queries.py);
-    # cosine_topk_lsh gained an oracle by inlining the plane literals
-    assert rows_only == {"simhash_neardup"}, rows_only
+    assert not rows_only, f"qids without oracles: {sorted(rows_only)}"
