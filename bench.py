@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_components",
     "decontaminate",
     "split_assign",
+    "gap_fill",
+    "ts_zscore",
+    "kmeans_assign",
 ]
 
 

@@ -106,6 +106,8 @@ _VERIFY_FIRST = [
     "stream_incremental",
     "media_decode_bmp",
     "media_decode_wav",
+    "ts_zscore",
+    "feature_bins",
 ]
 
 

@@ -1,13 +1,12 @@
 """Third LLM-data batch: multimodal processing verbs beyond metadata
-extraction — resize, frame sampling, feature extraction — each the
-Arrow ``mapInPandas`` plumbing a media pipeline needs, with the decode
-kernel stubbed (operators/multimodal.py) and a deterministic fake so
-every stage has a DuckDB twin.
+extraction — resize, frame sampling, feature extraction, real decode —
+each the Arrow ``mapInPandas`` plumbing a media pipeline needs.
 
-Registered OUTSIDE the round-2 verify window (queries/__init__.py
-``_VERIFY_FIRST``) — the window is at capacity; these rotate into the
-driver's 50-slot gate next round and are oracle-tested locally by
-tests/test_queries_vs_duckdb.py meanwhile.
+The decode kernel is REAL for uncompressed containers (BMP / PCM WAV,
+pure-stdlib codecs in operators/media_codecs.py, exercised by the
+``media_decode_*`` qids); the resize/frame/feature verbs use the
+deterministic fake kernel (codec-library formats are absent in this
+container) so every batch shape still has a DuckDB twin.
 """
 
 from __future__ import annotations

@@ -227,6 +227,45 @@ FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
+# -- qid: feature_bins (equi-depth binning, ntile) --------------------
+
+def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of a numeric feature — the ML
+    feature-prep step that turns a skewed continuous column into
+    balanced categorical buckets. ntile(10) over a TOTAL order (price
+    with orderkey tiebreak, so bin boundaries are deterministic across
+    engines and runs); one bin summary row each.
+
+    Scale note: ntile needs a total order — a single-partition sort at
+    the extreme. For 100 TB binning use approx_quantiles' sketch cut
+    points + a map-only bucket assignment instead; this operator is
+    the exact small/medium-cardinality path."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+SQL_FEATURE_BINS = """
+SELECT bin, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -235,6 +274,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "math_funcs": q_math_funcs,
     "date_parts": q_date_parts,
+    "feature_bins": q_feature_bins,
 }
 
 ORACLE_SQL = {
@@ -245,4 +285,5 @@ ORACLE_SQL = {
     "grouping_sets": SQL_GROUPING_SETS,
     "math_funcs": SQL_MATH_FUNCS,
     "date_parts": SQL_DATE_PARTS,
+    "feature_bins": SQL_FEATURE_BINS,
 }

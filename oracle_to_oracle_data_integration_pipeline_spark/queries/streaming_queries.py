@@ -4,9 +4,11 @@ window aggregations over the events fixture, batch-SQL-checkable.
 Every qid here executes as a REAL Structured Streaming query
 (readStream → transformation → memory sink, drained synchronously with
 availableNow), so the driver exercises the streaming engine itself —
-windowed/session state, the stream-stream join state store, and keyed
-dedup state. All have exact DuckDB oracles: epoch-aligned buckets ≙
-time_bucket/date_trunc; session windows ≙ the lag/gap-islands pattern.
+windowed/session state, the stream-stream join state store, keyed
+dedup state, and (``stream_incremental``) state merged across 8 true
+micro-batches via maxFilesPerTrigger. All have exact DuckDB oracles:
+epoch-aligned buckets ≙ time_bucket/date_trunc; session windows ≙ the
+lag/gap-islands pattern.
 """
 
 from __future__ import annotations

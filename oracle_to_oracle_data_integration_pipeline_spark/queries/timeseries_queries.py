@@ -111,6 +111,79 @@ FROM anch
 """
 
 
+# -- qid: ts_zscore (rolling anomaly detection) -----------------------
+
+def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier flags over the densified hourly series:
+    each bucket scored against the trailing 12-hour window (excluding
+    itself) using decimal-exact power sums — the stats_moments pattern
+    inside a window frame, so any partial-agg tree at 100 TB produces
+    identical bits. Windows with <6 trailing points emit no score.
+    The frame rides the same per-key exchange the gap-fill already
+    created: no additional shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
+    filled = gap_fill_locf(hourly, "1 hour")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-12, -1)
+    )
+    dec = F.col("v").cast("decimal(24,6)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(dec).over(w).cast("double")
+    sxx = F.sum((dec * dec).cast("decimal(30,6)")).over(w).cast("double")
+    var = F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))
+    z = (F.col("v") - sx / n) / F.sqrt(var)
+    z_ok = F.when((n >= 6) & (var > 0), pround(z)).otherwise(F.lit(None))
+    return filled.select(
+        "user_id",
+        "bucket",
+        "v",
+        z_ok.alias("z"),
+        F.when(F.abs(z_ok) > 2.0, 1).otherwise(0).alias("is_outlier"),
+    )
+
+
+SQL_TS_ZSCORE = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS v0
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.bucket,
+         last_value(h.v0 IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.bucket = g.bucket
+),
+stats AS (
+  SELECT user_id, bucket, v,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         CAST(sum(CAST(v AS DECIMAL(24,6))) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6)) AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx
+  FROM filled
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket, v,
+       CASE WHEN n >= 6 AND greatest((sxx - sx * sx / n) / n, 0.0) > 0
+            THEN floor((v - sx / n) / sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) * 1e6 + 0.5) / 1e6
+       END AS z,
+       CASE WHEN n >= 6 AND greatest((sxx - sx * sx / n) / n, 0.0) > 0
+                 AND abs(floor((v - sx / n) / sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) * 1e6 + 0.5) / 1e6) > 2.0
+            THEN 1 ELSE 0 END AS is_outlier
+FROM stats
+"""
+
+
 # -- qid: hll_distinct (HLL sketch, accuracy-gated) -------------------
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +250,7 @@ FROM events GROUP BY event_type
 QUERIES = {
     "gap_fill": q_gap_fill,
     "gap_fill_interp": q_gap_fill_interp,
+    "ts_zscore": q_ts_zscore,
     "hll_distinct": q_hll_distinct,
     "approx_quantiles": q_approx_quantiles,
 }
@@ -184,6 +258,7 @@ QUERIES = {
 ORACLE_SQL = {
     "gap_fill": SQL_GAP_FILL,
     "gap_fill_interp": SQL_GAP_FILL_INTERP,
+    "ts_zscore": SQL_TS_ZSCORE,
     "hll_distinct": SQL_HLL_DISTINCT,
     "approx_quantiles": SQL_APPROX_QUANTILES,
 }

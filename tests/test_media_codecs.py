@@ -66,3 +66,33 @@ def test_decode_rejects_malformed():
         decode_bmp(b"nope")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+# ---- property tests: any dims/payload must round-trip byte-exactly --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 20), data=st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    payload = encode_bmp(w, h, data)
+    m = decode_bmp(payload)
+    assert (m["width"], m["height"], m["bpp"]) == (w, h, 24)
+    assert bmp_pixels(payload) == data[: w * h * 3].ljust(w * h * 3, b"\x00")
+
+
+@given(
+    pcm=st.binary(max_size=600),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    ch=st.sampled_from([1, 2]),
+    bits=st.sampled_from([8, 16]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(pcm, sr, ch, bits):
+    m = decode_wav(encode_wav(pcm, sample_rate=sr, n_channels=ch, bits=bits))
+    block = ch * bits // 8
+    assert m["n_frames"] == len(pcm) // block
+    assert (m["sample_rate"], m["n_channels"], m["bits"]) == (sr, ch, bits)
+    assert m["duration_ms"] == (len(pcm) // block) * 1000 // sr
