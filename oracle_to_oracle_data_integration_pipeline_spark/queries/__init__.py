@@ -108,6 +108,7 @@ _VERIFY_FIRST = [
     "media_decode_wav",
     "ts_zscore",
     "feature_bins",
+    "stream_stateful",
 ]
 
 

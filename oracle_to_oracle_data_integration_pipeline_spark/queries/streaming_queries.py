@@ -256,6 +256,66 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_INCREMENTAL = SQL_TUMBLING
 
 
+# -- qid: stream_stateful (applyInPandasWithState custom operator) ----
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator in the driver gate: per-user running
+    totals via ``applyInPandasWithState`` (streaming/stateful.py),
+    state merged across 8 real micro-batches (maxFilesPerTrigger=1).
+    The update-mode sink collects one emission per key per batch; the
+    final state per key is the emission with the highest n_events
+    (strictly increasing whenever a key appears). The decimal-exact
+    accumulator makes the total independent of the batch split, so the
+    batch-SQL oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import (
+        running_totals_exact,
+    )
+
+    tune(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    name = f"events_stateful_{uuid.uuid4().hex[:8]}"
+    try:
+        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src_df.repartition(8).write.mode("overwrite").parquet(stream_dir)
+        stream = normalize_events_ts(
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            running_totals_exact(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table(name)
+        emissions = spark.createDataFrame(sunk.collect(), sunk.schema)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            emissions.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n_events", "total_value")
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # -- qid: stream_dedup (exactly-once under duplicate delivery) --------
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +352,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_incremental": q_stream_incremental,
+    "stream_stateful": q_stream_stateful,
 }
 
 ORACLE_SQL = {
@@ -301,4 +362,5 @@ ORACLE_SQL = {
     "stream_join": SQL_STREAM_JOIN,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_incremental": SQL_STREAM_INCREMENTAL,
+    "stream_stateful": SQL_STREAM_STATEFUL,
 }

@@ -58,3 +58,52 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- decimal-exact variant (cross-engine checkable) -------------------
+
+EXACT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("micros", T.LongType()),
+    ]
+)
+
+
+def _update_exact(key, pdfs: Iterator, state: GroupState):
+    """Accumulates value as integer micro-units via decimal HALF_UP
+    quantization — the same rounding Spark/DuckDB apply when casting a
+    double to DECIMAL(24,6), so the running float state is exact and
+    ORDER-INDEPENDENT: any micro-batch split of the stream yields
+    bit-identical totals (the property the stream_stateful qid's
+    differential oracle checks)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q = Decimal("0.000001")
+    n, micros = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        micros += sum(
+            int(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
+            for v in pdf["value"]
+        )
+    state.update((n, micros))
+    # final rounding in the decimal domain too: python round() is
+    # half-even, the engines' decimal round is HALF_UP — micros ending
+    # in exactly 5000 would diverge
+    total = float((Decimal(micros) / 1_000_000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_totals_exact(events: DataFrame) -> DataFrame:
+    """``running_totals`` with the decimal-exact accumulator — emits
+    (user_id, n_events, total_value rounded to 2) per key per batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_exact,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
