@@ -350,15 +350,18 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate candidates. Fixture docs are mostly novel text, so
     every 7th doc is deterministically doubled (text || ' ' || text)
     in both engines to plant genuine repetition."""
-    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import repetition_fraction_col
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        with_repetition_fraction,
+    )
 
     d = load(spark, sf_dir, "documents")
     aug = F.when(
         F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))
     ).otherwise(F.col("text"))
     a = d.select("doc_id", aug.alias("text"))
+    scored = with_repetition_fraction(a, "text", 3, out="__raw_frac")
     return (
-        a.select("doc_id", F.round(repetition_fraction_col("text", 3), 6).alias("dup3_frac"))
+        scored.select("doc_id", F.round(F.col("__raw_frac"), 6).alias("dup3_frac"))
         .filter(F.col("dup3_frac") > 0.2)
         .orderBy("doc_id")
     )

@@ -124,9 +124,14 @@ def test_replay_idempotent(spark, tmp_path):
     pipe.run()
     before = target_map(pipe)
     # crash simulation: wipe watermark so the same batch replays
+    # (state is a single parquet file now; legacy layout was a dir)
+    import os
     import shutil
 
-    shutil.rmtree(pipe.watermarks.path)
+    if os.path.isdir(pipe.watermarks.path):
+        shutil.rmtree(pipe.watermarks.path)
+    else:
+        os.remove(pipe.watermarks.path)
     pipe.run()
     assert target_map(pipe) == before
 
