@@ -109,6 +109,7 @@ _VERIFY_FIRST = [
     "ts_zscore",
     "feature_bins",
     "stream_stateful",
+    "feature_bins_sketch",
 ]
 
 

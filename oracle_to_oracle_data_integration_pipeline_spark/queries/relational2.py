@@ -266,6 +266,50 @@ GROUP BY bin
 """
 
 
+# -- qid: feature_bins_sketch (the 100 TB binning path) ---------------
+
+def q_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning WITHOUT a total order — the scale path the
+    exact ``feature_bins`` docstring promises: percentile_approx cut
+    points (one pass, mergeable sketch state), collected to the driver
+    (9 doubles — control plane), then a MAP-ONLY bucket assignment.
+    No sort, no single-partition stage; at 100 TB this is one scan +
+    one k-row aggregation.
+
+    Sketch cut points are engine-specific, so the oracle uses the
+    accuracy-gated pattern (timeseries_queries module docstring): the
+    hash-compared payload is per-bin (bin id, total row count — exact
+    conservation check) plus a flag that the bin's share lands within
+    ±2% of the ideal decile (rank error ≤1e-4 at accuracy=10000, so
+    the flag is guaranteed unless the sketch breaks)."""
+    o = load(spark, sf_dir, "orders")
+    cuts = o.select(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+        ).alias("c")
+    ).collect()[0]["c"]
+    bin_col = sum(
+        (F.when(F.col("o_totalprice") > F.lit(float(c)), 1).otherwise(0) for c in cuts),
+        F.lit(1),
+    )
+    n_total = o.count()
+    per = o.select(bin_col.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    ok = (F.abs(F.col("n") - F.lit(n_total) / 10) <= F.lit(n_total) * 0.02).cast("int")
+    return per.select(
+        "bin",
+        F.lit(n_total).cast("long").alias("n_total"),
+        ok.alias("share_within_2pct"),
+    )
+
+
+SQL_FEATURE_BINS_SKETCH = """
+SELECT CAST(b AS INT) AS bin,
+       (SELECT count(*) FROM orders) AS n_total,
+       CAST(1 AS INT) AS share_within_2pct
+FROM (SELECT unnest(generate_series(1, 10)) AS b)
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -275,6 +319,7 @@ QUERIES = {
     "math_funcs": q_math_funcs,
     "date_parts": q_date_parts,
     "feature_bins": q_feature_bins,
+    "feature_bins_sketch": q_feature_bins_sketch,
 }
 
 ORACLE_SQL = {
@@ -286,4 +331,5 @@ ORACLE_SQL = {
     "math_funcs": SQL_MATH_FUNCS,
     "date_parts": SQL_DATE_PARTS,
     "feature_bins": SQL_FEATURE_BINS,
+    "feature_bins_sketch": SQL_FEATURE_BINS_SKETCH,
 }
