@@ -110,6 +110,8 @@ _VERIFY_FIRST = [
     "feature_bins",
     "stream_stateful",
     "feature_bins_sketch",
+    "pysource_changefeed",
+    "stream_pysource",
 ]
 
 

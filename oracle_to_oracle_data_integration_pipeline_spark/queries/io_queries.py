@@ -89,14 +89,103 @@ WHERE created_at > TIMESTAMP '{WM}' OR updated_at > TIMESTAMP '{WM}'
 """
 
 
+# -- qid: pysource_changefeed (Spark 4 Python DataSource, batch) ------
+
+def q_pysource_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the user-pluggable Python DataSource
+    (sources/pydatasource.py): 1000 synthetic CDC events over 100 keys
+    from 4 planned input partitions. Rows are a pure function of the
+    row index (md5-derived), so the DuckDB oracle regenerates the
+    byte-identical feed from generate_series — proving the source's
+    partition planning and per-partition iterators deliver exactly the
+    declared rows, no dupes or gaps across partitions."""
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import register
+
+    tune(spark)
+    register(spark)
+    return (
+        spark.read.format("cdc_feed")
+        .option("n_rows", 1000).option("n_keys", 100).option("n_parts", 4)
+        .load()
+    )
+
+
+SQL_PYSOURCE = """
+WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+h AS (SELECT i, md5(CAST(i AS VARCHAR)) AS h,
+             instr('0123456789abcdef', substring(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 AS d
+      FROM g)
+SELECT CASE WHEN d < 8 THEN 'I' WHEN d < 14 THEN 'U' ELSE 'D' END AS op,
+       CAST(i % 100 AS BIGINT) AS id,
+       substring(h, 1, 8) AS val,
+       TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS ts
+FROM h
+"""
+
+
+# -- qid: stream_pysource (Python DataSource streaming reader) --------
+
+def q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same feed through the source's STREAMING reader
+    (SimpleDataSourceStreamReader): continuous micro-batches advance
+    the offset 100 rows at a time until all 1000 rows have flowed into
+    the sink; the union of the micro-batches must equal the batch read
+    — the replayable-offset contract a CDC feed needs. (availableNow
+    cannot drain a Python simple stream reader past its first
+    prefetched batch, so the query is polled to completion and
+    stopped — the same run-until-caught-up loop the reference's cron
+    rerun performs.)"""
+    import time as _time
+    import uuid
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import register
+
+    tune(spark)
+    register(spark)
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("cdc_feed")
+        .option("n_rows", 1000).option("n_keys", 100).option("batch_rows", 100)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while spark.table(name).count() < 1000:
+            if q.exception() is not None:
+                raise q.exception()
+            if _time.time() > deadline:
+                raise TimeoutError("cdc_feed stream did not drain in 120s")
+            _time.sleep(0.2)
+        sunk = spark.table(name)
+        return spark.createDataFrame(sunk.collect(), sunk.schema)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
 QUERIES = {
     "sink_append": q_sink_append,
     "watermark_store": q_watermark_store,
     "delta_count": q_delta_count,
+    "pysource_changefeed": q_pysource_changefeed,
+    "stream_pysource": q_stream_pysource,
 }
 
 ORACLE_SQL = {
     "sink_append": SQL_SINK_APPEND,
     "watermark_store": SQL_WATERMARK_STORE,
+    "pysource_changefeed": SQL_PYSOURCE,
+    "stream_pysource": SQL_PYSOURCE,
     "delta_count": SQL_DELTA_COUNT,
 }

@@ -1,0 +1,117 @@
+"""User-pluggable Python DataSource (Spark 4 `pyspark.sql.datasource`)
+— the modern plug-point for custom sources, demonstrated with a
+deterministic synthetic CDC change feed.
+
+The reference's only source is an Oracle JDBC reader
+(`/root/reference/scripts/03_cdc_etl.py:276-283`); this engine already
+mirrors that via the JDBC source. A *Python* DataSource completes the
+source surface: any system a user can reach from Python (REST change
+feeds, message queues, proprietary SDKs) can feed the engine through
+this API — schema declaration, partition planning, per-partition
+iterators, and a streaming reader with replayable offsets — without
+touching JVM code.
+
+Scale/design notes:
+- ``partitions()`` drives parallelism: each InputPartition is read by
+  one task, so a real connector maps shards/topic-partitions 1:1. The
+  synthetic feed splits its row range evenly.
+- Rows are generated from md5(row_index) ONLY — any row can be
+  produced independently, which makes the feed deterministic,
+  partition-order-free, and exactly reproducible in SQL (the DuckDB
+  oracle regenerates the identical rows from generate_series + md5) —
+  the same discipline as the md5-based samplers in
+  operators/sampling.py.
+- The streaming reader is a SimpleDataSourceStreamReader: offsets are
+  row indices; ``read(start)`` advances by ``batch_rows`` per
+  micro-batch and ``readBetweenOffsets`` replays any committed range
+  on recovery — at-least-once replay safety, the same contract the
+  CDC pipeline's watermark protocol assumes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+_BASE_TS = datetime(2024, 1, 1)
+_OPS = ("I", "U", "D")
+
+
+def _row(i: int, n_keys: int):
+    """Row i of the feed, a pure function of i: op weighted I/U/D by
+    the first md5 hex digit (8/6/2 of 16), key = i % n_keys, val = an
+    md5 slice, ts = base + i seconds."""
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    d = int(h[0], 16)
+    op = _OPS[0 if d < 8 else (1 if d < 14 else 2)]
+    return (op, i % n_keys, h[:8], _BASE_TS + timedelta(seconds=i))
+
+
+class ChangeFeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_keys = int(options.get("n_keys", 100))
+        self.n_parts = int(options.get("n_parts", 4))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        p = partition.value
+        for i in range(p, self.n_rows, self.n_parts):
+            yield _row(i, self.n_keys)
+
+
+class ChangeFeedStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_keys = int(options.get("n_keys", 100))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return (self._rows(lo, hi), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the streaming runner caches prefetch
+        # entries and copy.copy()s the iterator for replay — generators
+        # are not copyable (batches are bounded by batch_rows anyway)
+        return [_row(i, self.n_keys) for i in range(lo, hi)]
+
+
+class ChangeFeedDataSource(DataSource):
+    """``spark.read.format("cdc_feed")`` after
+    ``spark.dataSource.register(ChangeFeedDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_feed"
+
+    def schema(self) -> str:
+        return "op string, id long, val string, ts timestamp"
+
+    def reader(self, schema) -> ChangeFeedReader:
+        return ChangeFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ChangeFeedStreamReader:
+        return ChangeFeedStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(ChangeFeedDataSource)
