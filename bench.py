@@ -77,7 +77,8 @@ def main() -> None:
         try:
             force(registry[qid](spark, "/root/testdata/sf0.001"))
         except Exception as e:
-            broken[qid] = f"warmup: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            msg = (str(e).splitlines() or [""])[0]
+            broken[qid] = f"warmup: {type(e).__name__}: {msg[:200]}"
             print(f"bench: {qid} failed in warmup: {broken[qid]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -102,7 +103,11 @@ def main() -> None:
             try:
                 force(registry[qid](spark, SF_DIR))
             except Exception as e:
-                broken[qid] = f"timed: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                msg = (str(e).splitlines() or [""])[0]
+                broken[qid] = f"timed: {type(e).__name__}: {msg[:200]}"
+                # discard partial samples: a 1-sample "median" for a qid
+                # that also appears in `failed` is an ambiguous record
+                samples[qid] = []
                 print(f"bench: {qid} failed in timed run: {broken[qid]}", file=sys.stderr)
                 continue
             samples[qid].append(time.perf_counter() - t0)

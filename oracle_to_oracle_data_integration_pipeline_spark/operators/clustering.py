@@ -117,6 +117,8 @@ def kmeans_fit_assign(
         centroids = sorted((r["cluster_id"], list(r["cv"])) for r in new_rows)
         assigned = _assign(vecs, centroids, id_col)
 
-    return assigned.select(
-        id_col, "cluster_id", F.round(F.col("dist"), 6).alias("dist")
-    )
+    # portable floor rounding, not engine round(): dist is an arbitrary
+    # accumulated double and SQL round() diverges between engines within
+    # 1 ulp of a .5 boundary (queries/_util.pround rationale)
+    dist6 = F.floor(F.col("dist") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return assigned.select(id_col, "cluster_id", dist6.alias("dist"))

@@ -64,6 +64,8 @@ def decode_bmp(payload: bytes) -> dict:
     )
     if hdr_size < _BMP_INFO_HDR or compression != 0:
         raise ValueError("only uncompressed BITMAPINFOHEADER BMPs supported")
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMPs supported, got {bpp}")
     height_abs = abs(height)
     raster = len(payload) - data_off
     return {
@@ -107,11 +109,16 @@ def encode_wav(
 
 def decode_wav(payload: bytes) -> dict:
     """Parse RIFF/WAVE PCM: walks chunks (a real reader cannot assume
-    fmt/data adjacency), returns rate/channels/bits/frames/duration."""
+    fmt/data adjacency — the data size is recorded while walking and
+    frame accounting happens after, so either chunk order works),
+    returns rate/channels/bits/frames/duration. Raises ValueError for
+    anything that is not a complete PCM WAV (missing fmt/data chunk,
+    zero sample rate / block align, compressed audio formats)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, n = 12, len(payload)
     meta: dict = {"fmt": "wav"}
+    data_size = None
     while pos + 8 <= n:
         cid, csize = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
@@ -121,8 +128,13 @@ def decode_wav(payload: bytes) -> dict:
                 raise ValueError("only PCM WAV supported (compressed needs audio libs)")
             meta.update(n_channels=ch, sample_rate=sr, bits=bits, block_align=ba)
         elif cid == b"data":
-            meta["n_frames"] = csize // meta["block_align"]
+            data_size = csize
         pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if "block_align" not in meta or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if meta["block_align"] == 0 or meta["sample_rate"] == 0:
+        raise ValueError("WAV fmt chunk has zero block_align or sample_rate")
+    meta["n_frames"] = data_size // meta["block_align"]
     meta["duration_ms"] = meta["n_frames"] * 1000 // meta["sample_rate"]
     meta["n_bytes"] = len(payload)
     return meta

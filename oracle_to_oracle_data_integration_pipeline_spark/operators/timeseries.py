@@ -106,15 +106,23 @@ def gap_fill_interp(
     step: str = "1 hour",
     key: str = "user_id",
     value: str = "v",
+    max_buckets_per_key: int | None = 100_000,
 ) -> DataFrame:
     """Linear interpolation across gaps (TimescaleDB ``interpolate()``):
     synthesized buckets get prev + (next - prev) · frac, where frac is
     the bucket's position inside its gap. Trailing rows after the last
     observation keep LOCF (no next anchor). Same single-exchange shape
-    as LOCF — the extra window functions ride the same sort."""
+    as LOCF — the extra window functions ride the same sort.
+    ``max_buckets_per_key`` guards grid explosion exactly as in
+    ``gap_fill_locf``."""
     bounds = sampled.groupBy(key).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
+    if max_buckets_per_key is not None:
+        n_buckets = (
+            F.unix_timestamp("__hi") - F.unix_timestamp("__lo")
+        ) / F.lit(_step_seconds(step))
+        bounds = bounds.filter(n_buckets <= F.lit(max_buckets_per_key))
     grid = bounds.select(
         key,
         F.explode(

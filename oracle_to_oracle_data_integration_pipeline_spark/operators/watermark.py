@@ -55,13 +55,19 @@ class WatermarkStore:
         self._lock = threading.Lock()
 
     def _read_all(self) -> dict[str, datetime]:
-        if not os.path.exists(self.path):
-            return {}
-        if os.path.isdir(self.path):
+        path = self.path
+        if not os.path.exists(path):
+            # a writer may have crashed mid-migration: the legacy dir is
+            # parked at .migrating until the new file lands
+            bak = f"{self.path}.migrating"
+            if not os.path.exists(bak):
+                return {}
+            path = bak
+        if os.path.isdir(path):
             # legacy layout written by Spark: a parquet directory
-            rows = self.spark.read.schema(_SCHEMA).parquet(self.path).collect()
+            rows = self.spark.read.schema(_SCHEMA).parquet(path).collect()
             return {r["table_name"]: r["last_ts"] for r in rows}
-        t = pq.read_table(self.path)
+        t = pq.read_table(path)
         return dict(
             zip(t.column("table_name").to_pylist(), t.column("last_ts").to_pylist())
         )
@@ -98,10 +104,17 @@ class WatermarkStore:
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(table, tmp)
         if os.path.isdir(self.path):
-            # migrate the legacy directory layout: clear, then move the
-            # file into place (two steps; get() holds the same lock)
-            shutil.rmtree(self.path, ignore_errors=True)
-        os.replace(tmp, self.path)
+            # migrate the legacy directory layout crash-safely: park the
+            # dir aside (readers fall back to it while the path is
+            # briefly absent), land the file, then drop the backup — a
+            # writer dying between the steps never loses state
+            bak = f"{self.path}.migrating"
+            shutil.rmtree(bak, ignore_errors=True)
+            os.rename(self.path, bak)
+            os.replace(tmp, self.path)
+            shutil.rmtree(bak, ignore_errors=True)
+        else:
+            os.replace(tmp, self.path)
 
     def all(self) -> dict[str, datetime]:
         with self._lock:

@@ -54,10 +54,11 @@ _MODULES = [
 # and stops after ~50. Round 1 verified the first 50; round 2's window
 # covered the LLM/streaming/format/catalog/io front. This ROUND-3
 # window re-verifies the round-2 reds (events.ts type bug, fixed) FIRST,
-# then the 26 qids that have never had a driver CORRECTNESS row —
-# after this round every one of the 123 qids has been driver-checked
-# at least once. Already-green qids go last; they stay covered by
-# tests/test_queries_vs_duckdb.py every round.
+# then the 26 qids that never had a driver CORRECTNESS row, then the
+# round-3 additions — after this round every one of the 137 registered
+# qids has been driver-checked at least once. Already-green qids go
+# last; they stay covered by tests/test_queries_vs_duckdb.py every
+# round.
 _VERIFY_FIRST = [
     # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
     # fixed via _util.normalize_events_ts — re-verify before anything else

@@ -52,7 +52,8 @@ a2 AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM (SELECT v.vec_id, c.cid, {_D} AS dist FROM v, cents1 c)
 )
-SELECT vec_id, CAST(cid AS INT) AS cluster_id, round(dist, 6) AS dist
+SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+       floor(dist * 1e6 + 0.5) / 1e6 AS dist
 FROM a2 WHERE rn = 1
 """
 

@@ -30,7 +30,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
     token_count_col,
     tokens_col,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import epoch_seconds, load
 
 
 # -- qid: dedup_keep_best ---------------------------------------------
@@ -220,9 +220,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch twin of session_window; one shuffle on the key)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_timestamp, not cast("long"): the latter is illegal on
-    # TIMESTAMP_NTZ fixtures (see _util.normalize_events_ts).
-    ts_sec = F.unix_timestamp(F.col("ts"))
+    ts_sec = epoch_seconds(F.col("ts"))
     gap = ts_sec - F.lag(ts_sec, 1).over(w)
     new_s = F.when(gap.isNull() | (gap >= 6 * 3600), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

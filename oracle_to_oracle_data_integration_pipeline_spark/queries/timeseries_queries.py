@@ -31,7 +31,10 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstrings in operators/timeseries.py for the 100 TB layout)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
-    return gap_fill_locf(hourly, "1 hour")
+    # guard disabled: the DuckDB twin builds the grid unconditionally,
+    # and a silently-dropped key would read as an operator bug in the
+    # differential compare (the guard is exercised by unit tests)
+    return gap_fill_locf(hourly, "1 hour", max_buckets_per_key=None)
 
 
 SQL_GAP_FILL = """
@@ -67,7 +70,7 @@ def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     so float tie behavior can't flip the hash."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
-    filled = gap_fill_interp(hourly, "1 hour")
+    filled = gap_fill_interp(hourly, "1 hour", max_buckets_per_key=None)
     return filled.select(
         "user_id", "bucket", pround(F.col("v")).alias("v"), "is_gap"
     )
@@ -125,7 +128,7 @@ def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hourly = resample(e, "1 hour", agg=dsum(F.col("value")))
-    filled = gap_fill_locf(hourly, "1 hour")
+    filled = gap_fill_locf(hourly, "1 hour", max_buckets_per_key=None)
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")

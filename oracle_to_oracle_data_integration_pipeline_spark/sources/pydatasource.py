@@ -88,10 +88,13 @@ class ChangeFeedStreamReader(SimpleDataSourceStreamReader):
         return self._rows(start["i"], end["i"])
 
     def _rows(self, lo: int, hi: int):
-        # a LIST, not a generator: the streaming runner caches prefetch
-        # entries and copy.copy()s the iterator for replay — generators
-        # are not copyable (batches are bounded by batch_rows anyway)
-        return [_row(i, self.n_keys) for i in range(lo, hi)]
+        # iter(list), specifically a list_iterator: the prefetching
+        # runner needs BOTH next() (it drains the batch into its cache)
+        # AND copy.copy() (it replays cached entries on recovery).
+        # Generators aren't copyable and bare lists aren't iterators;
+        # list_iterators are both (copy via __reduce_ex__). Batches are
+        # bounded by batch_rows, so materializing is safe.
+        return iter([_row(i, self.n_keys) for i in range(lo, hi)])
 
 
 class ChangeFeedDataSource(DataSource):

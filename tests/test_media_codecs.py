@@ -68,6 +68,42 @@ def test_decode_rejects_malformed():
         decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_wav_incomplete_chunks_raise_value_error():
+    import struct
+
+    # RIFF/WAVE with a data chunk but no fmt chunk (and vice versa):
+    # the walker must fail with the documented ValueError, not KeyError
+    data_only = struct.pack("<4sI4s", b"RIFF", 4 + 8 + 4, b"WAVE") + struct.pack(
+        "<4sI", b"data", 4
+    ) + b"abcd"
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(data_only)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    fmt_only = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt), b"WAVE") + fmt
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(fmt_only)
+
+
+def test_wav_data_before_fmt_decodes():
+    import struct
+
+    # chunk order must not matter (the walker records sizes, then
+    # computes frames after the walk)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4sI", b"data", 4) + b"abcd"
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(data) + len(fmt), b"WAVE") + data + fmt
+    assert decode_wav(payload)["n_frames"] == 2
+
+
+def test_bmp_non_24bpp_rejected():
+    import struct
+
+    payload = bytearray(encode_bmp(2, 2, b"xy"))
+    struct.pack_into("<H", payload, 28, 32)  # flip bpp field to 32
+    with pytest.raises(ValueError, match="24bpp"):
+        decode_bmp(bytes(payload))
+
+
 # ---- property tests: any dims/payload must round-trip byte-exactly --
 
 from hypothesis import given, settings
