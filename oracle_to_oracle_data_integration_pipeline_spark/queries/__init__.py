@@ -113,6 +113,7 @@ _VERIFY_FIRST = [
     "feature_bins_sketch",
     "pysource_changefeed",
     "stream_pysource",
+    "stream_cdc_feed",
 ]
 
 

@@ -316,6 +316,111 @@ FROM events GROUP BY user_id
 """
 
 
+# -- qid: stream_cdc_feed (the reference pipeline end-to-end) ---------
+
+def q_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference pipeline as one streaming composition: the
+    Python DataSource CDC feed (sources/pydatasource.py) streams
+    micro-batches into a ``foreachBatch`` soft-delete merge
+    (operators/cdc.merge_soft_delete — the same kernel the batch
+    pipeline uses), folding into a parquet target exactly as the
+    reference's cron rerun folds deltas into Oracle.
+
+    The target is pre-seeded with every key (is_deleted='N'), which
+    makes the fold batch-split invariant: MATCHED rows take every delta
+    column, so the final state is pure last-writer-wins per key no
+    matter how the stream was chopped into micro-batches — and the
+    oracle is a plain window over the regenerated feed. 1000 events,
+    100 keys, ~10 micro-batches through the real streaming engine."""
+    import time as _time
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+        latest_per_key,
+        merge_soft_delete,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.plans.pipeline import (
+        ParquetTargetStore,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import (
+        register,
+    )
+
+    tune(spark)
+    register(spark)
+    base = tempfile.mkdtemp(prefix="cdc_feed_qid_")
+    target = ParquetTargetStore(spark, os.path.join(base, "target"))
+    seed = spark.createDataFrame(
+        [(k, "seed", None, None, "N") for k in range(100)],
+        "id long, val string, created_at timestamp, updated_at timestamp, is_deleted string",
+    )
+    target.overwrite("feed", seed)
+
+    stream = (
+        spark.readStream.format("cdc_feed")
+        .option("n_rows", 1000).option("n_keys", 100).option("batch_rows", 100)
+        .load()
+    )
+    cdc = stream.select(
+        "id",
+        "val",
+        F.col("ts").alias("created_at"),
+        F.col("ts").alias("updated_at"),
+        F.when(F.col("op") == "D", "Y").otherwise("N").alias("is_deleted"),
+    )
+
+    def merge_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        delta = latest_per_key(bdf, ["id"])
+        target.overwrite("feed", merge_soft_delete(target.read("feed"), delta, ["id"]).df)
+
+    q = (
+        cdc.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while True:
+            done = sum(int(p["numInputRows"]) for p in q.recentProgress) >= 1000
+            if done:
+                break
+            if q.exception() is not None:
+                raise q.exception()
+            if _time.time() > deadline:
+                raise TimeoutError("cdc_feed merge stream did not drain in 120s")
+            _time.sleep(0.2)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    final = target.read("feed")
+    out = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_STREAM_CDC_FEED = """
+WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+f AS (SELECT i, md5(CAST(i AS VARCHAR)) AS h,
+             instr('0123456789abcdef', substring(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 AS d
+      FROM g),
+feed AS (
+  SELECT i, CAST(i % 100 AS BIGINT) AS id, substring(h, 1, 8) AS val,
+         TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS ts,
+         CASE WHEN d >= 14 THEN 'Y' ELSE 'N' END AS is_deleted
+  FROM f),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY i DESC) AS rn FROM feed
+  ) WHERE rn = 1)
+SELECT id, val, ts AS created_at, ts AS updated_at, is_deleted FROM last
+"""
+
+
 # -- qid: stream_dedup (exactly-once under duplicate delivery) --------
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,6 +458,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_incremental": q_stream_incremental,
     "stream_stateful": q_stream_stateful,
+    "stream_cdc_feed": q_stream_cdc_feed,
 }
 
 ORACLE_SQL = {
@@ -363,4 +469,5 @@ ORACLE_SQL = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_incremental": SQL_STREAM_INCREMENTAL,
     "stream_stateful": SQL_STREAM_STATEFUL,
+    "stream_cdc_feed": SQL_STREAM_CDC_FEED,
 }
