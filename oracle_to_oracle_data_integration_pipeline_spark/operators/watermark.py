@@ -87,6 +87,16 @@ class WatermarkStore:
     def upsert(self, table: str, ts: datetime) -> None:
         """``upsert_watermark`` parity
         (`/root/reference/scripts/03_cdc_etl.py:85-96`)."""
+        if ts is not None and not isinstance(ts, datetime):
+            # fail HERE, not as an OverflowError on the next read: an
+            # int watermark means the source's change-ts columns were
+            # read as bigint (TIMESTAMP(NANOS) parquet under the
+            # nanosAsLong conf) — the table needs ns→timestamp
+            # normalization before replication
+            raise TypeError(
+                f"watermark for {table!r} must be a datetime, got "
+                f"{type(ts).__name__}: {ts!r}"
+            )
         with self._lock:
             state = self._read_all()
             state[table.upper()] = ts

@@ -1,0 +1,121 @@
+"""End-to-end CLI tests: the five subcommands against tmp parquet
+dirs — the reference's three scripts (prepare-cdc, clone-schema,
+replicate) plus validate and compact, including the per-table error
+isolation the maintenance loops promise."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from oracle_to_oracle_data_integration_pipeline_spark.cli import main
+
+T1 = datetime.datetime(2024, 1, 1)
+T2 = datetime.datetime(2024, 1, 2)
+
+# synthetic tables wear fixture names so the CLI's PK registry
+# (catalog.FIXTURE_PKS) resolves their keys: events -> event_id,
+# documents -> doc_id
+EV_SCHEMA = (
+    "event_id long, val string, created_at timestamp, updated_at timestamp, is_deleted string"
+)
+DOC_SCHEMA = (
+    "doc_id long, val string, created_at timestamp, updated_at timestamp, is_deleted string"
+)
+
+
+def _single_file(spark, df, path):
+    """Fixture-style single parquet FILE (Spark writes directories;
+    from_parquet_dir maps bare files to fixture table names).
+    Timestamps coerced to µs like the real fixtures — pandas' default
+    ns unit would be read back as bigint under the session's
+    nanosAsLong conf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(df.toPandas()), path, coerce_timestamps="us"
+    )
+
+
+def _write_cdc_source(spark, src):
+    _single_file(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", T1, None, "N"), (2, "b", T1, T2, "N"), (3, "gone", T1, T2, "Y")],
+            EV_SCHEMA,
+        ),
+        f"{src}/events.parquet",
+    )
+    _single_file(
+        spark,
+        spark.createDataFrame([(10, "x", T1, None, "N")], DOC_SCHEMA),
+        f"{src}/documents.parquet",
+    )
+
+
+def test_prepare_cdc_evolves_and_is_idempotent(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _single_file(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        f"{src}/plain.parquet",
+    )
+    assert main(["prepare-cdc", "--source", src, "--out", out]) == 0
+    evolved = spark.read.parquet(f"{out}/plain")
+    assert {"created_at", "updated_at", "is_deleted"} <= set(evolved.columns)
+    # second run over the evolved output: everything already prepared
+    assert main(["prepare-cdc", "--source", out, "--out", str(tmp_path / "out2")]) == 0
+
+
+def test_clone_schema_creates_empty_then_skips(spark, tmp_path):
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    os.makedirs(src)
+    _write_cdc_source(spark, src)
+    assert main(["clone-schema", "--source", src, "--target", tgt]) == 0
+    clone = spark.read.parquet(f"{tgt}/events")
+    assert clone.count() == 0
+    assert set(clone.columns) == {"event_id", "val", "created_at", "updated_at", "is_deleted"}
+    # re-run: skip-existing, still rc 0
+    assert main(["clone-schema", "--source", src, "--target", tgt]) == 0
+
+
+def test_replicate_then_validate_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    state = str(tmp_path / "wm")
+    report = str(tmp_path / "report.json")
+    os.makedirs(src)
+    _write_cdc_source(spark, src)
+    rc = main(
+        ["replicate", "--source", src, "--target", tgt, "--state", state,
+         "--report", report]
+    )
+    assert rc == 0
+    got = {r["event_id"]: r["is_deleted"] for r in spark.read.parquet(f"{tgt}/events").collect()}
+    assert got == {1: "N", 2: "N"}  # pre-deleted key=3 gated out
+    import json
+
+    rep = json.loads(open(report).read())
+    assert rep["failed"] == []
+    # reconciliation agrees
+    assert main(["validate", "--source", src, "--target", tgt]) == 0
+
+
+def test_compact_isolates_broken_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    os.makedirs(src)
+    _write_cdc_source(spark, src)
+    assert main(["replicate", "--source", src, "--target", tgt,
+                 "--state", str(tmp_path / "wm")]) == 0
+    # plant an uncompactable "table": a directory containing garbage
+    bad = os.path.join(tgt, "broken")
+    os.makedirs(bad)
+    open(os.path.join(bad, "part-00000.parquet"), "w").write("not parquet")
+    rc = main(["compact", "--target", tgt, "--files", "1"])
+    assert rc == 1  # failure reported...
+    # ...but the healthy tables were still compacted and stay readable
+    assert spark.read.parquet(f"{tgt}/events").count() == 2
+    assert spark.read.parquet(f"{tgt}/documents").count() == 1
