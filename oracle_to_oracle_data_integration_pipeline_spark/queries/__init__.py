@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "pysource_changefeed",
     "stream_pysource",
     "stream_cdc_feed",
+    "approx_heavy_hitters",
 ]
 
 

@@ -250,12 +250,39 @@ FROM events GROUP BY event_type
 """
 
 
+# -- qid: approx_heavy_hitters (frequent-items sketch) ----------------
+
+def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k — the third sketch family
+    (HLL distinct, quantile, frequent items). At 100 TB this is the
+    only sane top-k-by-frequency: fixed maxItemsTracked state per
+    partial, mergeable, no full group-by materialization. The fixture
+    has 5 distinct event types against 10000 tracked slots, so the
+    sketch counts are provably EXACT and hash-compare directly against
+    the exact GROUP BY — stronger than the gated pattern where
+    exactness is attainable."""
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk")).select(
+        F.explode("tk").alias("s")
+    )
+    return sk.select(
+        F.col("s.item").alias("event_type"),
+        F.col("s.count").cast("long").alias("n_events"),
+    )
+
+
+SQL_APPROX_HEAVY_HITTERS = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "gap_fill": q_gap_fill,
     "gap_fill_interp": q_gap_fill_interp,
     "ts_zscore": q_ts_zscore,
     "hll_distinct": q_hll_distinct,
     "approx_quantiles": q_approx_quantiles,
+    "approx_heavy_hitters": q_approx_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -264,4 +291,5 @@ ORACLE_SQL = {
     "ts_zscore": SQL_TS_ZSCORE,
     "hll_distinct": SQL_HLL_DISTINCT,
     "approx_quantiles": SQL_APPROX_QUANTILES,
+    "approx_heavy_hitters": SQL_APPROX_HEAVY_HITTERS,
 }
