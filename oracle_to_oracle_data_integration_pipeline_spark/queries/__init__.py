@@ -55,10 +55,14 @@ _MODULES = [
 # covered the LLM/streaming/format/catalog/io front. This ROUND-3
 # window re-verifies the round-2 reds (events.ts type bug, fixed) FIRST,
 # then the 26 qids that never had a driver CORRECTNESS row, then the
-# round-3 additions — after this round every one of the 137 registered
+# round-3 additions — after this round every one of the 139 registered
 # qids has been driver-checked at least once. Already-green qids go
 # last; they stay covered by tests/test_queries_vs_duckdb.py every
 # round.
+#
+# ROUND-4 ROTATION TODO: put any round-3 CORRECTNESS reds first, then
+# rotate long-unchecked greens (r1-era rows: the cdc/relational front)
+# back through the window so every qid's driver row stays fresh.
 _VERIFY_FIRST = [
     # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
     # fixed via _util.normalize_events_ts — re-verify before anything else
