@@ -214,3 +214,18 @@ def test_hll_partial_merge_tree(spark, sf_dir):
     sketch is mergeable state, the whole point at 100 TB)."""
     p = plan_str(spark, sf_dir, "hll_distinct")
     assert "partial_approx_count_distinct" in p
+
+
+def test_ts_zscore_rides_gap_fill_exchanges(spark, sf_dir):
+    """The rolling-stats window adds NO exchange beyond gap-fill's two:
+    it is partitioned by the same key the fill window already keyed."""
+    p = plan_str(spark, sf_dir, "ts_zscore")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+
+
+def test_feature_bins_sketch_no_sort(spark, sf_dir):
+    """The scale-path binning must contain no global Sort (the exact
+    ntile variant's single-partition hazard) — cut-point assignment is
+    map-only ahead of the k-row aggregation."""
+    p = plan_str(spark, sf_dir, "feature_bins_sketch")
+    assert "Sort [" not in p

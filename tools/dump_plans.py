@@ -30,6 +30,8 @@ SHOW = [
     ("gap_fill", "resample shuffles (key,bucket) once; bounds/grid/join/LOCF-window share one (key) exchange"),
     ("kmeans_assign", "Lloyd assignment against literalized centroids: zero exchanges, corpus never shuffles"),
     ("hll_distinct", "mergeable HLL sketch state: partial_approx_count_distinct map-side"),
+    ("ts_zscore", "rolling-stats window rides gap-fill's key exchange: still 2 exchanges total"),
+    ("feature_bins_sketch", "no-sort equi-depth binning: map-only cut-point assignment, k-row agg"),
 ]
 
 
