@@ -17,6 +17,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     llm_queries3,
     llm_queries4,
     quality_queries,
+    retrieval_queries,
     timeseries_queries,
     relational,
     relational2,
@@ -45,6 +46,7 @@ _MODULES = [
     llm_queries3,
     llm_queries4,
     quality_queries,
+    retrieval_queries,
     timeseries_queries,
     clustering_queries,
     streaming_queries,
@@ -119,6 +121,10 @@ _VERIFY_FIRST = [
     "stream_pysource",
     "stream_cdc_feed",
     "approx_heavy_hitters",
+    "bm25_topk",
+    "lm_perplexity",
+    "knn_classify",
+    "fuzzy_match",
 ]
 
 

@@ -229,3 +229,36 @@ def test_feature_bins_sketch_no_sort(spark, sf_dir):
     map-only ahead of the k-row aggregation."""
     p = plan_str(spark, sf_dir, "feature_bins_sketch")
     assert "Sort [" not in p
+
+
+def test_bm25_distributed_topk(spark, sf_dir):
+    """Top-k must be TakeOrderedAndProject (partial per-partition
+    top-k + driver merge), never a global Sort over the scored corpus;
+    corpus stats ride a 1-row broadcast, so no shuffle join appears."""
+    p = plan_str(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lm_perplexity_vocab_broadcast(spark, sf_dir):
+    """The token->count join must broadcast the vocabulary — the
+    exploded corpus side never shuffles for the lookup."""
+    p = plan_str(spark, sf_dir, "lm_perplexity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_knn_classify_candidates_never_shuffle(spark, sf_dir):
+    """Query set broadcasts into a nested-loop scoring pass; the only
+    hash exchanges are the |Q|*k votes/pred aggregates."""
+    p = plan_str(spark, sf_dir, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_match_probe_broadcast_no_global_window(spark, sf_dir):
+    """Probes broadcast over the catalog scan; the argmin window is
+    partitioned by probe (no single-partition global window)."""
+    p = plan_str(spark, sf_dir, "fuzzy_match")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "windowspecdefinition(probe" in p
