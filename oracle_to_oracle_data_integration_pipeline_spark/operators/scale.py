@@ -17,7 +17,7 @@ These address the two shuffle pathologies a 100 TB deployment hits
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -102,4 +102,89 @@ def cluster_by_range(df: DataFrame, cols: list[str], num_files: int = 8) -> Data
     """
     return df.repartitionByRange(num_files, *[F.col(c) for c in cols]).sortWithinPartitions(
         *cols
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit quantized long
+    columns: bit i of x lands at position 2i, bit i of y at 2i+1. Rows
+    close in BOTH dimensions get close z-values, so range-clustering on
+    z gives every output file a narrow min/max envelope on BOTH columns
+    — the multi-dimensional data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER effect) from nothing but shift/and arithmetic.
+
+    Pure integer expression — identical bit-for-bit in any engine; the
+    32 single-bit terms occupy disjoint positions so `+` is `|`.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def quantize_col(v: Column, vmin: Column, vmax: Column, bits: int = 16) -> Column:
+    """Proportional quantization of a long column to [0, 2^bits):
+    floor((v - min)·(2^bits − 1) / (max − min)). The double division is
+    IEEE-identical across engines (same operands, same rounding), so
+    floor agrees bit-for-bit."""
+    span = (vmax - vmin).cast("double")
+    return F.floor((v - vmin).cast("long") * F.lit((1 << bits) - 1) / span).cast("long")
+
+
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], num_files: int = 16, bits: int = 16
+) -> DataFrame:
+    """Two-column Z-order clustering: quantize both columns against
+    their global min/max (one-row broadcast stats pass), interleave to
+    a Morton key, then range-partition + sort on it. Each output file's
+    parquet footer then carries a narrow min/max on BOTH columns, so a
+    conjunctive two-column predicate skips all but a few files — where
+    single-column range clustering only narrows one of them.
+    """
+    assert len(cols) == 2, "zorder clustering interleaves exactly two columns"
+    cx, cy = cols
+    stats = df.agg(
+        F.min(cx).alias("__minx"), F.max(cx).alias("__maxx"),
+        F.min(cy).alias("__miny"), F.max(cy).alias("__maxy"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    z = zorder_key(
+        quantize_col(F.col(cx), F.col("__minx"), F.col("__maxx"), bits),
+        quantize_col(F.col(cy), F.col("__miny"), F.col("__maxy"), bits),
+        bits,
+    )
+    out = j.withColumn("__z", z).drop("__minx", "__maxx", "__miny", "__maxy")
+    return (
+        out.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Per-key distribution diagnostics — the pre-flight check before
+    choosing a join/agg strategy at scale (broadcast? salt? AQE skew
+    split?). One shuffle to count rows per key (map-side combine), then
+    a scalar aggregate over the (much smaller) counts table.
+
+    Output (one row): n_keys, n_rows, max_per_key, avg_per_key,
+    p50_per_key, p99_per_key, skew_ratio (max/avg). The exact
+    percentile runs over |keys| rows, not |rows|; when even the key
+    table is huge, swap in approx_percentile (see `approx_quantiles`).
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        pround(F.avg("n"), 6).alias("avg_per_key"),
+        pround(F.expr("percentile(n, 0.5)"), 6).alias("p50_per_key"),
+        pround(F.expr("percentile(n, 0.99)"), 6).alias("p99_per_key"),
+        pround(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
     )

@@ -125,6 +125,8 @@ _VERIFY_FIRST = [
     "lm_perplexity",
     "knn_classify",
     "fuzzy_match",
+    "skew_profile",
+    "zorder_cluster",
 ]
 
 

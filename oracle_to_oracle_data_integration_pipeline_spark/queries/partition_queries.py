@@ -155,11 +155,107 @@ ORDER BY o_orderstatus
 """
 
 
+# -- qid: skew_profile (per-key distribution diagnostics) -------------
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-per-key distribution of lineitem on l_orderkey — the
+    pre-flight stats a 100 TB deployment reads before picking
+    broadcast/salt/AQE-skew strategies (operators/scale.skew_profile)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import skew_profile
+
+    return skew_profile(load(spark, sf_dir, "lineitem").select("l_orderkey"), "l_orderkey")
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+SELECT count(*) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       max(n) AS max_per_key,
+       floor(avg(n) * 1000000.0 + 0.5) / 1000000.0 AS avg_per_key,
+       floor(quantile_cont(n, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50_per_key,
+       floor(quantile_cont(n, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99_per_key,
+       floor((max(n) / avg(n)) * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio
+FROM c
+"""
+
+
+# -- qid: zorder_cluster (Morton-key multi-dim locality) --------------
+
+ZBITS = 16
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order bucket locality summary: quantize (l_orderkey,
+    l_partkey) to 16 bits each against global min/max (one-row
+    broadcast stats), Morton-interleave, bucket on the top 4 z-bits,
+    and report each bucket's row count and min/max envelope on BOTH
+    dimensions — the per-file footer stats a zorder-clustered write
+    would produce (operators/scale.zorder_key). Narrow envelopes on
+    both columns are what make two-column predicates skip files."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        quantize_col,
+        zorder_key,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    stats = li.agg(
+        F.min("l_orderkey").alias("__minx"), F.max("l_orderkey").alias("__maxx"),
+        F.min("l_partkey").alias("__miny"), F.max("l_partkey").alias("__maxy"),
+    )
+    j = li.crossJoin(F.broadcast(stats))
+    z = zorder_key(
+        quantize_col(F.col("l_orderkey"), F.col("__minx"), F.col("__maxx"), ZBITS),
+        quantize_col(F.col("l_partkey"), F.col("__miny"), F.col("__maxy"), ZBITS),
+        ZBITS,
+    )
+    return (
+        j.select(F.shiftright(z, 2 * ZBITS - 4).alias("bucket"), "l_orderkey", "l_partkey")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("x_min"), F.max("l_orderkey").alias("x_max"),
+            F.min("l_partkey").alias("y_min"), F.max("l_partkey").alias("y_max"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(((qx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qy >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " + ".join(terms)
+    m = (1 << ZBITS) - 1
+    return f"""
+WITH s AS (
+  SELECT min(l_orderkey) AS minx, max(l_orderkey) AS maxx,
+         min(l_partkey) AS miny, max(l_partkey) AS maxy
+  FROM lineitem
+),
+q AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(floor((l_orderkey - minx) * {m} / CAST(maxx - minx AS DOUBLE)) AS BIGINT) AS qx,
+         CAST(floor((l_partkey - miny) * {m} / CAST(maxy - miny AS DOUBLE)) AS BIGINT) AS qy
+  FROM lineitem, s
+),
+z AS (SELECT l_orderkey, l_partkey, ({zexpr}) AS zv FROM q)
+SELECT zv >> {2 * ZBITS - 4} AS bucket, count(*) AS n_rows,
+       min(l_orderkey) AS x_min, max(l_orderkey) AS x_max,
+       min(l_partkey) AS y_min, max(l_partkey) AS y_max
+FROM z GROUP BY bucket
+"""
+
+
+SQL_ZORDER_CLUSTER = _zorder_sql()
+
+
 QUERIES = {
     "partitioned_scan": q_partitioned_scan,
     "join_outer": q_join_outer,
     "window_range_frame": q_window_range_frame,
     "salted_join": q_salted_join,
+    "skew_profile": q_skew_profile,
+    "zorder_cluster": q_zorder_cluster,
 }
 
 ORACLE_SQL = {
@@ -167,4 +263,6 @@ ORACLE_SQL = {
     "join_outer": SQL_JOIN_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
     "salted_join": SQL_SALTED_JOIN,
+    "skew_profile": SQL_SKEW_PROFILE,
+    "zorder_cluster": SQL_ZORDER_CLUSTER,
 }

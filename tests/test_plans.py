@@ -262,3 +262,20 @@ def test_fuzzy_match_probe_broadcast_no_global_window(spark, sf_dir):
     p = plan_str(spark, sf_dir, "fuzzy_match")
     assert "BroadcastNestedLoopJoin" in p
     assert "windowspecdefinition(probe" in p
+
+
+def test_skew_profile_single_key_shuffle(spark, sf_dir):
+    """Counts-per-key is the only hash exchange; the scalar summary
+    rides a single-partition merge of |keys| pre-aggregated rows."""
+    p = plan_str(spark, sf_dir, "skew_profile")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_zorder_cluster_broadcast_stats(spark, sf_dir):
+    """Global min/max ride a 1-row broadcast; the Morton-key bucket
+    summary is the only hash exchange — the fact table never shuffles
+    for quantization."""
+    p = plan_str(spark, sf_dir, "zorder_cluster")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1

@@ -32,6 +32,10 @@ SHOW = [
     ("hll_distinct", "mergeable HLL sketch state: partial_approx_count_distinct map-side"),
     ("ts_zscore", "rolling-stats window rides gap-fill's key exchange: still 2 exchanges total"),
     ("feature_bins_sketch", "no-sort equi-depth binning: map-only cut-point assignment, k-row agg"),
+    ("bm25_topk", "one-row corpus-stats broadcast; distributed TakeOrderedAndProject top-k, no global sort"),
+    ("lm_perplexity", "vocabulary broadcast back over the exploded corpus: the big side never shuffles for the lookup"),
+    ("zorder_cluster", "Morton quantization against broadcast min/max: fact table never shuffles before the bucket agg"),
+    ("skew_profile", "one key-count exchange; scalar summary merges |keys| pre-aggregated rows"),
 ]
 
 
