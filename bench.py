@@ -51,6 +51,9 @@ HEADLINE = [
     "gap_fill",
     "ts_zscore",
     "kmeans_assign",
+    "bm25_topk",
+    "lm_perplexity",
+    "zorder_cluster",
 ]
 
 
