@@ -1,0 +1,92 @@
+"""Iterative graph analytics: PageRank over an edge DataFrame.
+
+Companion to `operators/dedup.connected_components` (the other
+iterative graph op): where components label groups, PageRank scores
+node importance — e.g. ranking suppliers/customers in the trade graph,
+or hub documents in a near-dup/link graph before choosing canonical
+representatives.
+
+100 TB design (same contract as connected_components):
+- Each iteration is ONE shuffle join (ranks keyed by node id against
+  the out-degree-annotated edge list) + a map-side-combined aggregate
+  keyed by destination. Edge and degree tables are computed once and
+  `localCheckpoint`ed; rank lineage is truncated every round so plans
+  stay O(1) per iteration.
+- No driver round-trip per iteration (ranks never collect); the only
+  driver-side state is the loop counter.
+- Skewed in-degree (celebrity nodes) lands on the dst-keyed aggregate,
+  which partial-aggregates map-side — the classic PageRank hot spot is
+  already combined before the shuffle.
+
+Determinism (what the unrolled DuckDB oracle checks): per-destination
+inflow sums are computed over portable-rounded INTEGER contributions —
+floor(rank/deg·1e15 + 0.5) as a long — so the sum is exact and
+associative with no double→decimal cast anywhere (a raw double cast to
+DECIMAL can land on a .5 quantization boundary and round differently
+per engine; the floor form is engine-identical, same rationale as
+`queries/_util.pround`). The scaled sum stays < 2^53, so the final
+double division is exact. Teleport/damping arithmetic is written as
+the same double-literal expression in both engines (the oracle uses
+e-notation literals — DuckDB parses bare `0.85` as DECIMAL and would
+fold `1.0 - 0.85` exactly where doubles do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank. ``edges`` is a directed edge list
+    (deduplicated); dangling nodes keep only teleport mass (the
+    redistribute-dangling-mass refinement is omitted and mirrored
+    as-omitted in the oracle).
+
+    Output: one row per node — (node, rank) after ``iters`` rounds.
+    """
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("esrc").alias("node"))
+        .union(e.select(F.col("edst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("esrc").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    n_row = nodes.agg(F.count("*").alias("n_nodes"))
+    base = nodes.crossJoin(F.broadcast(n_row))
+
+    # init: uniform 1/n, built as an expression so both engines compute
+    # the identical double (n is data-dependent, never a Python literal)
+    r = base.select("node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "esrc")
+            .join(r.select(F.col("node").alias("esrc"), "rank"), "esrc")
+            .groupBy("edst")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("rank") / F.col("deg") * F.lit(1e15) + F.lit(0.5)))
+                    .cast("double")
+                    / F.lit(1e15)
+                ).alias("m")
+            )
+        )
+        r = (
+            base.join(contrib, base.node == contrib.edst, "left")
+            .select(
+                "node",
+                "n_nodes",
+                (teleport + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", "rank")

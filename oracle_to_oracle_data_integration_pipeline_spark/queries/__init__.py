@@ -9,7 +9,9 @@ from __future__ import annotations
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     catalog_queries,
     clustering_queries,
+    corpus_queries,
     format_queries,
+    graph_queries,
     cdc_queries,
     io_queries,
     llm_queries,
@@ -49,6 +51,8 @@ _MODULES = [
     retrieval_queries,
     timeseries_queries,
     clustering_queries,
+    graph_queries,
+    corpus_queries,
     streaming_queries,
 ]
 
@@ -127,6 +131,10 @@ _VERIFY_FIRST = [
     "fuzzy_match",
     "skew_profile",
     "zorder_cluster",
+    "pagerank",
+    "source_divergence",
+    "vocab_build",
+    "winsorize",
 ]
 
 

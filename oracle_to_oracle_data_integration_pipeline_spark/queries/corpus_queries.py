@@ -1,0 +1,150 @@
+"""Corpus-distribution analytics qids: per-source KL divergence,
+frequency-ranked vocabulary build, per-group winsorization.
+
+These are the distribution-shift / feature-hygiene companions to the
+mixture ops in operators/curation.py: `source_divergence` quantifies
+how far each source's token distribution sits from the corpus (the
+signal DoReMi-style reweighting consumes), `vocab_build` materializes
+the token→id mapping a tokenizer training step needs, and `winsorize`
+clips per-group outliers before scale-sensitive downstream stats.
+
+Determinism: KL terms are portable-rounded to integer units of 1e-12
+before the exact long sum (same rationale as operators/graph.py —
+no double→decimal casts); percentiles round through `pround`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import tokens_col
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, pround
+
+# -- qid: source_divergence -------------------------------------------
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p_source ‖ p_corpus) over unigram distributions, one row per
+    source. One (source,tok) count shuffle; the corpus marginal and
+    totals re-aggregate from it (vocab-sized, broadcast back). At
+    100 TB persist the (source,tok) counts once instead of letting the
+    three consumers recompute the scan — the shuffle shape is
+    unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens_col("text")).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    total = corpus.agg(F.sum("c_t").alias("t_all"))
+    j = (
+        st.join(s_tot, "source")
+        .join(F.broadcast(corpus), "tok")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.col("c_st") / F.col("t_s")
+    q = F.col("c_t") / F.col("t_all")
+    contrib = p * F.log(p / q)
+    scaled = F.floor(contrib * F.lit(1e12) + F.lit(0.5))
+    return (
+        j.groupBy("source", "t_s")
+        .agg((F.sum(scaled).cast("double") / F.lit(1e12)).alias("kl"))
+        .select("source", F.col("t_s").alias("n_tokens"), "kl")
+    )
+
+
+SQL_SOURCE_DIVERGENCE = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+st AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY 1, 2),
+s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+corpus AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+total AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_all FROM corpus),
+j AS (
+  SELECT st.source, st.c_st, s_tot.t_s, corpus.c_t, total.t_all
+  FROM st JOIN s_tot USING (source) JOIN corpus USING (tok), total
+)
+SELECT source, t_s AS n_tokens,
+       CAST(sum(CAST(floor((c_st / t_s) * ln((c_st / t_s) / (c_t / t_all)) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS kl
+FROM j GROUP BY source, t_s
+"""
+
+
+# -- qid: vocab_build --------------------------------------------------
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked token→id vocabulary (id 0 = most frequent,
+    count-desc with token tiebreak) — the mapping a tokenizer-training
+    step consumes. The global ranking window runs over the VOCABULARY
+    (post-aggregation, ≪ corpus), which is the one place a global
+    window is the honest plan; a web-scale vocab would cut to top-V by
+    TakeOrdered first."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), "tok")
+    return counts.select(
+        F.col("tok").alias("token"),
+        "n_occurrences",
+        (F.row_number().over(w) - 1).alias("token_id"),
+    )
+
+
+SQL_VOCAB_BUILD = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS n_occurrences FROM tok GROUP BY tok)
+SELECT tok AS token, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) - 1 AS INT) AS token_id
+FROM counts
+"""
+
+
+# -- qid: winsorize ----------------------------------------------------
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p05/p95 winsorization of document length: group
+    percentiles via one small aggregate broadcast back over the table
+    (map-only clip — the table never shuffles)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    stats = d.groupBy("source").agg(
+        pround(F.expr("percentile(n_chars, 0.05)"), 6).alias("p05"),
+        pround(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+    )
+    j = d.join(F.broadcast(stats), "source")
+    clipped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95"))
+    was_clipped = (
+        (F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))
+    ).cast("int")
+    return j.select(
+        "doc_id", "source", "n_chars",
+        clipped.alias("clipped"),
+        was_clipped.alias("was_clipped"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH stats AS (
+  SELECT source,
+         floor(quantile_cont(n_chars, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS p05,
+         floor(quantile_cont(n_chars, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS clipped,
+       CAST(CASE WHEN n_chars < p05 OR n_chars > p95 THEN 1 ELSE 0 END AS INT) AS was_clipped
+FROM documents d JOIN stats ON d.source = stats.source
+"""
+
+
+QUERIES = {
+    "source_divergence": q_source_divergence,
+    "vocab_build": q_vocab_build,
+    "winsorize": q_winsorize,
+}
+
+ORACLE_SQL = {
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
+    "vocab_build": SQL_VOCAB_BUILD,
+    "winsorize": SQL_WINSORIZE,
+}

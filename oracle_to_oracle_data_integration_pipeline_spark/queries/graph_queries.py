@@ -1,0 +1,76 @@
+"""Graph qid: PageRank over the customer↔supplier trade graph
+(operators/graph.py). The DuckDB twin unrolls the same 5 iterations as
+chained CTEs — same decimal-exact inflow sums, same expression-form
+teleport/damping arithmetic — so the differential compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node importance in the trade network: symmetric edges between
+    customers and the suppliers whose parts they bought (distinct
+    (custkey, suppkey) pairs via lineitem⋈orders), 5 PageRank rounds."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(sym, damping=PR_DAMPING, iters=PR_ITERS)
+
+
+def _pagerank_sql() -> str:
+    blocks = ["""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+b AS (SELECT node, n_nodes FROM nodes, nn),
+r0 AS (SELECT node, n_nodes, 1e0 / n_nodes AS rank FROM b)"""]
+    for i in range(1, PR_ITERS + 1):
+        blocks.append(f""",
+m{i} AS (
+  SELECT e.dst,
+         CAST(sum(CAST(floor(r.rank / deg.deg * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS m
+  FROM e JOIN deg ON deg.src = e.src JOIN r{i-1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT b.node, b.n_nodes,
+         (1e0 - {PR_DAMPING}e0) / b.n_nodes + {PR_DAMPING}e0 * COALESCE(m{i}.m, 0e0) AS rank
+  FROM b LEFT JOIN m{i} ON m{i}.dst = b.node
+)""")
+    blocks.append(f"\nSELECT node, rank FROM r{PR_ITERS}")
+    return "".join(blocks)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+QUERIES = {
+    "pagerank": q_pagerank,
+}
+
+ORACLE_SQL = {
+    "pagerank": SQL_PAGERANK,
+}

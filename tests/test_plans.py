@@ -279,3 +279,26 @@ def test_zorder_cluster_broadcast_stats(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_source_divergence_broadcast_marginals(spark, sf_dir):
+    """Corpus marginal + totals broadcast back over the (source,tok)
+    counts; no sort-merge join anywhere in the divergence plan."""
+    p = plan_str(spark, sf_dir, "source_divergence")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winsorize_single_stats_exchange(spark, sf_dir):
+    """Group percentiles are one hash exchange; the clip itself is a
+    broadcast-join map over the table."""
+    p = plan_str(spark, sf_dir, "winsorize")
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_vocab_build_single_count_exchange(spark, sf_dir):
+    """Token counting is the only hash exchange; the ranking window
+    runs post-aggregation over the (small) vocabulary."""
+    p = plan_str(spark, sf_dir, "vocab_build")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
