@@ -120,7 +120,12 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
     totals = vocab.agg(F.sum("c").alias("t_total"))
-    scored = tok.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(totals))
+    # no explicit broadcast hint on vocab: under the threshold Spark
+    # broadcasts it anyway (plan test pins that), and above it the
+    # planner falls back to a shuffle join instead of force-shipping a
+    # web-scale vocabulary (an explicit hint would override the
+    # threshold and OOM)
+    scored = tok.join(vocab, "tok").crossJoin(F.broadcast(totals))
     nll = F.log(F.col("t_total").cast("double")) - F.log(F.col("c").cast("double"))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
@@ -147,9 +152,10 @@ def knn_classify(
     q = embeddings.filter(F.col("vec_id") < n_queries)
     cand = embeddings.filter(F.col("vec_id") >= n_queries)
     topk = cosine_topk_bruteforce(cand, q, k=k)
-    labeled = topk.join(
-        F.broadcast(cand.select(F.col("vec_id").alias("neighbor_id"), "label")),
-        "neighbor_id",
+    # broadcast the |Q|·k top-k result against the full label table —
+    # never the candidate pool, which is the big side at scale
+    labeled = cand.select(F.col("vec_id").alias("neighbor_id"), "label").join(
+        F.broadcast(topk), "neighbor_id"
     )
     votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
     w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")

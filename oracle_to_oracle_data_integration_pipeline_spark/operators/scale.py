@@ -130,22 +130,26 @@ def quantize_col(v: Column, vmin: Column, vmax: Column, bits: int = 16) -> Colum
     """Proportional quantization of a long column to [0, 2^bits):
     floor((v - min)·(2^bits − 1) / (max − min)). The double division is
     IEEE-identical across engines (same operands, same rounding), so
-    floor agrees bit-for-bit."""
+    floor agrees bit-for-bit. A constant column (max == min) quantizes
+    to 0 — guarded explicitly, because bare x/0.0 is NaN in Spark but
+    NULL in DuckDB and would silently break the cross-engine contract.
+    SQL twin: CASE WHEN vmax > vmin THEN CAST(floor((v - vmin) * m
+    / CAST(vmax - vmin AS DOUBLE)) AS BIGINT) ELSE 0 END."""
     span = (vmax - vmin).cast("double")
-    return F.floor((v - vmin).cast("long") * F.lit((1 << bits) - 1) / span).cast("long")
+    q = F.floor((v - vmin).cast("long") * F.lit((1 << bits) - 1) / span).cast("long")
+    return F.when(vmax > vmin, q).otherwise(F.lit(0).cast("long"))
 
 
-def cluster_by_zorder(
-    df: DataFrame, cols: list[str], num_files: int = 16, bits: int = 16
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out: str = "__z"
 ) -> DataFrame:
-    """Two-column Z-order clustering: quantize both columns against
-    their global min/max (one-row broadcast stats pass), interleave to
-    a Morton key, then range-partition + sort on it. Each output file's
-    parquet footer then carries a narrow min/max on BOTH columns, so a
-    conjunctive two-column predicate skips all but a few files — where
-    single-column range clustering only narrows one of them.
-    """
-    assert len(cols) == 2, "zorder clustering interleaves exactly two columns"
+    """Append the Morton key for two long columns: one-row global
+    min/max stats broadcast back (the table itself never shuffles),
+    quantize each column, interleave. Shared by the clustered-write
+    path (`cluster_by_zorder`) and the bucket-locality qid
+    (`zorder_cluster`), so the quantization convention cannot drift
+    between them."""
+    assert len(cols) == 2, "zorder interleaves exactly two columns"
     cx, cy = cols
     stats = df.agg(
         F.min(cx).alias("__minx"), F.max(cx).alias("__maxx"),
@@ -157,7 +161,20 @@ def cluster_by_zorder(
         quantize_col(F.col(cy), F.col("__miny"), F.col("__maxy"), bits),
         bits,
     )
-    out = j.withColumn("__z", z).drop("__minx", "__maxx", "__miny", "__maxy")
+    return j.withColumn(out, z).drop("__minx", "__maxx", "__miny", "__maxy")
+
+
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], num_files: int = 16, bits: int = 16
+) -> DataFrame:
+    """Two-column Z-order clustering: Morton key via
+    ``with_zorder_key``, then range-partition + sort on it. Each output
+    file's parquet footer then carries a narrow min/max on BOTH
+    columns, so a conjunctive two-column predicate skips all but a few
+    files — where single-column range clustering only narrows one of
+    them.
+    """
+    out = with_zorder_key(df, cols, bits)
     return (
         out.repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -59,16 +59,18 @@ _MODULES = [
 # The driver's correctness gate evaluates qids in registry (dict) order
 # and stops after ~50. Round 1 verified the first 50; round 2's window
 # covered the LLM/streaming/format/catalog/io front. This ROUND-3
-# window re-verifies the round-2 reds (events.ts type bug, fixed) FIRST,
-# then the 26 qids that never had a driver CORRECTNESS row, then the
-# round-3 additions — after this round every one of the 139 registered
-# qids has been driver-checked at least once. Already-green qids go
-# last; they stay covered by tests/test_queries_vs_duckdb.py every
-# round.
+# window re-verifies the round-2 reds (events.ts type bug, fixed)
+# FIRST, then the 26 qids that never had a driver CORRECTNESS row,
+# then the round-3 additions in creation order. The front now holds 59
+# entries against a ~50 window, so the TAIL (~the last 9 round-3
+# additions) may not receive a driver row this round — every one of
+# the 149 registered qids is still green in the local differential
+# suite (tests/test_queries_vs_duckdb.py) each round.
 #
 # ROUND-4 ROTATION TODO: put any round-3 CORRECTNESS reds first, then
+# whatever tail of this list fell outside round 3's window, then
 # rotate long-unchecked greens (r1-era rows: the cdc/relational front)
-# back through the window so every qid's driver row stays fresh.
+# back through so every qid's driver row stays fresh.
 _VERIFY_FIRST = [
     # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
     # fixed via _util.normalize_events_ts — re-verify before anything else

@@ -192,24 +192,16 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions — the per-file footer stats a zorder-clustered write
     would produce (operators/scale.zorder_key). Narrow envelopes on
     both columns are what make two-column predicates skip files."""
-    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
-        quantize_col,
-        zorder_key,
-    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import with_zorder_key
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    stats = li.agg(
-        F.min("l_orderkey").alias("__minx"), F.max("l_orderkey").alias("__maxx"),
-        F.min("l_partkey").alias("__miny"), F.max("l_partkey").alias("__maxy"),
-    )
-    j = li.crossJoin(F.broadcast(stats))
-    z = zorder_key(
-        quantize_col(F.col("l_orderkey"), F.col("__minx"), F.col("__maxx"), ZBITS),
-        quantize_col(F.col("l_partkey"), F.col("__miny"), F.col("__maxy"), ZBITS),
-        ZBITS,
-    )
+    keyed = with_zorder_key(li, ["l_orderkey", "l_partkey"], ZBITS)
     return (
-        j.select(F.shiftright(z, 2 * ZBITS - 4).alias("bucket"), "l_orderkey", "l_partkey")
+        keyed.select(
+            F.shiftright(F.col("__z"), 2 * ZBITS - 4).alias("bucket"),
+            "l_orderkey",
+            "l_partkey",
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
@@ -234,8 +226,12 @@ WITH s AS (
 ),
 q AS (
   SELECT l_orderkey, l_partkey,
-         CAST(floor((l_orderkey - minx) * {m} / CAST(maxx - minx AS DOUBLE)) AS BIGINT) AS qx,
-         CAST(floor((l_partkey - miny) * {m} / CAST(maxy - miny AS DOUBLE)) AS BIGINT) AS qy
+         CASE WHEN maxx > minx
+              THEN CAST(floor((l_orderkey - minx) * {m} / CAST(maxx - minx AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS qx,
+         CASE WHEN maxy > miny
+              THEN CAST(floor((l_partkey - miny) * {m} / CAST(maxy - miny AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS qy
   FROM lineitem, s
 ),
 z AS (SELECT l_orderkey, l_partkey, ({zexpr}) AS zv FROM q)

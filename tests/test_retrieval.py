@@ -27,7 +27,10 @@ def test_bm25_tf_and_rarity_ordering(spark):
     out = bm25_topk(docs, ["apple", "banana"], k=4)
     rows = {r.doc_id: r for r in out.collect()}
     assert sorted(rows) == [1, 2, 3, 4]
-    assert [rows[d].rank for d in sorted(rows, key=lambda d: rows[d].rank)]
+    # rank is the dense 1..k ordering of (bm25 desc, doc_id)
+    by_rank = sorted(rows, key=lambda d: rows[d].rank)
+    assert [rows[d].rank for d in by_rank] == [1, 2, 3, 4]
+    assert by_rank == sorted(rows, key=lambda d: (-rows[d].bm25, d))
     # higher tf at equal dl beats lower tf; rarer term (df=1) outranks
     # a single common-term hit (df=2); absent terms score exactly 0
     assert rows[1].bm25 > rows[2].bm25

@@ -36,6 +36,32 @@ def test_zorder_buckets_localize_both_dims(spark, sf_dir):
         assert (r.y_max - r.y_min) <= 0.3 * (gy[1] - gy[0]), r
 
 
+def test_cluster_by_zorder_partitions_are_z_ranges(spark, sf_dir):
+    """The write-path layout operator: partitions must hold disjoint,
+    internally-sorted Morton-key ranges (that is what gives each output
+    file its narrow two-column footer envelope)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        cluster_by_zorder,
+        with_zorder_key,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    clustered = cluster_by_zorder(li, ["l_orderkey", "l_partkey"], num_files=4)
+    # recompute the z key on the clustered output and check per-partition ranges
+    keyed = with_zorder_key(clustered, ["l_orderkey", "l_partkey"])
+    parts = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(p.n for p in parts) == li.count()
+    spans = sorted((p.lo, p.hi) for p in parts)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "partition z-ranges must be disjoint"
+
+
 def test_skew_profile_scalars(spark):
     df = spark.createDataFrame([("a",), ("a",), ("a",), ("b",)], "k string")
     r = skew_profile(df, "k").collect()[0]
