@@ -137,6 +137,7 @@ _VERIFY_FIRST = [
     "source_divergence",
     "vocab_build",
     "winsorize",
+    "pit_join",
 ]
 
 

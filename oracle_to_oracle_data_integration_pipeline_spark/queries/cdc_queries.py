@@ -232,6 +232,74 @@ FROM v
 """
 
 
+# -- qid: pit_join -----------------------------------------------------
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: fact probes joined to the SCD2 dimension
+    version valid AT the probe timestamp (the as-of-dimension lookup a
+    warehouse needs for correct historical reporting). Probes land
+    before (+15d) or after (+30d/+45d) the second version, exercising
+    both sides.
+
+    100 TB shape: the join is EQUI on the key — the interval predicate
+    is a post-join filter, valid because SCD2 versions-per-key is a
+    small constant. One key shuffle (or co-located/bucketed join),
+    never an interval nested-loop over the fact table."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scd import (
+        scd2_from_versions,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    b1 = o.select("o_orderkey", "o_orderstatus", F.col("o_orderdate").alias("ts"))
+    b2 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    hist = scd2_from_versions(b1.unionByName(b2), ["o_orderkey"], "ts")
+    probe_ts = F.when(
+        F.col("o_orderkey") % 2 == 0, F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")
+    ).otherwise(F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+    fact = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", probe_ts.alias("probe_ts")
+    )
+    j = fact.join(hist, "o_orderkey").filter(
+        (F.col("probe_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+    )
+    return j.select(
+        "o_orderkey",
+        "probe_ts",
+        F.col("o_orderstatus").alias("status_at"),
+        "valid_from",
+    )
+
+
+SQL_PIT_JOIN = """
+WITH v AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate AS ts FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'X', o_orderdate + INTERVAL 30 DAY FROM orders
+  WHERE o_orderkey % 7 = 0
+),
+h AS (
+  SELECT o_orderkey, o_orderstatus, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) AS valid_to
+  FROM v
+),
+f AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate + INTERVAL 15 DAY
+              ELSE o_orderdate + INTERVAL 45 DAY END AS probe_ts
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT f.o_orderkey, f.probe_ts, h.o_orderstatus AS status_at, h.valid_from
+FROM f JOIN h ON f.o_orderkey = h.o_orderkey
+WHERE f.probe_ts >= h.valid_from
+  AND (h.valid_to IS NULL OR f.probe_ts < h.valid_to)
+"""
+
+
 # -- qid: rollup_refresh ----------------------------------------------
 
 def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +340,7 @@ FROM events GROUP BY event_type
 
 QUERIES = {
     "scd2_history": q_scd2_history,
+    "pit_join": q_pit_join,
     "rollup_refresh": q_rollup_refresh,
     "change_ts": q_change_ts,
     "delta_filter": q_delta_filter,
@@ -283,6 +352,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
+    "pit_join": SQL_PIT_JOIN,
     "rollup_refresh": SQL_ROLLUP_REFRESH,
     "change_ts": SQL_CHANGE_TS,
     "delta_filter": SQL_DELTA_FILTER,

@@ -302,3 +302,12 @@ def test_vocab_build_single_count_exchange(spark, sf_dir):
     runs post-aggregation over the (small) vocabulary."""
     p = plan_str(spark, sf_dir, "vocab_build")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_pit_join_is_equi_not_interval_nlj(spark, sf_dir):
+    """The point-in-time lookup must plan as an equi join on the key
+    (interval check post-filtered) — an interval nested loop over the
+    fact table is the scale failure this operator exists to avoid."""
+    p = plan_str(spark, sf_dir, "pit_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -36,6 +36,7 @@ SHOW = [
     ("lm_perplexity", "vocabulary broadcast back over the exploded corpus: the big side never shuffles for the lookup"),
     ("zorder_cluster", "Morton quantization against broadcast min/max: fact table never shuffles before the bucket agg"),
     ("skew_profile", "one key-count exchange; scalar summary merges |keys| pre-aggregated rows"),
+    ("pit_join", "point-in-time dimension lookup as an equi join on the key, interval post-filtered"),
 ]
 
 
