@@ -59,7 +59,10 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("esrc").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    deg = e.groupBy("esrc").agg(F.count("*").alias("deg"))
+    # degree rides the edge list ONCE — one materialized (src, dst, deg)
+    # table instead of an extra e⋈deg join inside every iteration
+    ewd = e.join(deg, "esrc").localCheckpoint(eager=True)
     n_row = nodes.agg(F.count("*").alias("n_nodes"))
     base = nodes.crossJoin(F.broadcast(n_row))
 
@@ -69,8 +72,7 @@ def pagerank(
     teleport = (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
     for _ in range(iters):
         contrib = (
-            e.join(deg, "esrc")
-            .join(r.select(F.col("node").alias("esrc"), "rank"), "esrc")
+            ewd.join(r.select(F.col("node").alias("esrc"), "rank"), "esrc")
             .groupBy("edst")
             .agg(
                 (

@@ -227,19 +227,30 @@ WITH s AS (
   FROM embeddings
 ),
 q AS (
+  -- 127e0 / CAST(maxabs AS DOUBLE), not 127.0 / maxabs: DuckDB parses
+  -- 127.0 as DECIMAL and DECIMAL/FLOAT division yields FLOAT, giving a
+  -- float-precision scale where Spark computes double(127)/double(maxabs)
+  -- (surfaced as a 6th-decimal max_abs_err flip at sf0.1). The float
+  -- maxabs widens to double exactly, so both engines now divide
+  -- identical operands.
   SELECT vec_id, embedding,
-         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+         CASE WHEN maxabs > 0 THEN 127e0 / CAST(maxabs AS DOUBLE) ELSE 0e0 END AS scale
   FROM s
 )
 SELECT vec_id,
        CAST(floor(embedding[1] * scale + 0.5) AS INT) AS q0,
-       -- the lambda result list coerces to FLOAT (the input list type);
-       -- cast back to DOUBLE first. floor(x*1e6+0.5)/1e6 (not round):
-       -- portable half-up — round() on a double is engine-specific at
-       -- the .5 boundary (see queries/_util.pround)
-       CASE WHEN scale > 0 THEN floor(CAST(list_max(list_transform(
-           embedding,
-           x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - CAST(x AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+       -- the transform runs over CAST(embedding AS DOUBLE[]): DuckDB
+       -- narrows a lambda's result list to the INPUT element type, so
+       -- a FLOAT[] input would round each per-element error to float
+       -- before list_max while Spark keeps doubles (a real 6th-decimal
+       -- flip surfaced at sf0.1). float→double widening is exact, so
+       -- the quantization arithmetic itself is unchanged.
+       -- floor(x*1e6+0.5)/1e6 (not round): portable half-up — round()
+       -- on a double is engine-specific at the .5 boundary (see
+       -- queries/_util.pround)
+       CASE WHEN scale > 0 THEN floor(list_max(list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - x))) * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS max_abs_err
 FROM q
 """

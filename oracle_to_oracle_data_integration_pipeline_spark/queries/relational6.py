@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load, pround
 
 
 # -- qid: q7_volume_shipping (TPC-H Q7) -------------------------------
@@ -426,8 +426,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of Q2 becomes a per-part window minimum with a deterministic
     suppkey tie-break.
 
-    Doubles are compared unrounded (IEEE division is bit-identical
-    across engines); ordering ties broken by s_suppkey.
+    The output price rounds through the portable floor path (pround):
+    plain round() diverges between engines when a price sits at the
+    half-way point of the 4th decimal — a real flip surfaced at sf0.1.
+    Ordering ties broken by s_suppkey.
     """
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
@@ -448,7 +450,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round("unit_price", 4).alias("unit_price_r"),
+            pround(F.col("unit_price"), 4).alias("unit_price_r"),
         )
         .orderBy("p_partkey")
     )
@@ -466,7 +468,7 @@ WITH offer AS (
     FROM offer
 )
 SELECT p_partkey, p_name, s_name, n_name AS supp_nation,
-       round(unit_price, 4) AS unit_price_r
+       floor(unit_price * 10000.0 + 0.5) / 10000.0 AS unit_price_r
 FROM best
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
