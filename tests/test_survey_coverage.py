@@ -44,3 +44,15 @@ def test_every_qid_has_an_oracle():
     # the portable md5-based token hash with an exact DuckDB twin
     rows_only = set(q.all_queries()) - set(q.all_oracle_sql())
     assert not rows_only, f"qids without oracles: {sorted(rows_only)}"
+
+
+def test_verify_first_entries_are_registered():
+    """A typo in _VERIFY_FIRST silently drops a qid from the driver's
+    priority window — every entry must be a registered qid, and none
+    duplicated."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries import _VERIFY_FIRST, all_queries
+
+    reg = set(all_queries())
+    missing = [q for q in _VERIFY_FIRST if q not in reg]
+    assert not missing, f"_VERIFY_FIRST names unregistered qids: {missing}"
+    assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), "duplicate _VERIFY_FIRST entries"
