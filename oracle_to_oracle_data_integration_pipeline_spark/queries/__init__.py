@@ -83,17 +83,12 @@ _VERIFY_FIRST = [
     # simhash_neardup was rows-only (no_oracle) in r1/r2; now carries a
     # portable-hash DuckDB oracle — treat as never-verified
     "simhash_neardup",
-    # the 26 qids still owed a driver row after rounds 1-2
+    # the qids still owed a driver row after rounds 1-2, ordered
+    # riskiest-first (the 8 owed TPC-H shapes are plain relational SQL,
+    # locally green since round 2 — they sit at the tail so the ~50-qid
+    # window spends its budget on the operators with novel oracles)
     "watermark_store",
     "delta_count",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
     "media_resize",
     "media_frames",
     "media_features",
@@ -138,6 +133,15 @@ _VERIFY_FIRST = [
     "vocab_build",
     "winsorize",
     "pit_join",
+    # owed TPC-H shapes (lowest risk, see note above)
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 
