@@ -138,3 +138,157 @@ def decode_wav(payload: bytes) -> dict:
     meta["duration_ms"] = meta["n_frames"] * 1000 // meta["sample_rate"]
     meta["n_bytes"] = len(payload)
     return meta
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Valid non-interlaced 8-bit truecolor (RGB) PNG. ``pixel_bytes``
+    fills the raster row-major, truncated / zero-padded to w*h*3.
+
+    Each row y uses filter type ``y % 5`` — None/Sub/Up/Average/Paeth —
+    so a decoder must implement ALL five reconstruction filters to
+    round-trip the raster (a filter-0-only writer would let a broken
+    unfilter pass silently)."""
+    import zlib
+
+    bpl = width * 3  # bytes per scanline, bpp = 3 (8-bit RGB)
+    src = pixel_bytes.ljust(width * height * 3, b"\x00")[: width * height * 3]
+    prev = bytes(bpl)
+    out = bytearray()
+    for y in range(height):
+        raw = src[y * bpl : (y + 1) * bpl]
+        ft = y % 5
+        out.append(ft)
+        for i in range(bpl):
+            a = raw[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            x = raw[i]
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = x - a
+            elif ft == 2:
+                f = x - b
+            elif ft == 3:
+                f = x - (a + b) // 2
+            else:
+                f = x - _paeth(a, b, c)
+            out.append(f & 0xFF)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG: signature + chunk walk + IHDR fields + full IDAT
+    inflate and scanline unfiltering (all five filter types). Raises
+    ValueError for anything that is not a non-interlaced 8-bit
+    truecolor PNG — the honest contract, no silent garbage.
+
+    Returns metadata including the unfiltered raster under "pixels"
+    (consumed by ``png_pixels``); "raster_bytes" is its length.
+    """
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = len(_PNG_SIG), len(payload)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only non-interlaced 8-bit truecolor PNGs supported, got "
+                    f"depth={depth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpl = width * 3
+    if len(raw) != height * (bpl + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    prev = bytearray(bpl)
+    pixels = bytearray()
+    for y in range(height):
+        ft = raw[y * (bpl + 1)]
+        line = bytearray(raw[y * (bpl + 1) + 1 : (y + 1) * (bpl + 1)])
+        for i in range(bpl):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                r = line[i]
+            elif ft == 1:
+                r = line[i] + a
+            elif ft == 2:
+                r = line[i] + b
+            elif ft == 3:
+                r = line[i] + (a + b) // 2
+            elif ft == 4:
+                r = line[i] + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            line[i] = r & 0xFF
+        pixels += line
+        prev = line
+    return {
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "n_bytes": len(payload),
+        "raster_bytes": len(pixels),
+        "pixels": bytes(pixels),
+    }
+
+
+def png_pixels(payload: bytes) -> bytes:
+    """Unfiltered row-major RGB bytes — inverse of ``encode_png`` up to
+    the zero padding."""
+    return decode_png(payload)["pixels"]

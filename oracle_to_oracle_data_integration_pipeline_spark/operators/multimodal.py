@@ -3,12 +3,14 @@ processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested: binary columns,
 schema contracts, per-partition batch iteration, deterministic
-metadata extraction. Media decoding is REAL for uncompressed container
-formats — BMP and PCM WAV are parsed byte-for-byte by the pure-stdlib
-codecs in ``operators/media_codecs.py`` (exercised end-to-end by the
-``media_decode_bmp`` / ``media_decode_wav`` qids and their DuckDB
-oracles). Compressed formats (JPEG/PNG/MP4/...) still need PIL/av,
-absent in this container, and remain STUBBED: ``decode_media`` raises
+metadata extraction. Media decoding is REAL for BMP, PCM WAV and PNG —
+parsed byte-for-byte by the pure-stdlib codecs in
+``operators/media_codecs.py`` (PNG includes the zlib IDAT inflate and
+all five scanline filters; exercised end-to-end by the
+``media_decode_bmp`` / ``media_decode_wav`` / ``media_decode_png``
+qids and their DuckDB oracles). Codec-library formats (JPEG/MP4/...)
+still need PIL/av, absent in this container, and remain STUBBED:
+``decode_media`` raises
 ``NotImplementedError`` for them unless ``fake=True`` (the
 deterministic fake used by the batch-shape qids). Swapping the stub
 for PIL/ffmpeg changes only the inner function; the Spark plumbing
@@ -36,17 +38,19 @@ META_SCHEMA = "doc_id long, n_bytes int, width int, height int, fmt string"
 def decode_media(payload: bytes, fake: bool = False) -> dict:
     """Decode one media payload to metadata.
 
-    REAL path: BMP and RIFF/WAVE payloads are sniffed by magic bytes
-    and parsed by the stdlib codecs (operators/media_codecs.py) — no
-    external libraries. Everything else is a compressed format that
-    needs PIL/av/soundfile (absent here): raises unless ``fake=True``
+    REAL path: BMP, RIFF/WAVE and PNG payloads are sniffed by magic
+    bytes and parsed by the stdlib codecs (operators/media_codecs.py)
+    — no external libraries (PNG needs only stdlib zlib). Everything
+    else needs PIL/av/soundfile (absent here): raises unless ``fake=True``
     (the deterministic fake derives metadata from byte length so the
     batch-shape qids can verify the full pipeline shape).
     """
     import struct
 
     from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        _PNG_SIG,
         decode_bmp,
+        decode_png,
         decode_wav,
     )
 
@@ -69,6 +73,11 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         m = decode_wav(payload)
         # audio has no raster; map duration/channels onto the shared contract
         return {"n_bytes": m["n_bytes"], "width": m["n_frames"], "height": m["n_channels"], "fmt": "wav"}
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        # PNG is a COMPRESSED format but needs only stdlib zlib: full
+        # chunk walk + IDAT inflate + 5-filter scanline reconstruction
+        m = decode_png(payload)
+        return {"n_bytes": m["n_bytes"], "width": m["width"], "height": m["height"], "fmt": "png"}
     if not fake:
         raise NotImplementedError(
             "compressed media formats require imaging/audio libraries not present "

@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "stream_incremental",
     "media_decode_bmp",
     "media_decode_wav",
+    "media_decode_png",
     "ts_zscore",
     "feature_bins",
     "stream_stateful",

@@ -144,6 +144,63 @@ FROM d
 """
 
 
+# -- qid: media_decode_png (REAL decode incl. zlib inflate) -----------
+
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode: each document's bytes become the
+    raster of a valid non-interlaced 8-bit RGB PNG whose rows cycle all
+    five PNG filter types, then the payload is parsed back through the
+    ``decode_media`` dispatch — chunk walk, IDAT zlib inflate, and full
+    scanline unfiltering (pure stdlib, no imaging library).
+
+    ``roundtrip_ok`` compares the unfiltered raster byte-for-byte to
+    the input; the oracle expects TRUE everywhere, so a broken
+    Sub/Up/Average/Paeth reconstruction fails the hash — n_bytes is
+    deliberately NOT emitted (zlib stream size isn't SQL-computable)."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_png,
+        png_pixels,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                payload = encode_png(w, h, b)
+                m = decode_media(payload)
+                ok = png_pixels(payload) == b.ljust(w * h * 3, b"\x00")[: w * h * 3]
+                rows.append((doc_id, m["fmt"], m["width"], m["height"], w * h * 3, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "raster_bytes", "roundtrip_ok"],
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id long, fmt string, width int, height int, raster_bytes int, roundtrip_ok boolean",
+    )
+
+
+SQL_MEDIA_DECODE_PNG = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, 'png' AS fmt,
+       CAST(n % 29 + 1 AS INT) AS width,
+       CAST(n % 13 + 1 AS INT) AS height,
+       CAST((n % 29 + 1) * (n % 13 + 1) * 3 AS INT) AS raster_bytes,
+       TRUE AS roundtrip_ok
+FROM p
+"""
+
+
 # -- qid: media_decode_wav (REAL decode kernel, no stub) --------------
 
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +397,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_png": q_media_decode_png,
     "media_decode_wav": q_media_decode_wav,
     "embed_quantize": q_embed_quantize,
     "chunk_docs": q_chunk_docs,
@@ -351,6 +409,7 @@ ORACLE_SQL = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_features": SQL_MEDIA_FEATURES,
     "media_decode_bmp": SQL_MEDIA_DECODE_BMP,
+    "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_wav": SQL_MEDIA_DECODE_WAV,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "chunk_docs": SQL_CHUNK_DOCS,

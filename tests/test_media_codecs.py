@@ -132,3 +132,44 @@ def test_wav_roundtrip_property(pcm, sr, ch, bits):
     assert m["n_frames"] == len(pcm) // block
     assert (m["sample_rate"], m["n_channels"], m["bits"]) == (sr, ch, bits)
     assert m["duration_ms"] == (len(pcm) // block) * 1000 // sr
+
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (  # noqa: E402
+    decode_png,
+    encode_png,
+    png_pixels,
+)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.binary(max_size=800),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, data):
+    """Encode cycles all five PNG filter types across rows (y % 5), so
+    this round-trip property exercises None/Sub/Up/Average/Paeth
+    reconstruction — incl. zlib inflate and chunk CRC layout."""
+    payload = encode_png(w, h, data)
+    m = decode_png(payload)
+    assert (m["width"], m["height"], m["bit_depth"]) == (w, h, 8)
+    assert m["raster_bytes"] == w * h * 3
+    assert png_pixels(payload) == data[: w * h * 3].ljust(w * h * 3, b"\x00")
+
+
+def test_png_rejects_non_png_and_truncated():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(3, 3, bytes(range(27)))
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # signature ok, chunks missing
+
+
+def test_png_dispatch_through_decode_media():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import decode_media
+
+    m = decode_media(encode_png(5, 4, b"\x01\x02" * 40))
+    assert m == {"n_bytes": m["n_bytes"], "width": 5, "height": 4, "fmt": "png"}
