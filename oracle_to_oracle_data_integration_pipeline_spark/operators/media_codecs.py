@@ -292,3 +292,18 @@ def png_pixels(payload: bytes) -> bytes:
     """Unfiltered row-major RGB bytes — inverse of ``encode_png`` up to
     the zero padding."""
     return decode_png(payload)["pixels"]
+
+
+def resize_nearest(pixels: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Nearest-neighbor raster resample (RGB, row-major): target pixel
+    (x,y) takes source pixel (x·w//tw, y·h//th). The real kernel behind
+    the PNG resize qid — deterministic integer index arithmetic, so a
+    SQL oracle can recompute every sampled byte."""
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            i = (sy * w + sx) * 3
+            out += pixels[i : i + 3]
+    return bytes(out)

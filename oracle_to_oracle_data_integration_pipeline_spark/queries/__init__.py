@@ -115,6 +115,7 @@ _VERIFY_FIRST = [
     "media_decode_bmp",
     "media_decode_wav",
     "media_decode_png",
+    "media_resize_real",
     "ts_zscore",
     "feature_bins",
     "stream_stateful",

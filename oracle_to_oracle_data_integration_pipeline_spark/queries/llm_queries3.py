@@ -2,11 +2,13 @@
 extraction — resize, frame sampling, feature extraction, real decode —
 each the Arrow ``mapInPandas`` plumbing a media pipeline needs.
 
-The decode kernel is REAL for uncompressed containers (BMP / PCM WAV,
-pure-stdlib codecs in operators/media_codecs.py, exercised by the
-``media_decode_*`` qids); the resize/frame/feature verbs use the
-deterministic fake kernel (codec-library formats are absent in this
-container) so every batch shape still has a DuckDB twin.
+The decode kernel is REAL for BMP / PCM WAV / PNG (pure-stdlib codecs
+in operators/media_codecs.py, exercised by the ``media_decode_*``
+qids), and ``media_resize_real`` runs the full real
+decode→resample→re-encode path over PNG. The generic
+resize/frame/feature verbs keep the deterministic fake kernel
+(codec-library formats are absent in this container) so every batch
+shape still has a DuckDB twin.
 """
 
 from __future__ import annotations
@@ -197,6 +199,64 @@ SELECT doc_id, 'png' AS fmt,
        CAST(n % 13 + 1 AS INT) AS height,
        CAST((n % 29 + 1) * (n % 13 + 1) * 3 AS INT) AS raster_bytes,
        TRUE AS roundtrip_ok
+FROM p
+"""
+
+
+# -- qid: media_resize_real (REAL decode→resample→re-encode) ----------
+
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full real media-resize path, no fake kernel anywhere:
+    synthesize a PNG from the document bytes, DECODE it (zlib inflate +
+    unfilter), nearest-neighbor resample the raster to 8×8, RE-ENCODE
+    as PNG, and decode the result through the dispatch. The oracle
+    recomputes every sampled byte of the resized raster from the text
+    (fixtures are pure ASCII, so byte == codepoint), so the checksum
+    only matches if decode, resample index arithmetic, and re-encode
+    all round-trip exactly."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_png,
+        png_pixels,
+        resize_nearest,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                pixels = png_pixels(encode_png(w, h, b))
+                resized = resize_nearest(pixels, w, h, 8, 8)
+                m = decode_media(encode_png(8, 8, resized))
+                rows.append((doc_id, m["width"], m["height"], sum(resized)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    return d.mapInPandas(batches, "doc_id long, width int, height int, checksum long")
+
+
+SQL_MEDIA_RESIZE_REAL = """
+WITH p AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 29 + 1 AS w,
+         octet_length(encode(text)) % 13 + 1 AS h
+  FROM documents
+)
+SELECT doc_id, 8 AS width, 8 AS height,
+       CAST(list_sum(list_transform(
+         generate_series(0, 191),
+         k -> CASE WHEN ((k // 24) * h // 8 * w + (k % 24) // 3 * w // 8) * 3 + k % 3 < n
+                   THEN ascii(substr(text, ((k // 24) * h // 8 * w + (k % 24) // 3 * w // 8) * 3 + k % 3 + 1, 1))
+                   ELSE 0 END)) AS BIGINT) AS checksum
 FROM p
 """
 
@@ -398,6 +458,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_png": q_media_decode_png,
+    "media_resize_real": q_media_resize_real,
     "media_decode_wav": q_media_decode_wav,
     "embed_quantize": q_embed_quantize,
     "chunk_docs": q_chunk_docs,
@@ -410,6 +471,7 @@ ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_decode_bmp": SQL_MEDIA_DECODE_BMP,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
+    "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "media_decode_wav": SQL_MEDIA_DECODE_WAV,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -173,3 +173,15 @@ def test_png_dispatch_through_decode_media():
 
     m = decode_media(encode_png(5, 4, b"\x01\x02" * 40))
     assert m == {"n_bytes": m["n_bytes"], "width": 5, "height": 4, "fmt": "png"}
+
+
+def test_resize_nearest_identity_and_downsample():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import resize_nearest
+
+    w, h = 10, 6
+    px = bytes(range(256)).ljust(w * h * 3, b"\x00")[: w * h * 3]
+    assert resize_nearest(px, w, h, w, h) == px
+    small = resize_nearest(px, w, h, 2, 2)
+    assert len(small) == 2 * 2 * 3
+    # corner pixel (0,0) is preserved by nearest-neighbor
+    assert small[:3] == px[:3]
