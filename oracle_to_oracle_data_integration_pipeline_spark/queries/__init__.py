@@ -116,6 +116,8 @@ _VERIFY_FIRST = [
     "media_decode_wav",
     "media_decode_png",
     "media_resize_real",
+    "media_frames_real",
+    "media_features_real",
     "ts_zscore",
     "feature_bins",
     "stream_stateful",

@@ -4,11 +4,13 @@ each the Arrow ``mapInPandas`` plumbing a media pipeline needs.
 
 The decode kernel is REAL for BMP / PCM WAV / PNG (pure-stdlib codecs
 in operators/media_codecs.py, exercised by the ``media_decode_*``
-qids), and ``media_resize_real`` runs the full real
-decode→resample→re-encode path over PNG. The generic
-resize/frame/feature verbs keep the deterministic fake kernel
-(codec-library formats are absent in this container) so every batch
-shape still has a DuckDB twin.
+qids), and every processing verb has a real-kernel variant:
+``media_resize_real`` (PNG decode→nearest-neighbor→re-encode),
+``media_frames_real`` (WAV PCM window slicing with exact sample sums),
+``media_features_real`` (PNG raster channel means). The generic
+resize/frame/feature verbs keep the deterministic fake kernel so the
+batch shapes stay verified for codec-library formats (absent in this
+container), each with a DuckDB twin.
 """
 
 from __future__ import annotations
@@ -306,6 +308,137 @@ FROM d
 """
 
 
+# -- qid: media_frames_real (REAL PCM frame slicing over WAV) ---------
+
+def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with the REAL audio kernel: document bytes become
+    16-bit mono PCM in a RIFF/WAVE container, the codec decodes it, and
+    windows of 64 samples are sliced every 2nd window (max 4/doc) with
+    an exact per-window sample sum. The oracle recomputes each sample
+    (lo + 256·hi from the ASCII bytes; high bytes < 128 so values stay
+    positive int16) — a wrong slice boundary or byte order fails the
+    hash. Same 1:N Arrow batch shape as the fake-kernel `media_frames`."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                payload = encode_wav(b)  # 16-bit mono: whole frames only
+                m = decode_wav(payload)
+                n_samples = m["n_frames"]
+                pcm = b[: n_samples * 2]
+                samples = _struct.unpack(f"<{n_samples}h", pcm)
+                for k, win in enumerate(range(0, (n_samples + 63) // 64, 2)):
+                    if k >= 4:
+                        break
+                    seg = samples[win * 64 : (win + 1) * 64]
+                    rows.append((doc_id, win, len(seg), sum(seg)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_samples", "sample_sum"]
+            )
+
+    return d.mapInPandas(
+        batches, "doc_id long, frame_idx int, n_samples int, sample_sum long"
+    )
+
+
+SQL_MEDIA_FRAMES_REAL = """
+WITH p AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) // 2 AS n_samples
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text, n_samples,
+         unnest(generate_series(0, CAST(ceil(n_samples / 64.0) AS INT) - 1, 2)) AS win
+  FROM p WHERE n_samples > 0
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY win) AS rk FROM w
+)
+SELECT doc_id, CAST(win AS INT) AS frame_idx,
+       CAST(least(64, n_samples - win * 64) AS INT) AS n_samples,
+       CAST(list_sum(list_transform(
+         generate_series(win * 64, CAST(least((win + 1) * 64, n_samples) AS BIGINT) - 1),
+         i -> ascii(substr(text, 2 * i + 1, 1)) + 256 * ascii(substr(text, 2 * i + 2, 1))
+       )) AS BIGINT) AS sample_sum
+FROM k WHERE rk <= 4
+"""
+
+
+# -- qid: media_features_real (REAL raster channel stats over PNG) ----
+
+def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction with the REAL image kernel: decode the
+    synthesized PNG (zlib + unfilter) and compute per-channel (R,G,B)
+    raster means — the media→feature step a training pipeline feeds to
+    ANN, here with every byte recomputable by the oracle. Integer
+    channel sums are exact; the mean divides once and rounds through
+    the portable floor path."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_png,
+        png_pixels,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import math
+
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                px = png_pixels(encode_png(w, h, b))
+                n_px = w * h
+                means = []
+                for c in range(3):
+                    s = sum(px[3 * j + c] for j in range(n_px))
+                    means.append(math.floor(s / n_px * 1e6 + 0.5) / 1e6)
+                rows.append((doc_id, *means))
+            yield pd.DataFrame(rows, columns=["doc_id", "r_mean", "g_mean", "b_mean"])
+
+    return d.mapInPandas(
+        batches, "doc_id long, r_mean double, g_mean double, b_mean double"
+    )
+
+
+def _features_real_channel_sql(c: int) -> str:
+    return f"""floor(CAST(list_sum(list_transform(
+         generate_series(0, w * h - 1),
+         j -> CASE WHEN 3 * j + {c} < n THEN ascii(substr(text, 3 * j + {c} + 1, 1)) ELSE 0 END
+       )) AS DOUBLE) / (w * h) * 1e6 + 0.5) / 1e6"""
+
+
+SQL_MEDIA_FEATURES_REAL = f"""
+WITH p AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 29 + 1 AS w,
+         octet_length(encode(text)) % 13 + 1 AS h
+  FROM documents
+)
+SELECT doc_id,
+       {_features_real_channel_sql(0)} AS r_mean,
+       {_features_real_channel_sql(1)} AS g_mean,
+       {_features_real_channel_sql(2)} AS b_mean
+FROM p
+"""
+
+
 # -- qid: embed_quantize ----------------------------------------------
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +592,8 @@ QUERIES = {
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_png": q_media_decode_png,
     "media_resize_real": q_media_resize_real,
+    "media_frames_real": q_media_frames_real,
+    "media_features_real": q_media_features_real,
     "media_decode_wav": q_media_decode_wav,
     "embed_quantize": q_embed_quantize,
     "chunk_docs": q_chunk_docs,
@@ -472,6 +607,8 @@ ORACLE_SQL = {
     "media_decode_bmp": SQL_MEDIA_DECODE_BMP,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
+    "media_frames_real": SQL_MEDIA_FRAMES_REAL,
+    "media_features_real": SQL_MEDIA_FEATURES_REAL,
     "media_decode_wav": SQL_MEDIA_DECODE_WAV,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
