@@ -60,12 +60,14 @@ _MODULES = [
 # and stops after ~50. Round 1 verified the first 50; round 2's window
 # covered the LLM/streaming/format/catalog/io front. This ROUND-3
 # window re-verifies the round-2 reds (events.ts type bug, fixed)
-# FIRST, then the 26 qids that never had a driver CORRECTNESS row,
-# then the round-3 additions in creation order. The front now holds 59
-# entries against a ~50 window, so the TAIL (~the last 9 round-3
-# additions) may not receive a driver row this round — every one of
-# the 149 registered qids is still green in the local differential
-# suite (tests/test_queries_vs_duckdb.py) each round.
+# FIRST, then every never-driver-checked qid ordered riskiest-first:
+# the first 50 entries are exactly the operators with novel or
+# numerically-delicate oracles; the tail (low-risk compositions of
+# already-driver-proven machinery, plus the 8 owed TPC-H shapes — plain
+# relational SQL, locally green since round 2) absorbs the window
+# cutoff. Every one of the 154 registered qids is green in the local
+# differential suite (tests/test_queries_vs_duckdb.py, plus
+# tools/parity_sweep.py at sf0.001/sf0.1) each round regardless.
 #
 # ROUND-4 ROTATION TODO: put any round-3 CORRECTNESS reds first, then
 # whatever tail of this list fell outside round 3's window, then
@@ -83,15 +85,9 @@ _VERIFY_FIRST = [
     # simhash_neardup was rows-only (no_oracle) in r1/r2; now carries a
     # portable-hash DuckDB oracle — treat as never-verified
     "simhash_neardup",
-    # the qids still owed a driver row after rounds 1-2, ordered
-    # riskiest-first (the 8 owed TPC-H shapes are plain relational SQL,
-    # locally green since round 2 — they sit at the tail so the ~50-qid
-    # window spends its budget on the operators with novel oracles)
+    # owed a driver row after rounds 1-2 (novel-oracle subset)
     "watermark_store",
     "delta_count",
-    "media_resize",
-    "media_frames",
-    "media_features",
     "embed_quantize",
     "scd2_history",
     "rollup_refresh",
@@ -105,7 +101,7 @@ _VERIFY_FIRST = [
     "profile_docs",
     "dq_checks",
     "dq_unique",
-    # round-3 additions (never driver-checked)
+    # round-3 additions with novel/numerically-delicate oracles
     "gap_fill",
     "gap_fill_interp",
     "hll_distinct",
@@ -128,16 +124,22 @@ _VERIFY_FIRST = [
     "approx_heavy_hitters",
     "bm25_topk",
     "lm_perplexity",
-    "knn_classify",
-    "fuzzy_match",
     "skew_profile",
     "zorder_cluster",
     "pagerank",
     "source_divergence",
-    "vocab_build",
     "winsorize",
     "pit_join",
-    # owed TPC-H shapes (lowest risk, see note above)
+    # ---- ~50-entry window cutoff lands here ----
+    # low-risk tail: compositions of driver-proven machinery (cosine
+    # top-k, integer levenshtein, count+row_number, fake-kernel batch
+    # shapes) and the owed TPC-H shapes
+    "knn_classify",
+    "fuzzy_match",
+    "vocab_build",
+    "media_resize",
+    "media_frames",
+    "media_features",
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",

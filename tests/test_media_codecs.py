@@ -171,8 +171,9 @@ def test_png_rejects_non_png_and_truncated():
 def test_png_dispatch_through_decode_media():
     from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import decode_media
 
-    m = decode_media(encode_png(5, 4, b"\x01\x02" * 40))
-    assert m == {"n_bytes": m["n_bytes"], "width": 5, "height": 4, "fmt": "png"}
+    payload = encode_png(5, 4, b"\x01\x02" * 40)
+    m = decode_media(payload)
+    assert m == {"n_bytes": len(payload), "width": 5, "height": 4, "fmt": "png"}
 
 
 def test_resize_nearest_identity_and_downsample():

@@ -33,9 +33,10 @@ def main() -> int:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs, osql = q.all_queries(), q.all_oracle_sql()
     con = duck_connection(sf_dir)
-    fails = []
+    fails, skipped, checked = [], [], 0
     for qid in sorted(qs):
         if qid not in osql:
+            skipped.append(qid)  # rows-only qid: nothing to compare against
             continue
         t0 = time.time()
         try:
@@ -44,9 +45,15 @@ def main() -> int:
             ok, msg = False, f"{type(e).__name__}: {str(e).splitlines()[0][:140]}"
         print(f"{qid} {'ok' if ok else 'FAIL'} {time.time() - t0:.1f}s"
               + ("" if ok else f"  {msg[:160]}"), flush=True)
+        checked += 1
         if not ok:
             fails.append(qid)
-    print(f"checked {len(qs)} qids at {sf_dir}: {len(fails)} fails {fails}")
+    # checked counts COMPARED qids only — a rows-only qid must show up
+    # as skipped, never be silently folded into the green count
+    print(
+        f"checked {checked}/{len(qs)} qids at {sf_dir}: {len(fails)} fails {fails}"
+        + (f"; skipped (no oracle): {skipped}" if skipped else "")
+    )
     return 1 if fails else 0
 
 
