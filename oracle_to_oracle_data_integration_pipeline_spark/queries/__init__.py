@@ -65,7 +65,7 @@ _MODULES = [
 # numerically-delicate oracles; the tail (low-risk compositions of
 # already-driver-proven machinery, plus the 8 owed TPC-H shapes — plain
 # relational SQL, locally green since round 2) absorbs the window
-# cutoff. Every one of the 154 registered qids is green in the local
+# cutoff. Every registered qid is green in the local
 # differential suite (tests/test_queries_vs_duckdb.py, plus
 # tools/parity_sweep.py at sf0.001/sf0.1) each round regardless.
 #

@@ -113,6 +113,38 @@ FROM orders WHERE o_orderkey % 37 = 0
 """
 
 
+# -- qid: window_time_range (trailing-interval frame over event time) -
+
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer order — the time-interval
+    RANGE frame (Spark's rangeBetween is numeric-only, so the frame
+    rides epoch seconds; the session timezone is pinned UTC). Frame
+    sums go through the decimal path: RANGE frames include peer rows,
+    and double summation order over ties differs between engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 11 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate")))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    rev = F.round(F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w), 2)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        rev.cast("double").alias("rev_7d"),
+    )
+
+
+SQL_WINDOW_TIME_RANGE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_7d
+FROM orders WHERE o_custkey % 11 = 0
+"""
+
+
 # -- qid: salted_join (skew-proof equi-join, same result set) ---------
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +281,7 @@ QUERIES = {
     "partitioned_scan": q_partitioned_scan,
     "join_outer": q_join_outer,
     "window_range_frame": q_window_range_frame,
+    "window_time_range": q_window_time_range,
     "salted_join": q_salted_join,
     "skew_profile": q_skew_profile,
     "zorder_cluster": q_zorder_cluster,
@@ -258,6 +291,7 @@ ORACLE_SQL = {
     "partitioned_scan": SQL_PARTITIONED_SCAN,
     "join_outer": SQL_JOIN_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
+    "window_time_range": SQL_WINDOW_TIME_RANGE,
     "salted_join": SQL_SALTED_JOIN,
     "skew_profile": SQL_SKEW_PROFILE,
     "zorder_cluster": SQL_ZORDER_CLUSTER,
