@@ -196,11 +196,10 @@ FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
 
 # -- qid: scd2_history ------------------------------------------------
 
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 validity intervals from two simulated CDC batches:
-    batch 1 = all orders at o_orderdate; batch 2 = every 7th order
-    re-statused 30 days later. Every version keeps [valid_from,
-    valid_to) + is_current (operators/scd.py)."""
+def _orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture history for the SCD2 qids: batch 1 = all orders
+    at o_orderdate; batch 2 = every 7th order re-statused 30 days
+    later, folded through scd2_from_versions (operators/scd.py)."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.scd import (
         scd2_from_versions,
     )
@@ -216,6 +215,12 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_from_versions(b1.unionByName(b2), ["o_orderkey"], "ts")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from two simulated CDC batches;
+    every version keeps [valid_from, valid_to) + is_current."""
+    return _orders_scd2_history(spark, sf_dir)
 
 
 SQL_SCD2_HISTORY = """
@@ -245,18 +250,8 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a post-join filter, valid because SCD2 versions-per-key is a
     small constant. One key shuffle (or co-located/bucketed join),
     never an interval nested-loop over the fact table."""
-    from oracle_to_oracle_data_integration_pipeline_spark.operators.scd import (
-        scd2_from_versions,
-    )
-
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
-    b1 = o.select("o_orderkey", "o_orderstatus", F.col("o_orderdate").alias("ts"))
-    b2 = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.lit("X").alias("o_orderstatus"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-    )
-    hist = scd2_from_versions(b1.unionByName(b2), ["o_orderkey"], "ts")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    hist = _orders_scd2_history(spark, sf_dir)
     probe_ts = F.when(
         F.col("o_orderkey") % 2 == 0, F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")
     ).otherwise(F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))

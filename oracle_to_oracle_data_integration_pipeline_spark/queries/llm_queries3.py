@@ -148,6 +148,16 @@ FROM d
 """
 
 
+# PNG fixture geometry shared by every PNG-backed media qid: dims are
+# derived from the byte length with these moduli, and the SAME literals
+# appear in each qid's oracle SQL — change them together.
+PNG_W_MOD, PNG_H_MOD = 29, 13
+
+
+def _png_dims(b: bytes) -> tuple[int, int]:
+    return len(b) % PNG_W_MOD + 1, len(b) % PNG_H_MOD + 1
+
+
 # -- qid: media_decode_png (REAL decode incl. zlib inflate) -----------
 
 def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +188,7 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")
-                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                w, h = _png_dims(b)
                 payload = encode_png(w, h, b)
                 m = decode_media(payload)
                 ok = png_pixels(payload) == b.ljust(w * h * 3, b"\x00")[: w * h * 3]
@@ -234,7 +244,7 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")
-                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                w, h = _png_dims(b)
                 pixels = png_pixels(encode_png(w, h, b))
                 resized = resize_nearest(pixels, w, h, 8, 8)
                 m = decode_media(encode_png(8, 8, resized))
@@ -402,7 +412,7 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")
-                w, h = len(b) % 29 + 1, len(b) % 13 + 1
+                w, h = _png_dims(b)
                 px = png_pixels(encode_png(w, h, b))
                 n_px = w * h
                 means = []
