@@ -137,6 +137,8 @@ _VERIFY_FIRST = [
     "knn_classify",
     "fuzzy_match",
     "vocab_build",
+    "cohort_retention",
+    "event_transitions",
     "media_resize",
     "media_frames",
     "media_features",

@@ -276,6 +276,83 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+# -- qid: cohort_retention --------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (ISO Monday truncation — identical in both engines), then the
+    share of each cohort active in every subsequent week. Two keyed
+    shuffles (per-user first week, cohort×week distinct count) — the
+    standard product-analytics rollup, no self-join explosion."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = e.distinct()
+    sizes = first.groupBy("cohort_wk").agg(F.countDistinct("user_id").alias("cohort_n"))
+    ret = (
+        act.join(first, "user_id")
+        .groupBy("cohort_wk", "wk")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            F.col("wk").alias("activity_wk"),
+            "n_active",
+            "cohort_n",
+            pround(F.col("n_active") / F.col("cohort_n"), 6).alias("retention"),
+        )
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, wk FROM e),
+sizes AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_n FROM first GROUP BY 1),
+ret AS (
+  SELECT cohort_wk, wk, count(DISTINCT act.user_id) AS n_active
+  FROM act JOIN first USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort_wk, wk AS activity_wk, n_active, cohort_n,
+       floor(n_active / cohort_n * 1000000.0 + 0.5) / 1000000.0 AS retention
+FROM ret JOIN sizes USING (cohort_wk)
+"""
+
+
+# -- qid: event_transitions -------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per-user event streams ordered by
+    (ts, event_id), lag pairs counted by (from, to) — the Markov/path
+    analysis staple. One window shuffle keyed by user, one small
+    (|types|²) aggregate."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return t.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "gap_fill": q_gap_fill,
     "gap_fill_interp": q_gap_fill_interp,
@@ -283,6 +360,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "approx_quantiles": q_approx_quantiles,
     "approx_heavy_hitters": q_approx_heavy_hitters,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -292,4 +371,6 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "approx_heavy_hitters": SQL_APPROX_HEAVY_HITTERS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
