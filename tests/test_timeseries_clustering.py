@@ -104,3 +104,34 @@ def test_kmeans_deterministic_and_iterating(spark, sf_dir):
     one = dict((r[0], r[1]) for r in kmeans_fit_assign(e, k=4, n_iter=1).collect())
     moved = sum(1 for vid, cid, _ in rows_a if one[vid] != cid)
     assert moved > 0
+
+
+def test_cohort_retention_first_week_is_full(spark, sf_dir):
+    """Every cohort is 100% 'retained' in its own first week, and no
+    activity week precedes its cohort week."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.activity_wk >= r.cohort_wk
+        if r.activity_wk == r.cohort_wk:
+            assert r.retention == 1.0
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_event_transitions_conserve_events(spark, sf_dir):
+    """Total transitions = total events minus one per active user (each
+    user's stream has exactly len-1 lag pairs)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
+        q_event_transitions,
+    )
+
+    total = sum(r.n_transitions for r in q_event_transitions(spark, sf_dir).collect())
+    e = load(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users

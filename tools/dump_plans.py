@@ -37,6 +37,7 @@ SHOW = [
     ("zorder_cluster", "Morton quantization against broadcast min/max: fact table never shuffles before the bucket agg"),
     ("skew_profile", "one key-count exchange; scalar summary merges |keys| pre-aggregated rows"),
     ("pit_join", "point-in-time dimension lookup as an equi join on the key, interval post-filtered"),
+    ("cohort_retention", "two keyed shuffles + broadcast cohort sizes: the product-analytics rollup without a self-join explosion"),
 ]
 
 
