@@ -167,11 +167,12 @@ def minhash_signatures(
     return _signatures_from_exploded(_exploded_shingles(df, text, id_col, n), id_col, num_perm)
 
 
-def minhash_lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, rows_per_band: int = 2
+def _band_table(
+    sig: DataFrame, id_col: str, num_perm: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: bucket = hash of each band's signature slice; docs
-    sharing any bucket become candidate pairs (d1 < d2, distinct)."""
+    """Explode a signature table to (id, band_id, bucket) — the LSH
+    index rows. Shared by self-join candidates and the incremental
+    probe so both sides of any join bucket identically."""
     n_bands = num_perm // rows_per_band
     bands = F.array(
         *[
@@ -184,9 +185,17 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: bucket = hash of each band's signature slice; docs
+    sharing any bucket become candidate pairs (d1 < d2, distinct)."""
+    banded = _band_table(sig, id_col, num_perm, rows_per_band)
     a = banded.select(F.col(id_col).alias("d1"), "band_id", "bucket")
     b2 = banded.select(F.col(id_col).alias("d2"), F.col("band_id").alias("band_id2"), F.col("bucket").alias("bucket2"))
     return (
@@ -251,6 +260,65 @@ def minhash_dedup_pairs(
         # blocking: async unpersist lets dead blocks pile up across
         # repeated calls faster than the cleaner drains them
         sets.unpersist(blocking=True)
+
+
+def minhash_probe_pairs(
+    new: DataFrame,
+    seen: DataFrame,
+    threshold: float,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch against a SEEN corpus's
+    LSH band index and exact-verify the cross-side candidates. The
+    near-dup analog of ``curation.dedup_incremental`` (exact hashes):
+
+    - the seen corpus contributes only its band index and shingle sets
+      — it NEVER self-joins (within-seen pairs were settled when those
+      documents were ingested), so per-batch cost is
+      O(|new|·bands + |candidates|), independent of |seen|²;
+    - at 100 TB the seen band table is the persisted index a real
+      pipeline maintains; here it is recomputed from the fixture, which
+      changes cost, not semantics.
+
+    Output: new_id, seen_id, jaccard (rounded 6, ≥ threshold).
+    """
+    sig_new = minhash_signatures(new, text, id_col, num_perm, n)
+    sig_seen = minhash_signatures(seen, text, id_col, num_perm, n)
+    bn = _band_table(sig_new, id_col, num_perm, rows_per_band).select(
+        F.col(id_col).alias("new_id"), "band_id", "bucket"
+    )
+    bs = _band_table(sig_seen, id_col, num_perm, rows_per_band).select(
+        F.col(id_col).alias("seen_id"),
+        F.col("band_id").alias("band_id2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    cand = (
+        bn.join(bs, (F.col("band_id") == F.col("band_id2")) & (F.col("bucket") == F.col("bucket2")))
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    s1 = _spread(new, id_col).select(
+        F.col(id_col).alias("new_id"), shingles_col(text, n).alias("set1")
+    )
+    s2 = _spread(seen, id_col).select(
+        F.col(id_col).alias("seen_id"), shingles_col(text, n).alias("set2")
+    )
+    n_inter = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
+    jac = F.round(
+        n_inter.cast("double")
+        / (F.size("set1") + F.size("set2") - n_inter),
+        6,
+    )
+    return (
+        cand.join(s1, "new_id")
+        .join(s2, "seen_id")
+        .select("new_id", "seen_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_signatures(

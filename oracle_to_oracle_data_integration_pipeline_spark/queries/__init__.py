@@ -139,6 +139,7 @@ _VERIFY_FIRST = [
     "vocab_build",
     "cohort_retention",
     "event_transitions",
+    "minhash_incremental",
     "media_resize",
     "media_frames",
     "media_features",

@@ -311,3 +311,11 @@ def test_pit_join_is_equi_not_interval_nlj(spark, sf_dir):
     p = plan_str(spark, sf_dir, "pit_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_incremental_no_cartesian(spark, sf_dir):
+    """The incremental probe must stay candidate-restricted: band-key
+    equi joins + shingle-set lookups, never a cross join of new×seen."""
+    p = plan_str(spark, sf_dir, "minhash_incremental")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
