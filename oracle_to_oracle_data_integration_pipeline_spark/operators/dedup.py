@@ -271,6 +271,7 @@ def minhash_probe_pairs(
     num_perm: int = 16,
     rows_per_band: int = 2,
     n: int = 3,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """Incremental near-dup: probe a NEW batch against a SEEN corpus's
     LSH band index and exact-verify the cross-side candidates. The
@@ -280,45 +281,62 @@ def minhash_probe_pairs(
       — it NEVER self-joins (within-seen pairs were settled when those
       documents were ingested), so per-batch cost is
       O(|new|·bands + |candidates|), independent of |seen|²;
-    - at 100 TB the seen band table is the persisted index a real
-      pipeline maintains; here it is recomputed from the fixture, which
-      changes cost, not semantics.
+    - at 100 TB the seen band table and shingle sets are the persisted
+      index a real pipeline maintains; here they are recomputed from
+      the fixture, which changes cost, not semantics.
+
+    Each side's shingle sets are cached and shared between the
+    signature explode and the verification join — the same
+    branch-sharing rationale (and ``pin`` materialization contract)
+    as ``minhash_dedup_pairs`` above.
 
     Output: new_id, seen_id, jaccard (rounded 6, ≥ threshold).
     """
-    sig_new = minhash_signatures(new, text, id_col, num_perm, n)
-    sig_seen = minhash_signatures(seen, text, id_col, num_perm, n)
-    bn = _band_table(sig_new, id_col, num_perm, rows_per_band).select(
-        F.col(id_col).alias("new_id"), "band_id", "bucket"
-    )
-    bs = _band_table(sig_seen, id_col, num_perm, rows_per_band).select(
-        F.col(id_col).alias("seen_id"),
-        F.col("band_id").alias("band_id2"),
-        F.col("bucket").alias("bucket2"),
-    )
-    cand = (
-        bn.join(bs, (F.col("band_id") == F.col("band_id2")) & (F.col("bucket") == F.col("bucket2")))
-        .select("new_id", "seen_id")
-        .distinct()
-    )
-    s1 = _spread(new, id_col).select(
-        F.col(id_col).alias("new_id"), shingles_col(text, n).alias("set1")
-    )
-    s2 = _spread(seen, id_col).select(
-        F.col(id_col).alias("seen_id"), shingles_col(text, n).alias("set2")
-    )
-    n_inter = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
-    jac = F.round(
-        n_inter.cast("double")
-        / (F.size("set1") + F.size("set2") - n_inter),
-        6,
-    )
-    return (
-        cand.join(s1, "new_id")
-        .join(s2, "seen_id")
-        .select("new_id", "seen_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    sets_new = _spread(new, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
+    sets_seen = _spread(seen, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
+    try:
+        sig_new = _signatures_from_exploded(
+            sets_new.select(id_col, F.explode("sh_set").alias("sh")), id_col, num_perm
+        )
+        sig_seen = _signatures_from_exploded(
+            sets_seen.select(id_col, F.explode("sh_set").alias("sh")), id_col, num_perm
+        )
+        bn = _band_table(sig_new, id_col, num_perm, rows_per_band).select(
+            F.col(id_col).alias("new_id"), "band_id", "bucket"
+        )
+        bs = _band_table(sig_seen, id_col, num_perm, rows_per_band).select(
+            F.col(id_col).alias("seen_id"),
+            F.col("band_id").alias("band_id2"),
+            F.col("bucket").alias("bucket2"),
+        )
+        cand = (
+            bn.join(
+                bs,
+                (F.col("band_id") == F.col("band_id2")) & (F.col("bucket") == F.col("bucket2")),
+            )
+            .select("new_id", "seen_id")
+            .distinct()
+        )
+        s1 = sets_new.select(F.col(id_col).alias("new_id"), F.col("sh_set").alias("set1"))
+        s2 = sets_seen.select(F.col(id_col).alias("seen_id"), F.col("sh_set").alias("set2"))
+        n_inter = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
+        jac = F.round(
+            n_inter.cast("double") / (F.size("set1") + F.size("set2") - n_inter), 6
+        )
+        pairs = (
+            cand.join(s1, "new_id")
+            .join(s2, "seen_id")
+            .select("new_id", "seen_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # materialize BEFORE the caches release (lazy results would
+        # silently recompute the shingle branches after unpersist)
+        if pin == "driver":
+            return new.sparkSession.createDataFrame(pairs.collect(), pairs.schema)
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sets_new.unpersist(blocking=True)
+        sets_seen.unpersist(blocking=True)
 
 
 def simhash_signatures(

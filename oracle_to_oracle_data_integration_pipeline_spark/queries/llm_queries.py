@@ -39,9 +39,12 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
 JACCARD_THRESHOLD = 0.5
 NEARDUP_COS = 0.4
 
-# Shared DuckDB CTEs: tokenization + distinct 3-shingles + sizes +
-# pairwise intersections (the inverted-index join).
-SHINGLE_SQL = """
+# Shared DuckDB CTEs: tokenization + distinct 3-shingles + sizes.
+# SHINGLE_BASE_SQL is the single source of truth for the shingle
+# scheme; consumers add their own pair-intersection CTE on top
+# (within-corpus d1<d2 here; cross-side in llm_queries4's
+# minhash_incremental).
+SHINGLE_BASE_SQL = """
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 sh AS (
   SELECT doc_id,
@@ -50,7 +53,10 @@ sh AS (
              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
   FROM toks
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+SHINGLE_SQL = f"""{SHINGLE_BASE_SQL.rstrip()},
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -149,8 +149,8 @@ FROM d
 
 
 # PNG fixture geometry shared by every PNG-backed media qid: dims are
-# derived from the byte length with these moduli, and the SAME literals
-# appear in each qid's oracle SQL — change them together.
+# derived from the byte length with these moduli; the oracle SQL strings
+# interpolate the same constants, so there is one source of truth.
 PNG_W_MOD, PNG_H_MOD = 29, 13
 
 
@@ -204,12 +204,12 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MEDIA_DECODE_PNG = """
+SQL_MEDIA_DECODE_PNG = f"""
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id, 'png' AS fmt,
-       CAST(n % 29 + 1 AS INT) AS width,
-       CAST(n % 13 + 1 AS INT) AS height,
-       CAST((n % 29 + 1) * (n % 13 + 1) * 3 AS INT) AS raster_bytes,
+       CAST(n % {PNG_W_MOD} + 1 AS INT) AS width,
+       CAST(n % {PNG_H_MOD} + 1 AS INT) AS height,
+       CAST((n % {PNG_W_MOD} + 1) * (n % {PNG_H_MOD} + 1) * 3 AS INT) AS raster_bytes,
        TRUE AS roundtrip_ok
 FROM p
 """
@@ -256,11 +256,11 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(batches, "doc_id long, width int, height int, checksum long")
 
 
-SQL_MEDIA_RESIZE_REAL = """
+SQL_MEDIA_RESIZE_REAL = f"""
 WITH p AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
-         octet_length(encode(text)) % 29 + 1 AS w,
-         octet_length(encode(text)) % 13 + 1 AS h
+         octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
+         octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
   FROM documents
 )
 SELECT doc_id, 8 AS width, 8 AS height,
@@ -437,8 +437,8 @@ def _features_real_channel_sql(c: int) -> str:
 SQL_MEDIA_FEATURES_REAL = f"""
 WITH p AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
-         octet_length(encode(text)) % 29 + 1 AS w,
-         octet_length(encode(text)) % 13 + 1 AS h
+         octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
+         octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
   FROM documents
 )
 SELECT doc_id,

@@ -226,36 +226,41 @@ WHERE doc_id < 250
 
 # -- qid: minhash_incremental -----------------------------------------
 
+INCREMENTAL_CUT = 100  # new batch = doc_id < cut, seen corpus = the rest
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup: new batch (doc_id < 100) LSH-probed
-    against the seen corpus's band index, cross-side candidates
-    exact-verified at Jaccard ≥ 0.5 — the seen corpus never self-joins
+    """Incremental NEAR-dup: new batch LSH-probed against the seen
+    corpus's band index, cross-side candidates exact-verified at
+    Jaccard ≥ JACCARD_THRESHOLD — the seen corpus never self-joins
     (operators/dedup.minhash_probe_pairs). The oracle is the exact
     cross-side Jaccard join, so any LSH recall loss on a true pair
     would surface as a row-count mismatch."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
         minhash_probe_pairs,
     )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.llm_queries import (
+        JACCARD_THRESHOLD,
+    )
 
     d = load(spark, sf_dir, "documents")
-    new = d.filter(F.col("doc_id") < 100)
-    seen = d.filter(F.col("doc_id") >= 100)
-    return minhash_probe_pairs(new, seen, 0.5)
+    new = d.filter(F.col("doc_id") < INCREMENTAL_CUT)
+    seen = d.filter(F.col("doc_id") >= INCREMENTAL_CUT)
+    return minhash_probe_pairs(new, seen, JACCARD_THRESHOLD, pin="driver")
 
 
-SQL_MINHASH_INCREMENTAL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-             generate_series(1, greatest(len(ts) - 2, 0)),
-             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
-  FROM toks
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+def _minhash_incremental_sql() -> str:
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.llm_queries import (
+        JACCARD_THRESHOLD,
+        SHINGLE_BASE_SQL,
+    )
+
+    return f"""
+WITH {SHINGLE_BASE_SQL.rstrip()},
 inter AS (
   SELECT a.doc_id AS new_id, b.doc_id AS seen_id, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < 100 AND b.doc_id >= 100
+  FROM sh a JOIN sh b ON a.sh = b.sh
+   AND a.doc_id < {INCREMENTAL_CUT} AND b.doc_id >= {INCREMENTAL_CUT}
   GROUP BY 1, 2
 )
 SELECT new_id, seen_id,
@@ -263,8 +268,11 @@ SELECT new_id, seen_id,
 FROM inter
 JOIN sizes s1 ON s1.doc_id = new_id
 JOIN sizes s2 ON s2.doc_id = seen_id
-WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.5
+WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
 """
+
+
+SQL_MINHASH_INCREMENTAL = _minhash_incremental_sql()
 
 
 QUERIES = {

@@ -121,10 +121,12 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides epoch seconds; the session timezone is pinned UTC). Frame
     sums go through the decimal path: RANGE frames include peer rows,
     and double summation order over ties differs between engines."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import epoch_seconds
+
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 11 == 0)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp(F.col("o_orderdate")))
+        .orderBy(epoch_seconds(F.col("o_orderdate")))
         .rangeBetween(-7 * 86400, 0)
     )
     rev = F.round(F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w), 2)
