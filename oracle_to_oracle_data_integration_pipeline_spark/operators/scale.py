@@ -205,3 +205,74 @@ def skew_profile(df: DataFrame, key: str) -> DataFrame:
         pround(F.expr("percentile(n, 0.99)"), 6).alias("p99_per_key"),
         pround(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Exact semi-join of ``big`` against ``keys``, pre-filtered by a
+    Bloom filter built from the key side.
+
+    At 100 TB the point of a Bloom/runtime filter is to discard probe
+    rows BEFORE the join shuffle: the filter is a tiny bitmap (m_bits
+    bits -> m_bits/64 longs, 8 KiB at the default) that ships to every
+    scan task as a literal, so the expensive exchange only carries rows
+    that might match. Spark's own runtime filters
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) do this
+    automatically for some shapes; this operator is the explicit,
+    inspectable version, and it composes with any downstream op.
+
+    The bitmap is built distributed (bit_or aggregation over word
+    index — one shuffle of |keys| rows into m_bits/64 groups), then
+    collected: the collect is O(m_bits/64) words, NOT O(|keys|). The
+    final left-semi join removes Bloom false positives, so the result
+    is exactly ``big SEMI JOIN keys`` — the filter only changes the
+    plan, never the answer.
+    """
+    m = int(m_bits)
+    words = m // 64
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+            for seed in range(k_hashes)
+        ]
+
+    key_col = F.col(keys_key)
+    pos = keys.select(
+        F.explode(F.array(*positions(key_col))).alias("pos")
+    )
+    word_rows = (
+        pos.withColumn("w", (F.col("pos") / 64).cast("int"))
+        .withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in word_rows:
+        bitmap[r["w"]] = r["word"]
+    lit_bitmap = F.array(*[F.lit(w).cast("long") for w in bitmap])
+
+    probed = big.withColumn("_bloom_words", lit_bitmap)
+    checks = []
+    for seed, h in enumerate(positions(F.col(big_key))):
+        hname = f"_bloom_h{seed}"
+        probed = probed.withColumn(hname, h)
+        checks.append(
+            f"(shiftright(element_at(_bloom_words, CAST({hname} DIV 64 AS INT) + 1), "
+            f"CAST({hname} % 64 AS INT)) & 1) = 1"
+        )
+    filtered = probed.where(F.expr(" AND ".join(checks))).drop(
+        "_bloom_words", *[f"_bloom_h{s}" for s in range(k_hashes)]
+    )
+    return filtered.join(
+        F.broadcast(keys.select(key_col.alias(big_key)).distinct()),
+        on=big_key,
+        how="left_semi",
+    )

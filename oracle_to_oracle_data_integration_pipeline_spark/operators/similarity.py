@@ -393,3 +393,40 @@ def quantize_embeddings(
             F.col("__scale__").alias("scale"),
         )
     )
+
+
+def l2_normalize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unit-normalize an embedding column: v / ||v||, plus the norm.
+
+    Row-local expression over the array (sequential fold for the norm,
+    element-wise transform for the scaling) — zero shuffle, runs inside
+    whole-stage codegen at any scale. Zero vectors pass through
+    unscaled with norm 0 rather than dividing by zero. Components are
+    portably rounded so the result hashes identically across engines.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    p = float(10**round_to)
+    unit = F.when(
+        F.col("_norm") > 0,
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") / F.col("_norm") * p + F.lit(0.5)) / p
+        ),
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    return (
+        df.withColumn("_norm", norm)
+        .select(
+            id_col,
+            pround(F.col("_norm"), round_to).alias("norm"),
+            unit.alias("unit_vec"),
+        )
+    )

@@ -1,0 +1,261 @@
+"""Statistical analytics operators: rolling medians, per-key OLS
+regression, MAD outlier detection, chi-square independence, item
+co-occurrence — the classic "is this corpus healthy / what correlates
+with what" toolkit a training-data pipeline runs after curation.
+
+All pure DataFrame algebra (no Python in the hot path). Determinism
+conventions follow queries/_util.py: per-term portable rounding +
+decimal sums wherever double summation order could differ between a
+32-thread local run and a 1000-executor tree aggregation.
+
+Scale notes per operator are in the docstrings; none of these sort the
+full corpus and the only self-join (co-occurrence) is bounded by the
+per-group degree, not the table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, pround
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    n: int = 5,
+) -> DataFrame:
+    """Trailing-``n``-row median of ``value`` per ``key``.
+
+    Spark has no exact-median window function, so we carry the trailing
+    frame as a sorted array (``collect_list`` over a ROWS frame, then
+    ``array_sort``) and index its middle. The frame is at most ``n``
+    elements, so per-row state is O(n) regardless of corpus size — at
+    100 TB this is one shuffle on ``key`` (the window partitioning) and
+    nothing else. Even-length frames interpolate (mean of the two
+    middle values), matching DuckDB/ANSI ``median``.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    frame = F.array_sort(F.collect_list(F.col(value).cast("double")).over(w))
+    med = F.expr(
+        "CASE WHEN size(_frame) % 2 = 1 THEN _frame[size(_frame) DIV 2] "
+        "ELSE (_frame[size(_frame) DIV 2 - 1] + _frame[size(_frame) DIV 2]) / 2.0 END"
+    )
+    return (
+        df.withColumn("_frame", frame)
+        .withColumn("rolling_median", pround(med, 6))
+        .drop("_frame")
+    )
+
+
+def ols_per_key(
+    df: DataFrame,
+    key: str,
+    x: Column,
+    y: Column,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key ordinary-least-squares fit ``y = slope·x + intercept``.
+
+    Closed-form from five sufficient statistics, so the whole fit is
+    one map-side-combinable aggregation — the canonical "don't collect
+    the points, aggregate the moments" scale shape. ``x`` is re-based
+    to the per-key minimum first (one extra agg + broadcast-sized join)
+    so x² sums stay small enough for exact DECIMAL accumulation;
+    without the re-base, epoch-seconds² sums exceed 2^53 and the
+    partial-agg tree order would leak into the result bits.
+
+    x must be integral after re-basing (day index, step count, ...);
+    y is rounded per-term to 6dp before the exact decimal sum.
+    """
+    base = df.select(F.col(key).alias("k"), x.alias("x"), y.cast("double").alias("y"))
+    x0 = base.groupBy("k").agg(F.min("x").alias("x0"))
+    j = base.join(F.broadcast(x0), "k").withColumn("dx", F.col("x") - F.col("x0"))
+    agg = j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(24,6)")).cast("double").alias("sy"),
+        dsum(pround(F.col("dx") * F.col("y"), 6), 6).alias("sxy"),
+    )
+    denom = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    slope = pround(
+        (agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]) / denom.cast("double"), 6
+    )
+    # intercept from the already-rounded slope: deterministic scalar math
+    return agg.where((F.col("n") >= min_points) & (denom != 0)).select(
+        F.col("k").alias(key),
+        "n",
+        slope.alias("slope"),
+        pround(
+            (agg["sy"] - slope * agg["sx"].cast("double")) / agg["n"].cast("double"), 6
+        ).alias("intercept"),
+    )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    key: str,
+    value: str,
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Per-group (n, median, MAD, outlier count where |v−med| > k·MAD)
+    — the robust DQ screen that survives heavy tails.
+
+    Two exact-percentile aggregations (median of v, then median of
+    |v−med|) with the tiny per-group medians broadcast back onto the
+    fact, so the corpus shuffles exactly twice and never sorts
+    globally. ``percentile`` is Spark's exact aggregate; at 100 TB
+    swap in ``percentile_approx`` (same plan shape, documented
+    accuracy/cost dial).
+    """
+    v = F.col(value).cast("double")
+    med = df.groupBy(key).agg(
+        pround(F.expr(f"percentile(CAST({value} AS DOUBLE), 0.5)"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), key).withColumn("dev", F.abs(v - F.col("med")))
+    mad = dev.groupBy(key, "med").agg(
+        pround(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad.select(key, "mad")), key)
+    return (
+        flagged.groupBy(key, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k_mad) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(key, "n", "med", "mad", "n_outliers")
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_key: str,
+    col_key: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns. One groupBy over the corpus produces the contingency
+    table; everything after runs on that tiny table (|rows|·|cols|
+    cells) with window totals — no second pass over the data. Cells
+    the corpus never exhibits still carry (0−e)²/e = e, so the
+    observed table is completed to the full category cross product
+    (tiny × tiny cross join) before the statistic. Returns one row:
+    (n, dof, chi2).
+    """
+    observed = df.groupBy(row_key, col_key).agg(F.count(F.lit(1)).alias("o"))
+    cells = (
+        observed.select(row_key)
+        .distinct()
+        .crossJoin(observed.select(col_key).distinct())
+        .join(observed, [row_key, col_key], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    w_row = Window.partitionBy(row_key)
+    w_col = Window.partitionBy(col_key)
+    w_all = Window.partitionBy()
+    with_tot = (
+        cells.withColumn("r_tot", F.sum("o").over(w_row))
+        .withColumn("c_tot", F.sum("o").over(w_col))
+        .withColumn("n_tot", F.sum("o").over(w_all))
+    )
+    e = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    term = pround((F.col("o").cast("double") - e) * (F.col("o") - e) / e, 6)
+    return with_tot.select(
+        F.col("n_tot").alias("n"),
+        F.size(F.collect_set(row_key).over(w_all)).alias("_r"),
+        F.size(F.collect_set(col_key).over(w_all)).alias("_c"),
+        term.alias("_term"),
+    ).groupBy("n").agg(
+        ((F.first("_r") - 1) * (F.first("_c") - 1)).alias("dof"),
+        dsum(F.col("_term"), 6).alias("chi2"),
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group: str,
+    item: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k co-occurring item pairs within a group (market-basket
+    style: parts bought together in one order, tokens sharing a doc).
+
+    The self-join is keyed on ``group`` after per-group item dedup, so
+    its cost is Σ(degree²) over groups — bounded by the max basket
+    size (≤7 lineitems per TPC-H order), NOT corpus². The final top-k
+    is `ORDER BY ... LIMIT k` → TakeOrderedAndProject, no global sort.
+    """
+    items = df.select(F.col(group).alias("g"), F.col(item).alias("i")).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")))
+    return (
+        pairs.groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy(F.desc("n_groups"), "item_a", "item_b")
+        .limit(top_k)
+    )
+
+
+def bigram_topk(df: DataFrame, text: str = "text", top_k: int = 20) -> DataFrame:
+    """Top-k word bigrams over the corpus — the LM-training co-location
+    statistic. Bigram construction is a pure higher-order-function zip
+    of the token array against itself shifted by one (map-side, no
+    shuffle); only the (bigram → count) aggregation shuffles, keyed on
+    the bigram itself.
+    """
+    toks = F.split(F.lower(F.col(text)), " ")
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1), "
+        "slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .where(F.size("_toks") >= 2)
+        .withColumn("bigram", F.explode(bigrams))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(top_k)
+    )
+
+
+def char_entropy(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — a strong gibberish/boilerplate signal (low entropy =
+    repeated filler, high = random noise).
+
+    Characters explode map-side; the only shuffle is the
+    (doc, char) → count aggregation, keyed by doc so the per-doc
+    entropy reduction is co-located. Per-term ``p·ln p`` is rounded
+    portably then summed exactly (decimal), keeping the result
+    bit-identical between a local run and a 1000-way partial-agg tree.
+    """
+    chars = F.expr(f"transform(sequence(1, length({text})), i -> substring({text}, i, 1))")
+    counts = (
+        df.select(F.col(id_col), F.explode(chars).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col)
+    p = F.col("c").cast("double") / F.col("n_chars").cast("double")
+    term = pround(-p * F.log(p), 6)
+    return (
+        counts.withColumn("n_chars", F.sum("c").over(w))
+        .select(id_col, "n_chars", term.alias("_term"))
+        .groupBy(id_col, "n_chars")
+        .agg(dsum(F.col("_term"), 6).alias("entropy"))
+    )

@@ -7,6 +7,7 @@ DuckDB oracle twin. This is the engine's correctness surface
 from __future__ import annotations
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
+    analytics_queries,
     catalog_queries,
     clustering_queries,
     corpus_queries,
@@ -53,6 +54,7 @@ _MODULES = [
     clustering_queries,
     graph_queries,
     corpus_queries,
+    analytics_queries,
     streaming_queries,
 ]
 
@@ -70,9 +72,13 @@ _MODULES = [
 # tools/parity_sweep.py at sf0.001/sf0.1) each round regardless.
 #
 # ROUND-4 ROTATION TODO: put any round-3 CORRECTNESS reds first, then
-# whatever tail of this list fell outside round 3's window, then
-# rotate long-unchecked greens (r1-era rows: the cdc/relational front)
-# back through so every qid's driver row stays fresh.
+# the round-3 late additions that never saw a driver window (the
+# analytics_queries batch: rolling_median regression_per_key
+# mad_outliers chi2_independence part_cooccurrence bigram_freq
+# char_entropy bloom_join embed_normalize), then whatever tail of this
+# list fell outside round 3's window, then rotate long-unchecked greens
+# (r1-era rows: the cdc/relational front) back through so every qid's
+# driver row stays fresh.
 _VERIFY_FIRST = [
     # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
     # fixed via _util.normalize_events_ts — re-verify before anything else

@@ -1,0 +1,381 @@
+"""Statistical-analytics qids: rolling median, per-key OLS trend, MAD
+outliers, chi-square independence, item co-occurrence, bigram
+frequency, character entropy, Bloom-filtered semi-join, embedding
+normalization (operators/stats.py, scale.py, similarity.py).
+
+Determinism: every double on both sides goes through the portable
+floor-round (`pround` / ``floor(x*1e6+0.5)/1e6``) and order-sensitive
+sums through the exact decimal path (`dsum` /
+``CAST(round(sum(CAST(x AS DECIMAL(24,6))), r) AS DOUBLE)``), so the
+driver's value-hash compare is bit-stable against partial-agg order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load
+
+# -- qid: rolling_median -----------------------------------------------
+
+ROLL_N = 5
+ROLL_USERS = 20
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-5-event median of `value` per user — the robust
+    smoother for noisy per-entity time series (one shuffle on user_id,
+    O(n) state per row)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import rolling_median
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < ROLL_USERS)
+    return rolling_median(ev, "user_id", ["ts", "event_id"], "value", n=ROLL_N).select(
+        "user_id", "event_id", "rolling_median"
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id < {ROLL_USERS}
+)
+SELECT user_id, event_id,
+       floor(quantile_cont(v, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW
+       ) * 1000000.0 + 0.5) / 1000000.0 AS rolling_median
+FROM e
+"""
+
+
+# -- qid: regression_per_key -------------------------------------------
+
+def q_regression_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time (day index): is this
+    entity's metric drifting? Closed-form from five aggregated moments
+    — one shuffle, no point collection."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import ols_per_key
+
+    ev = load(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    return ols_per_key(ev, "user_id", x, F.col("value"))
+
+
+SQL_REGRESSION_PER_KEY = """
+WITH base AS (
+  SELECT user_id AS k,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+m AS (SELECT k, min(x) AS x0 FROM base GROUP BY k),
+j AS (SELECT base.k, x - x0 AS dx, y FROM base JOIN m USING (k)),
+agg AS (
+  SELECT k, count(*) AS n,
+         sum(dx) AS sx,
+         sum(dx * dx) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+         CAST(round(sum(CAST(floor(dx * y * 1000000.0 + 0.5) / 1000000.0
+                             AS DECIMAL(24,6))), 6) AS DOUBLE) AS sxy
+  FROM j GROUP BY k
+),
+fit AS (
+  SELECT k, n, sx, sy,
+         floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS slope
+  FROM agg WHERE n >= 2 AND n * sxx - sx * sx != 0
+)
+SELECT k AS user_id, n, slope,
+       floor((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM fit
+"""
+
+
+# -- qid: mad_outliers -------------------------------------------------
+
+MAD_K = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile: median, MAD, and how many
+    values sit beyond 3 MADs — the DQ screen that survives heavy
+    tails where mean/stddev screens saturate."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        mad_outlier_summary,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return mad_outlier_summary(ev, "event_type", "value", k_mad=MAD_K)
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+med AS (
+  SELECT event_type,
+         floor(quantile_cont(v, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, med, abs(v - med) AS dev
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, med,
+         floor(quantile_cont(dev, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS mad
+  FROM dev GROUP BY event_type, med
+)
+SELECT d.event_type, count(*) AS n, m.med, m.mad,
+       CAST(sum(CASE WHEN d.dev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+"""
+
+
+# -- qid: chi2_independence --------------------------------------------
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square of lang × source over the documents corpus —
+    'is my language mix independent of source?' One groupBy builds the
+    contingency table; the statistic runs on that tiny table."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    return chi2_independence(load(spark, sf_dir, "documents"), "lang", "source")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH observed AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+cells AS (
+  -- complete the cross product: unobserved cells still contribute
+  -- (0 - e)^2 / e = e to the statistic
+  SELECT r.lang, c.source, coalesce(o.o, 0) AS o
+  FROM (SELECT DISTINCT lang FROM observed) r
+  CROSS JOIN (SELECT DISTINCT source FROM observed) c
+  LEFT JOIN observed o ON o.lang = r.lang AND o.source = c.source
+),
+tot AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY lang) AS r_tot,
+         sum(o) OVER (PARTITION BY source) AS c_tot,
+         sum(o) OVER () AS n_tot
+  FROM cells
+),
+terms AS (
+  SELECT n_tot,
+         floor(power(CAST(o AS DOUBLE)
+                     - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                       / CAST(n_tot AS DOUBLE), 2)
+               / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST(n_tot AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS term
+  FROM tot
+)
+SELECT CAST(max(n_tot) AS BIGINT) AS n,
+       CAST((SELECT count(DISTINCT lang) FROM documents) - 1 AS INT)
+         * CAST((SELECT count(DISTINCT source) FROM documents) - 1 AS INT) AS dof,
+       CAST(round(sum(CAST(term AS DECIMAL(24,6))), 6) AS DOUBLE) AS chi2
+FROM terms
+"""
+
+
+# -- qid: part_cooccurrence --------------------------------------------
+
+COOC_K = 20
+
+
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs: parts most often appearing in the same
+    order. Self-join keyed by order, cost Σ(basket²) not corpus²."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        cooccurrence_pairs,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", top_k=COOC_K)
+
+
+SQL_PART_COOCCURRENCE = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
+SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i
+ORDER BY n_groups DESC, item_a, item_b
+LIMIT {COOC_K}
+"""
+
+
+# -- qid: bigram_freq --------------------------------------------------
+
+BIGRAM_K = 20
+
+
+def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams over the corpus — LM-training co-location
+    counts. Bigram build is a map-side HOF zip; only (bigram → count)
+    shuffles."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import bigram_topk
+
+    return bigram_topk(load(spark, sf_dir, "documents"), "text", top_k=BIGRAM_K)
+
+
+SQL_BIGRAM_FREQ = f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM t WHERE len(tk) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_K}
+"""
+
+
+# -- qid: char_entropy -------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    low entropy flags boilerplate/filler, high flags noise."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import char_entropy
+
+    out = char_entropy(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.col("n_chars").alias("total_chars"), "entropy")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+w AS (
+  SELECT doc_id, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chars
+  FROM c
+),
+t AS (
+  SELECT doc_id, total_chars,
+         floor(-(CAST(c AS DOUBLE) / CAST(total_chars AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(total_chars AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS term
+  FROM w
+)
+SELECT doc_id, total_chars,
+       CAST(round(sum(CAST(term AS DECIMAL(24,6))), 6) AS DOUBLE) AS entropy
+FROM t GROUP BY doc_id, total_chars
+"""
+
+
+# -- qid: bloom_join ---------------------------------------------------
+
+BLOOM_NATION = "NATION_3"
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for one nation's suppliers, with the
+    supplier set applied to lineitem as a Bloom-filter pre-filter
+    before the exact semi-join — the explicit version of Spark's
+    runtime row-group pruning. Bloom false positives are removed by
+    the semi-join, so the answer is exact."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        bloom_semi_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == BLOOM_NATION)
+    keys = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    filtered = bloom_semi_join(li, keys, "l_suppkey", "s_suppkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_BLOOM_JOIN = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_suppkey IN (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{BLOOM_NATION}'
+)
+GROUP BY l_returnflag
+"""
+
+
+# -- qid: embed_normalize ----------------------------------------------
+
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding table — the standard pre-step before
+    cosine retrieval, as a zero-shuffle row-local expression. The qid
+    view explodes the unit vector to (vec_id, pos, comp) scalars so the
+    driver can value-hash every component (array cells aren't
+    hashable in the compare harness); pipeline callers use the
+    operator's array output directly."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
+        l2_normalize,
+    )
+
+    out = l2_normalize(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select(
+        "vec_id", "norm", F.posexplode("unit_vec").alias("pos", "comp")
+    )
+
+
+SQL_EMBED_NORMALIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+u AS (
+  SELECT vec_id,
+         floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS norm,
+         CASE WHEN nrm > 0
+              THEN list_transform(v, x -> floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
+              ELSE v END AS uv
+  FROM n
+),
+x AS (
+  SELECT vec_id, norm,
+         unnest(range(0, len(uv))) AS pos,
+         unnest(uv) AS comp
+  FROM u
+)
+SELECT vec_id, norm, CAST(pos AS INT) AS pos, comp FROM x
+"""
+
+
+QUERIES = {
+    "rolling_median": q_rolling_median,
+    "regression_per_key": q_regression_per_key,
+    "mad_outliers": q_mad_outliers,
+    "chi2_independence": q_chi2_independence,
+    "part_cooccurrence": q_part_cooccurrence,
+    "bigram_freq": q_bigram_freq,
+    "char_entropy": q_char_entropy,
+    "bloom_join": q_bloom_join,
+    "embed_normalize": q_embed_normalize,
+}
+
+ORACLE_SQL = {
+    "rolling_median": SQL_ROLLING_MEDIAN,
+    "regression_per_key": SQL_REGRESSION_PER_KEY,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "part_cooccurrence": SQL_PART_COOCCURRENCE,
+    "bigram_freq": SQL_BIGRAM_FREQ,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "bloom_join": SQL_BLOOM_JOIN,
+    "embed_normalize": SQL_EMBED_NORMALIZE,
+}

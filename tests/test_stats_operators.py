@@ -1,0 +1,147 @@
+"""Semantic invariants for the statistical-analytics operators
+(operators/stats.py, bloom_semi_join, l2_normalize) — ground-truth
+checks on constructed inputs, independent of the DuckDB differential
+suite."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import bloom_semi_join
+from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import l2_normalize
+from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+    bigram_topk,
+    char_entropy,
+    chi2_independence,
+    cooccurrence_pairs,
+    mad_outlier_summary,
+    ols_per_key,
+    rolling_median,
+)
+
+
+def test_rolling_median_odd_and_even_frames(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([10, 2, 8, 4, 6])],
+        "k int, seq int, v double",
+    )
+    out = {
+        r["seq"]: r["rolling_median"]
+        for r in rolling_median(df, "k", ["seq"], "v", n=3).collect()
+    }
+    assert out[0] == 10.0          # frame [10]
+    assert out[1] == 6.0           # frame [2,10] -> interpolated
+    assert out[2] == 8.0           # frame [2,8,10] -> middle
+    assert out[3] == 4.0           # frame [2,4,8]
+    assert out[4] == 6.0           # frame [4,6,8]
+
+
+def test_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly; slope/intercept must come back bit-clean
+    rows = [(1, x, 3.0 * x + 7.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "k int, x int, y double")
+    r = ols_per_key(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert r["n"] == 10
+    assert abs(r["slope"] - 3.0) < 1e-6
+    assert abs(r["intercept"] - 7.0) < 1e-6
+
+
+def test_ols_skips_degenerate_groups(spark):
+    # a single point and a zero-variance group produce no fit
+    df = spark.createDataFrame(
+        [(1, 5, 2.0), (2, 3, 1.0), (2, 3, 9.0)], "k int, x int, y double"
+    )
+    assert ols_per_key(df, "k", F.col("x"), F.col("y")).count() == 0
+
+
+def test_mad_summary_flags_the_planted_outlier(spark):
+    vals = [10.0] * 9 + [1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    r = mad_outlier_summary(df, "g", "v", k_mad=3.0).collect()[0]
+    assert r["med"] == 10.0
+    assert r["mad"] == 0.0
+    assert r["n"] == 10
+    assert r["n_outliers"] == 1  # 1000 deviates, everything else is exactly med
+
+
+def test_chi2_zero_for_perfectly_independent_table(spark):
+    # uniform 2x2 with identical margins -> chi2 == 0, dof == 1
+    rows = [(r, c) for r in ["a", "b"] for c in ["x", "y"] for _ in range(5)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    assert out["n"] == 20
+    assert out["dof"] == 1
+    assert out["chi2"] == 0.0
+
+
+def test_chi2_positive_for_dependent_table(spark):
+    # perfect association: a->x, b->y
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    assert out["dof"] == 1
+    assert out["chi2"] > 19.0  # exact chi2 for this table is n = 20
+
+
+def test_cooccurrence_counts_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "b")],
+        "g int, i string",
+    )
+    rows = cooccurrence_pairs(df, "g", "i", top_k=10).collect()
+    top = rows[0]
+    assert (top["item_a"], top["item_b"], top["n_groups"]) == ("a", "b", 3)
+    as_dict = {(r["item_a"], r["item_b"]): r["n_groups"] for r in rows}
+    assert as_dict[("a", "c")] == 1 and as_dict[("b", "c")] == 1
+
+
+def test_bigram_topk_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("a dog",)], "text string"
+    )
+    rows = bigram_topk(df, "text", top_k=5).collect()
+    as_dict = {r["bigram"]: r["n"] for r in rows}
+    assert as_dict["the cat"] == 2
+    assert as_dict["cat sat"] == 1
+    assert rows[0]["bigram"] == "the cat"  # highest count first
+
+
+def test_char_entropy_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == 0.0                      # single symbol
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-5   # two equal symbols
+    assert out[1]["n_chars"] == 4 and out[2]["n_chars"] == 4
+
+
+def test_bloom_semi_join_matches_plain_semi_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = spark.createDataFrame([(k,) for k in (3, 17, 42, 99)], "s_suppkey long")
+    got = bloom_semi_join(li, keys, "l_suppkey", "s_suppkey")
+    want = li.join(
+        keys.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", "left_semi"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_semi_join_empty_keys(spark):
+    big = spark.createDataFrame([(1,), (2,)], "k long")
+    keys = spark.createDataFrame([], "k long")
+    assert bloom_semi_join(big, keys, "k", "k").count() == 0
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in l2_normalize(df, "vec_id", "embedding").collect()}
+    assert out[1]["norm"] == 5.0
+    assert out[1]["unit_vec"] == [0.6, 0.8]
+    assert out[2]["norm"] == 0.0
+    assert out[2]["unit_vec"] == [0.0, 0.0]  # zero vector passes through

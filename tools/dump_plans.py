@@ -38,6 +38,11 @@ SHOW = [
     ("skew_profile", "one key-count exchange; scalar summary merges |keys| pre-aggregated rows"),
     ("pit_join", "point-in-time dimension lookup as an equi join on the key, interval post-filtered"),
     ("cohort_retention", "two keyed shuffles + broadcast cohort sizes: the product-analytics rollup without a self-join explosion"),
+    ("bloom_join", "8 KiB bloom bitmap as a scan-side literal filter; only survivors reach the broadcast semi join"),
+    ("rolling_median", "one key exchange feeds the O(n)-state trailing-frame window; no global sort"),
+    ("part_cooccurrence", "self-join keyed on the basket id (cost Σdegree², not corpus²), distributed TakeOrderedAndProject top-k"),
+    ("regression_per_key", "OLS from aggregated moments: map-side-combinable agg + broadcast re-base join, points never collected"),
+    ("char_entropy", "chars explode map-side; the only exchange is the doc-keyed count agg the entropy reduction rides"),
 ]
 
 
