@@ -92,3 +92,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return r.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering coefficient).
+
+    ``edges`` must hold each undirected edge once in canonical
+    orientation (a < b, no self-loops, deduped). The classic two-join
+    shape: wedges = edges ⋈ edges on the shared lower endpoint
+    (b < c keeps each wedge once), triangles = wedges ⋈ edges on the
+    closing pair. Both joins are keyed shuffles; cost is Σdeg² (wedge
+    generation), the standard bound — at 100 TB you first degree-cap
+    or degree-order the edge list (highest-degree vertex last) to tame
+    Σdeg², which this operator leaves to the caller's edge builder.
+    Global clustering coefficient = 3·triangles / wedges.
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    x = e.alias("x")
+    y = e.alias("y")
+    # canonical wedges (both legs share their LOWER endpoint) find every
+    # triangle a<b<c exactly once via legs (a,b),(a,c) + closer (b,c)...
+    cwedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
+    ).select(F.col("x.b").alias("wa"), F.col("y.b").alias("wb"))
+    z = e.alias("z")
+    tri = cwedges.join(
+        z, (F.col("wa") == F.col("z.a")) & (F.col("wb") == F.col("z.b"))
+    )
+    # ...but the clustering denominator needs ALL wedges, centered
+    # anywhere: sum C(deg(v), 2) over the symmetrized degree table
+    nodes = e.select(F.col("a").alias("node")).union(e.select(F.col("b").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    counts = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+            )
+        )
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    return counts.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            pround(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -241,3 +241,68 @@ def with_repetition_fraction(
     # sf0.1. Predicates cannot cross an Aggregate they reference, and
     # the exchange this adds carries one slim row per document.
     return scored.groupBy(*keep).agg(F.first(out).alias(out))
+
+
+def bpe_train(df: DataFrame, text: str = "text", n_merges: int = 5) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges from the
+    corpus (Sennrich et al. 2016): repeatedly count adjacent symbol
+    pairs over the word vocabulary (weighted by word frequency) and
+    merge the most frequent pair. Returns one row per learned merge:
+    (merge_rank, lhs, rhs, pair_count).
+
+    Scale shape: BPE trains on the VOCABULARY (word, freq), not the
+    corpus — one corpus-sized shuffle builds it, after which every
+    round is an agg over |vocab| rows. Words are encoded with each
+    symbol pipe-wrapped (``'ab' -> '|a||b|'``) so a merge is a plain
+    left-to-right global ``replace('|x||y|' -> '|xy|')`` — the
+    delimiters anchor symbol boundaries, making adjacent occurrences
+    merge greedily without overlap exactly like reference BPE. The
+    per-round 1-row argmax collect is control-plane (same pattern as
+    the k-means centroid refresh); ``localCheckpoint`` keeps the
+    iterated plan O(1) per round.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text)), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    vocab = words.select(
+        "freq",
+        F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|")).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    toks = F.expr("filter(split(s, '\\\\|'), x -> x != '')")
+    pair_col = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.withColumn("_t", toks)
+            .where(F.size("_t") >= 2)
+            .select(F.explode(pair_col).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["pair"].split(" ")
+        merges.append((rank, lhs, rhs, int(best[0]["cnt"])))
+        old = vocab
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")
+            ),
+        ).localCheckpoint(eager=True)
+        old.unpersist(blocking=True)
+    vocab.unpersist(blocking=True)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

@@ -356,7 +356,100 @@ SELECT vec_id, norm, CAST(pos AS INT) AS pos, comp FROM x
 """
 
 
+# -- qid: robust_scale -------------------------------------------------
+
+SCALE_USERS = 20
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of event values per event type —
+    the outlier-resistant cousin of z-scoring. Group stats broadcast
+    back over the fact; the scaling itself is map-only."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        pround(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("med"),
+        pround(
+            F.expr("percentile(CAST(value AS DOUBLE), 0.75)")
+            - F.expr("percentile(CAST(value AS DOUBLE), 0.25)"),
+            6,
+        ).alias("iqr"),
+    )
+    return (
+        ev.where(F.col("user_id") < SCALE_USERS)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("iqr") > 0,
+                pround((F.col("value") - F.col("med")) / F.col("iqr"), 6),
+            ).alias("scaled"),
+        )
+    )
+
+
+SQL_ROBUST_SCALE = f"""
+WITH stats AS (
+  SELECT event_type,
+         floor(quantile_cont(CAST(value AS DOUBLE), 0.5) * 1000000.0 + 0.5)
+           / 1000000.0 AS med,
+         floor((quantile_cont(CAST(value AS DOUBLE), 0.75)
+                - quantile_cont(CAST(value AS DOUBLE), 0.25)) * 1000000.0 + 0.5)
+           / 1000000.0 AS iqr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.iqr > 0
+            THEN floor((CAST(e.value AS DOUBLE) - s.med) / s.iqr * 1000000.0 + 0.5)
+                   / 1000000.0
+            ELSE NULL END AS scaled
+FROM events e JOIN stats s USING (event_type)
+WHERE e.user_id < {SCALE_USERS}
+"""
+
+
+# -- qid: sql_interface ------------------------------------------------
+
+# One ANSI string, executed verbatim by BOTH engines: spark.sql() over
+# registered temp views on the Spark side, DuckDB over the fixture
+# views on the oracle side. Demonstrates the engine's SQL entry point
+# (SURVEY §2: spark.sql is first-class alongside the DataFrame API) —
+# any dialect drift between the two engines would fail the hash gate.
+ANSI_REVENUE_RANK = """
+WITH rev AS (
+  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+)
+SELECT n_name, yr, revenue,
+       CAST(rank() OVER (PARTITION BY yr ORDER BY revenue DESC, n_name) AS INT)
+         AS rnk
+FROM rev
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue ranked within order-year, via the SQL entry point
+    (spark.sql over temp views) — the identical ANSI text is the
+    oracle, so the qid also pins dialect compatibility."""
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ANSI_REVENUE_RANK)
+
+
+SQL_SQL_INTERFACE = ANSI_REVENUE_RANK
+
+
 QUERIES = {
+    "robust_scale": q_robust_scale,
+    "sql_interface": q_sql_interface,
     "rolling_median": q_rolling_median,
     "regression_per_key": q_regression_per_key,
     "mad_outliers": q_mad_outliers,
@@ -369,6 +462,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "robust_scale": SQL_ROBUST_SCALE,
+    "sql_interface": SQL_SQL_INTERFACE,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "regression_per_key": SQL_REGRESSION_PER_KEY,
     "mad_outliers": SQL_MAD_OUTLIERS,

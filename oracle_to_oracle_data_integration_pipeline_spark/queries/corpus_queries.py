@@ -137,14 +137,81 @@ FROM documents d JOIN stats ON d.source = stats.source
 """
 
 
+# -- qid: bpe_train ----------------------------------------------------
+
+BPE_MERGES = 5
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merges learned from the documents corpus — the
+    tokenizer-training kernel itself (vocab-sized rounds, corpus
+    touched once)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import bpe_train
+
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load as _l
+
+    return bpe_train(_l(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES)
+
+
+def _bpe_sql() -> str:
+    """Unrolled DuckDB twin: each round recomputes pair counts over the
+    (tiny) vocabulary and applies the argmax merge with the same
+    pipe-anchored replace. Mirrors operators/text.py::bpe_train token
+    for token — same encode, same tiebreak (count desc, pair asc)."""
+    blocks = ["""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w
+),
+v0 AS (
+  SELECT freq,
+         '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+  FROM words
+)"""]
+    for r in range(1, BPE_MERGES + 1):
+        blocks.append(f""",
+p{r} AS (
+  SELECT pair, sum(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS pair,
+           freq
+    FROM (SELECT freq, list_filter(string_split(s, '|'), x -> x != '') AS t
+          FROM v{r - 1})
+    WHERE len(t) >= 2
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+v{r} AS (
+  SELECT freq,
+         replace(s,
+                 '|' || split_part(b.pair, ' ', 1) || '||'
+                     || split_part(b.pair, ' ', 2) || '|',
+                 '|' || replace(b.pair, ' ', '') || '|') AS s
+  FROM v{r - 1}, b{r} b
+)""")
+    selects = [
+        f"SELECT {r} AS merge_rank, split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    ]
+    blocks.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(blocks)
+
+
+SQL_BPE_TRAIN = _bpe_sql()
+
+
 QUERIES = {
     "source_divergence": q_source_divergence,
     "vocab_build": q_vocab_build,
     "winsorize": q_winsorize,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLE_SQL = {
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "vocab_build": SQL_VOCAB_BUILD,
     "winsorize": SQL_WINSORIZE,
+    "bpe_train": SQL_BPE_TRAIN,
 }

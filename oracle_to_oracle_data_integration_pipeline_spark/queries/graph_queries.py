@@ -67,10 +67,89 @@ r{i} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+# -- qid: triangle_count -----------------------------------------------
+
+TRI_USERS = 100
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the user co-activity graph: an edge links two
+    users active in the same (event_type, hour) bucket. The node set is
+    capped (user_id < 100) so the graph — and therefore the Σdeg²
+    wedge cost — stays bounded while larger SFs only densify edges up
+    to the C(100,2) cap; the edge build itself is a per-bucket
+    self-join bounded by bucket occupancy, not corpus size."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < TRI_USERS)
+        .select(
+            "user_id",
+            F.col("event_type").alias("et"),
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .distinct()
+    )
+    u = ev.alias("u")
+    v = ev.alias("v")
+    edges = (
+        u.join(
+            v,
+            (F.col("u.et") == F.col("v.et"))
+            & (F.col("u.hr") == F.col("v.hr"))
+            & (F.col("u.user_id") < F.col("v.user_id")),
+        )
+        .select(F.col("u.user_id").alias("a"), F.col("v.user_id").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, event_type AS et, date_trunc('hour', ts) AS hr
+  FROM events WHERE user_id < {TRI_USERS}
+),
+e AS (
+  SELECT DISTINCT u.user_id AS a, v.user_id AS b
+  FROM act u JOIN act v
+    ON u.et = v.et AND u.hr = v.hr AND u.user_id < v.user_id
+),
+w AS (
+  SELECT x.b AS wa, y.b AS wb
+  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN e z ON w.wa = z.a AND w.wb = z.b
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+wn AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT n_wedges FROM wn) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       CASE WHEN (SELECT n_wedges FROM wn) > 0
+            THEN floor(3.0 * (SELECT n_triangles FROM tri)
+                       / CAST((SELECT n_wedges FROM wn) AS DOUBLE)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS clustering
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }

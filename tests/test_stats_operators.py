@@ -145,3 +145,33 @@ def test_l2_normalize_unit_norm_and_zero_vector(spark):
     assert out[1]["unit_vec"] == [0.6, 0.8]
     assert out[2]["norm"] == 0.0
     assert out[2]["unit_vec"] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); wedges = 8
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a int, b int"
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 5
+    assert r["n_wedges"] == 8
+    assert r["n_triangles"] == 2
+    assert abs(r["clustering"] - 0.75) < 1e-9
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    rows = bpe_train(df, "text", n_merges=3).collect()
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    # vocab: aaab x2, ab x1
+    # r1: 'a a' appears twice per aaab -> 4 beats 'a b' (3)
+    # r2: after |aa||a||b|: 'a b' -> 3 beats 'aa a' (2)
+    # r3: after |aa||ab| / |ab|: 'aa ab' -> 2
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
