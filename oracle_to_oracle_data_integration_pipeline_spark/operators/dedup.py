@@ -578,3 +578,40 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") >= min_overlap)
     )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Near-duplicate NAME pairs by edit distance with canopy blocking:
+    candidates must share their last token (the head noun in
+    'adjective noun' style entity names), then pairs within a block are
+    verified by levenshtein ≤ ``max_dist``.
+
+    The classic entity-resolution shape: blocking turns the O(n²)
+    all-pairs comparison into Σ|block|² — bounded by the hottest block,
+    not the table — at the documented recall cost (typos in the
+    blocking token are missed; widen with a second blocking pass, e.g.
+    first-char, union-ed in, when recall matters more than cost).
+    Operates on DISTINCT names so repeated catalog rows don't inflate
+    the quadratic term.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.withColumn("blk", F.element_at(F.split(F.col("name"), " "), -1))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

@@ -259,3 +259,36 @@ def char_entropy(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
         .groupBy(id_col, "n_chars")
         .agg(dsum(F.col("_term"), 6).alias("entropy"))
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    key: str,
+    value: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``value`` per ``key`` over [lo, hi):
+    bin assignment is map-only column algebra (no sort, no percentile),
+    so the whole operator is one map-side-combinable groupBy — the
+    cheapest possible distribution profile at any scale. Out-of-range
+    rows are dropped (count them upstream if they matter). Bin edges
+    come back as columns so the result is self-describing.
+    """
+    width = (float(hi) - float(lo)) / int(nbins)
+    v = F.col(value).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    return (
+        df.where((v >= lo) & (v < hi))
+        .withColumn("bin", b)
+        .groupBy(key, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -155,3 +155,125 @@ def gap_fill_interp(
         interp.alias(value),
         F.when(F.col(value).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average: Σ vᵢ·Δtᵢ / ΣΔtᵢ where Δtᵢ is the
+    gap to the next observation (the last point carries no duration) —
+    the irregular-sampling-correct mean (TimescaleDB ``time_weight``
+    shape). One key-partitioned window (the lead) and the aggregation
+    rides the same partitioning; Δt is exact integer seconds, the v·Δt
+    terms go through the portable-round + exact-decimal-sum path so the
+    result is partial-agg-order independent.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+        dsum,
+        pround,
+    )
+
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    sec = F.unix_timestamp(F.col(ts))
+    dt = (F.lead(sec).over(w) - sec).alias("dt")
+    terms = (
+        df.select(F.col(key), F.col(value).cast("double").alias("v"), dt)
+        .where(F.col("dt").isNotNull())
+    )
+    return terms.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").alias("total_seconds"),
+        pround(
+            dsum(pround(F.col("v") * F.col("dt"), 6), 6)
+            / F.sum("dt").cast("double"),
+            6,
+        ).alias("twa"),
+    )
+
+
+def counter_agg(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Monotonic-counter delta aggregation with reset detection
+    (Prometheus ``increase`` / TimescaleDB ``counter_agg`` shape): a
+    negative step means the counter restarted, contributing the new
+    reading instead of the (negative) delta. One key-partitioned lag
+    window; the reduction rides the same exchange.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+        dsum,
+        pround,
+    )
+
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    v = F.col(value).cast("double")
+    delta = (v - F.lag(v).over(w)).alias("delta")
+    steps = df.select(F.col(key), v.alias("v"), delta).where(
+        F.col("delta").isNotNull()
+    )
+    contrib = F.when(F.col("delta") >= 0, F.col("delta")).otherwise(F.col("v"))
+    return steps.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("n_resets"),
+        dsum(pround(contrib, 6), 6).alias("total_increase"),
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key: str,
+    state: str,
+    ts: str = "ts",
+) -> DataFrame:
+    """Total seconds spent in each state across all keys: each event
+    opens an interval in its state that the key's next event closes
+    (the final open interval is excluded). The per-key lead window and
+    the (state) rollup are the only exchanges; durations are exact
+    integer seconds so no rounding discipline is needed.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(state))
+    sec = F.unix_timestamp(F.col(ts))
+    iv = df.select(
+        F.col(state).alias("state"),
+        (F.lead(sec).over(w) - sec).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return iv.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").alias("total_seconds"),
+    )
+
+
+def minmax_downsample(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per (key, time-bucket) min/max witness points — the
+    plot-preserving downsample (keep the extremes, drop the middle).
+    A single groupBy with ``min_by``/``max_by`` on a (value, id)
+    struct: one map-side-combinable shuffle, deterministic under value
+    ties via the id tiebreak, no window sort over the full series.
+    """
+    sec = F.unix_timestamp(F.col(ts))
+    bucket = (sec - (sec % F.lit(bucket_seconds))).alias("bucket_start")
+    v = F.col(value).cast("double")
+    return (
+        df.select(F.col(key), bucket, v.alias("v"), F.col(id_col).alias("pid"))
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.expr("min_by(pid, struct(v, pid))").alias("min_point_id"),
+            F.expr("max_by(pid, struct(v, pid))").alias("max_point_id"),
+        )
+    )

@@ -447,7 +447,109 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SQL_INTERFACE = ANSI_REVENUE_RANK
 
 
+# -- qid: histogram_fixed ----------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 10
+
+
+def q_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — map-only bin
+    algebra + one combinable groupBy, the cheapest distribution
+    profile at scale (contrast feature_bins' equi-depth sort path)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        histogram_fixed,
+    )
+
+    return histogram_fixed(
+        load(spark, sf_dir, "events"), "event_type", "value", HIST_LO, HIST_HI, HIST_BINS
+    )
+
+
+SQL_HISTOGRAM_FIXED = f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE CAST(value AS DOUBLE) >= {HIST_LO} AND CAST(value AS DOUBLE) < {HIST_HI}
+),
+b AS (
+  SELECT event_type,
+         CAST(floor((v - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS INT) AS bin
+  FROM e
+)
+SELECT event_type, bin,
+       CAST({HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE) AS bin_lo,
+       CAST({HIST_LO} + (bin + 1) * {(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE) AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY event_type, bin
+"""
+
+
+# -- qid: fuzzy_dedup --------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pairs: canopy blocking on the head noun
+    + levenshtein verification — entity-resolution dedup over the dirty
+    catalog, Σ|block|² not n²."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        fuzzy_dedup_pairs,
+    )
+
+    return fuzzy_dedup_pairs(load(spark, sf_dir, "part"), "p_name", FUZZY_MAX_DIST)
+
+
+SQL_FUZZY_DEDUP = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (
+  SELECT name, string_split(name, ' ')[-1] AS blk FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
+
+
+# -- qid: window_percentiles -------------------------------------------
+
+WPCT_USERS = 20
+
+
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic window functions (ntile / percent_rank /
+    cume_dist) over event values per type — the remaining ANSI window
+    rank family in one qid."""
+    from pyspark.sql import Window
+
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < WPCT_USERS)
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_PERCENTILES = f"""
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+FROM events
+WHERE user_id < {WPCT_USERS}
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 QUERIES = {
+    "histogram_fixed": q_histogram_fixed,
+    "fuzzy_dedup": q_fuzzy_dedup,
+    "window_percentiles": q_window_percentiles,
     "robust_scale": q_robust_scale,
     "sql_interface": q_sql_interface,
     "rolling_median": q_rolling_median,
@@ -462,6 +564,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "histogram_fixed": SQL_HISTOGRAM_FIXED,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "window_percentiles": SQL_WINDOW_PERCENTILES,
     "robust_scale": SQL_ROBUST_SCALE,
     "sql_interface": SQL_SQL_INTERFACE,
     "rolling_median": SQL_ROLLING_MEDIAN,

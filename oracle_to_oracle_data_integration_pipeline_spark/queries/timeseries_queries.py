@@ -353,7 +353,154 @@ GROUP BY 1, 2
 """
 
 
+# -- qid: time_weighted_avg --------------------------------------------
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean of `value` — the
+    irregular-sampling-correct average (each reading weighted by how
+    long it was current)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(load(spark, sf_dir, "events"), "user_id")
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+iv AS (
+  -- order by the full-precision ts (the truncated sec would reorder
+  -- same-second events relative to the Spark window)
+  SELECT user_id, v,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, v) - sec AS dt
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS total_seconds,
+       floor(CAST(round(sum(CAST(floor(v * dt * 1000000.0 + 0.5) / 1000000.0
+                                 AS DECIMAL(24,6))), 6) AS DOUBLE)
+             / CAST(sum(dt) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS twa
+FROM iv WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# -- qid: counter_agg --------------------------------------------------
+
+def q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user monotonic-counter increase with reset detection
+    (Prometheus `increase` semantics over the value column)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+        counter_agg,
+    )
+
+    return counter_agg(load(spark, sf_dir, "events"), "user_id")
+
+
+SQL_COUNTER_AGG = """
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events
+),
+d AS (
+  SELECT user_id, v,
+         v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, v) AS delta
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_steps,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(round(sum(CAST(floor((CASE WHEN delta >= 0 THEN delta ELSE v END)
+                                 * 1000000.0 + 0.5) / 1000000.0
+                           AS DECIMAL(24,6))), 6) AS DOUBLE) AS total_increase
+FROM d WHERE delta IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# -- qid: state_durations ----------------------------------------------
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds spent in each event_type state across all users — each
+    event opens an interval its user's next event closes."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+        state_durations,
+    )
+
+    return state_durations(load(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+SQL_STATE_DURATIONS = """
+WITH e AS (
+  SELECT user_id, event_type, ts,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+iv AS (
+  SELECT event_type AS state,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_type) - sec AS dur
+  FROM e
+)
+SELECT state, count(*) AS n_intervals, CAST(sum(dur) AS BIGINT) AS total_seconds
+FROM iv WHERE dur IS NOT NULL
+GROUP BY state
+"""
+
+
+# -- qid: minmax_downsample --------------------------------------------
+
+DOWNSAMPLE_USERS = 50
+DOWNSAMPLE_BUCKET = 86400
+
+
+def q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily min/max witness points per user — the plot-preserving
+    downsample (extremes kept, middle dropped)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+        minmax_downsample,
+    )
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < DOWNSAMPLE_USERS)
+    return minmax_downsample(ev, "user_id", bucket_seconds=DOWNSAMPLE_BUCKET)
+
+
+SQL_MINMAX_DOWNSAMPLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events WHERE user_id < {DOWNSAMPLE_USERS}
+),
+b AS (
+  SELECT user_id, event_id, v, sec - (sec % {DOWNSAMPLE_BUCKET}) AS bucket_start
+  FROM e
+),
+r AS (
+  SELECT user_id, bucket_start, event_id, v,
+         row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY v, event_id) AS rlo,
+         row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY v DESC, event_id DESC) AS rhi
+  FROM b
+)
+SELECT user_id, bucket_start,
+       count(*) AS n_points,
+       min(v) AS min_value,
+       max(v) AS max_value,
+       max(CASE WHEN rlo = 1 THEN event_id END) AS min_point_id,
+       max(CASE WHEN rhi = 1 THEN event_id END) AS max_point_id
+FROM r
+GROUP BY user_id, bucket_start
+"""
+
+
 QUERIES = {
+    "time_weighted_avg": q_time_weighted_avg,
+    "counter_agg": q_counter_agg,
+    "state_durations": q_state_durations,
+    "minmax_downsample": q_minmax_downsample,
     "gap_fill": q_gap_fill,
     "gap_fill_interp": q_gap_fill_interp,
     "ts_zscore": q_ts_zscore,
@@ -365,6 +512,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "counter_agg": SQL_COUNTER_AGG,
+    "state_durations": SQL_STATE_DURATIONS,
+    "minmax_downsample": SQL_MINMAX_DOWNSAMPLE,
     "gap_fill": SQL_GAP_FILL,
     "gap_fill_interp": SQL_GAP_FILL_INTERP,
     "ts_zscore": SQL_TS_ZSCORE,
