@@ -54,6 +54,12 @@ HEADLINE = [
     "bm25_topk",
     "lm_perplexity",
     "zorder_cluster",
+    # round-3 additions: bloom-filtered semi-join, trailing-window
+    # median, time-weighted mean, triangle census
+    "bloom_join",
+    "rolling_median",
+    "time_weighted_avg",
+    "triangle_count",
 ]
 
 
