@@ -319,3 +319,49 @@ def test_minhash_incremental_no_cartesian(spark, sf_dir):
     p = plan_str(spark, sf_dir, "minhash_incremental")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_median_single_exchange(spark, sf_dir):
+    """One hash exchange (the user_id window partitioning); the
+    trailing frame must not introduce a global sort."""
+    p = plan_str(spark, sf_dir, "rolling_median")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_bloom_join_filters_before_semi_join(spark, sf_dir):
+    """The bloom bitmap check must sit in the scan-side Filter (before
+    the semi join) and the exact verification must be a broadcast semi
+    join — the probe side never shuffles."""
+    p = plan_str(spark, sf_dir, "bloom_join")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    # the literal bitmap lands in a Filter via shiftright/element_at
+    assert "shiftright" in p
+
+
+def test_regression_per_key_broadcast_rebase(spark, sf_dir):
+    """The per-key min(x) re-base table must broadcast back onto the
+    fact; the moments aggregation keeps a partial (map-side) stage."""
+    p = plan_str(spark, sf_dir, "regression_per_key")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_time_weighted_avg_agg_rides_window_exchange(spark, sf_dir):
+    """The lead window and the per-key aggregation share one user_id
+    hash exchange — no second shuffle for the reduction."""
+    p = plan_str(spark, sf_dir, "time_weighted_avg")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_minmax_downsample_single_combinable_shuffle(spark, sf_dir):
+    """min_by/max_by aggregate: partial (map-side) + final stages around
+    exactly one exchange, and no Window operator. Spark plans struct
+    min_by as SortAggregate (local per-partition sorts, not a global
+    sort) — the partial_* functions are what prove combinability."""
+    p = plan_str(spark, sf_dir, "minmax_downsample")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p
+    assert "partial_min_by" in p and "partial_max_by" in p
