@@ -234,6 +234,29 @@ def bloom_semi_join(
     is exactly ``big SEMI JOIN keys`` — the filter only changes the
     plan, never the answer.
     """
+    filtered = bloom_prefilter(big, keys, big_key, keys_key, m_bits, k_hashes)
+    return filtered.join(
+        F.broadcast(keys.select(F.col(keys_key).alias(big_key)).distinct()),
+        on=big_key,
+        how="left_semi",
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The probabilistic half of :func:`bloom_semi_join`: rows of
+    ``big`` that PASS the Bloom bitmap built from ``keys`` — every
+    true match plus a bounded false-positive residue
+    (fpr ≈ (1 − e^(−k·n/m))^k). Exposed separately so callers can
+    audit the filter (see the ``bloom_fpr_audit`` qid) or place the
+    exact verification elsewhere in the plan.
+    """
     m = int(m_bits)
     words = m // 64
 
@@ -268,11 +291,6 @@ def bloom_semi_join(
             f"(shiftright(element_at(_bloom_words, CAST({hname} DIV 64 AS INT) + 1), "
             f"CAST({hname} % 64 AS INT)) & 1) = 1"
         )
-    filtered = probed.where(F.expr(" AND ".join(checks))).drop(
+    return probed.where(F.expr(" AND ".join(checks))).drop(
         "_bloom_words", *[f"_bloom_h{s}" for s in range(k_hashes)]
-    )
-    return filtered.join(
-        F.broadcast(keys.select(key_col.alias(big_key)).distinct()),
-        on=big_key,
-        how="left_semi",
     )

@@ -546,7 +546,64 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+# -- qid: bloom_fpr_audit ----------------------------------------------
+
+BLOOM_FPR_BOUND = 0.001
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive-rate audit of the Bloom pre-filter: count rows
+    passing the bitmap alone vs the exact semi-join, and assert the
+    observed FPR stays under 0.1% (theory for k=3, m=2^16 and this key
+    count is ~1e-9, so the bound is comfortably guaranteed). Exact
+    counts are the hash-compared payload; the bitmap pass-count is
+    Spark-hash-specific, so it feeds only the boolean (the same
+    sketch-verification pattern as hll_distinct)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        bloom_prefilter,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == BLOOM_NATION)
+    keys = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    passed = bloom_prefilter(li, keys, "l_suppkey", "s_suppkey")
+    exact = li.join(
+        F.broadcast(keys.withColumnRenamed("s_suppkey", "l_suppkey").distinct()),
+        "l_suppkey",
+        "left_semi",
+    )
+    counts = (
+        li.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("_n_pass")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_match")))
+    )
+    fpr = (F.col("_n_pass") - F.col("n_match")).cast("double") / (
+        F.col("n_total") - F.col("n_match")
+    ).cast("double")
+    return counts.select(
+        "n_total",
+        "n_match",
+        (fpr <= F.lit(BLOOM_FPR_BOUND)).cast("int").alias("fpr_within_bound"),
+    )
+
+
+SQL_BLOOM_FPR_AUDIT = f"""
+SELECT (SELECT count(*) FROM lineitem) AS n_total,
+       (SELECT count(*) FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = '{BLOOM_NATION}'
+        )) AS n_match,
+       CAST(1 AS INT) AS fpr_within_bound
+"""
+
+
 QUERIES = {
+    "bloom_fpr_audit": q_bloom_fpr_audit,
     "histogram_fixed": q_histogram_fixed,
     "fuzzy_dedup": q_fuzzy_dedup,
     "window_percentiles": q_window_percentiles,
@@ -564,6 +621,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
     "histogram_fixed": SQL_HISTOGRAM_FIXED,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "window_percentiles": SQL_WINDOW_PERCENTILES,

@@ -99,6 +99,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
 
 
+# -- qid: minhash_estimate_audit (sketch accuracy gate) ---------------
+
+MINHASH_EST_BOUND = 0.3
+
+
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-level accuracy audit of the MinHash sketch: for every
+    exact near-dup pair (Jaccard ≥ 0.5), the match-fraction of the two
+    16-component signatures must estimate the true Jaccard within
+    ±0.3 (3+ sigma for 16 permutations at these similarities, and
+    deterministic on fixed data). The exact Jaccard is the
+    hash-compared payload; xxhash64 signatures exist only Spark-side,
+    so the flag is the sketch-verification boolean (cf. hll_distinct).
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    sig = minhash_signatures(docs)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(16)
+    )
+    return (
+        pairs.join(sa, pairs.d1 == F.col("sa.doc_id"))
+        .join(sb, pairs.d2 == F.col("sb.doc_id"))
+        .select(
+            pairs.d1.alias("id_a"),
+            pairs.d2.alias("id_b"),
+            pairs.jaccard,
+            (
+                F.abs(matches / F.lit(16.0) - pairs.jaccard)
+                <= F.lit(MINHASH_EST_BOUND)
+            )
+            .cast("int")
+            .alias("est_within_bound"),
+        )
+    )
+
+
+SQL_MINHASH_ESTIMATE_AUDIT = f"""
+WITH {SHINGLE_SQL}
+SELECT d1 AS id_a, d2 AS id_b,
+       round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard,
+       CAST(1 AS INT) AS est_within_bound
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 # -- qid: minhash_dedup (LSH scale path, exact-verified) --------------
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +457,7 @@ FROM documents
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "minhash_estimate_audit": q_minhash_estimate_audit,
     "minhash_dedup": q_minhash_dedup,
     "dedup_components": q_dedup_components,
     "simhash_neardup": q_simhash_neardup,
@@ -420,6 +474,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_JACCARD_PAIRS,
+    "minhash_estimate_audit": SQL_MINHASH_ESTIMATE_AUDIT,
     "minhash_dedup": SQL_JACCARD_PAIRS,  # LSH must reproduce the exact pairs
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "text_stats": SQL_TEXT_STATS,
