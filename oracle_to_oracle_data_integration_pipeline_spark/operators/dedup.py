@@ -151,6 +151,11 @@ def ngram_jaccard_pairs(
     )
 
 
+# Single source for the MinHash signature width: signatures, LSH
+# banding, and the estimate audit must all agree on it.
+NUM_PERM = 16
+
+
 def _signatures_from_exploded(exploded: DataFrame, id_col: str, num_perm: int) -> DataFrame:
     """The one place the signature scheme lives: h_i = min over
     shingles of xxhash64(i, shingle)."""
@@ -159,7 +164,7 @@ def _signatures_from_exploded(exploded: DataFrame, id_col: str, num_perm: int) -
 
 
 def minhash_signatures(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", num_perm: int = 16, n: int = 3
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM, n: int = 3
 ) -> DataFrame:
     """MinHash signature per document. One explode + one grouped agg
     with ``num_perm`` min() columns (map-side combine keeps the shuffle

@@ -258,11 +258,15 @@ def bloom_prefilter(
     exact verification elsewhere in the plan.
     """
     m = int(m_bits)
-    words = m // 64
+    words = (m + 63) // 64  # ceil: positions span [0, m), even when m % 64 != 0
 
     def positions(col: Column) -> list[Column]:
+        # xxhash64 is type-width sensitive (hash(5 as int) != hash(5 as
+        # long)), so both sides MUST hash one canonical type or every
+        # true match silently fails the bitmap test
+        c = col.cast("long")
         return [
-            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+            F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m))
             for seed in range(k_hashes)
         ]
 

@@ -240,22 +240,26 @@ def char_entropy(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
 
     Characters explode map-side; the only shuffle is the
     (doc, char) → count aggregation, keyed by doc so the per-doc
-    entropy reduction is co-located. Per-term ``p·ln p`` is rounded
-    portably then summed exactly (decimal), keeping the result
-    bit-identical between a local run and a 1000-way partial-agg tree.
+    entropy reduction is co-located — the document length rides along
+    as a group key (it is just ``length(text)``), so no second
+    window/exchange is needed for the total. Empty documents are
+    dropped (their entropy is undefined; ``sequence(1, 0)`` would
+    otherwise enumerate DESCENDING and fabricate phantom characters).
+    Per-term ``p·ln p`` is rounded portably then summed exactly
+    (decimal), keeping the result bit-identical between a local run
+    and a 1000-way partial-agg tree.
     """
     chars = F.expr(f"transform(sequence(1, length({text})), i -> substring({text}, i, 1))")
     counts = (
-        df.select(F.col(id_col), F.explode(chars).alias("ch"))
-        .groupBy(id_col, "ch")
+        df.where(F.length(F.col(text)) > 0)
+        .select(F.col(id_col), F.length(F.col(text)).cast("long").alias("n_chars"), F.explode(chars).alias("ch"))
+        .groupBy(id_col, "n_chars", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy(id_col)
     p = F.col("c").cast("double") / F.col("n_chars").cast("double")
     term = pround(-p * F.log(p), 6)
     return (
-        counts.withColumn("n_chars", F.sum("c").over(w))
-        .select(id_col, "n_chars", term.alias("_term"))
+        counts.select(id_col, "n_chars", term.alias("_term"))
         .groupBy(id_col, "n_chars")
         .agg(dsum(F.col("_term"), 6).alias("entropy"))
     )

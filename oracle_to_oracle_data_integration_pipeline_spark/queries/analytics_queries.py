@@ -251,20 +251,20 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHAR_ENTROPY = """
 WITH ch AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+         unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
 ),
-c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
-w AS (
-  SELECT doc_id, c,
-         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chars
-  FROM c
+c AS (
+  SELECT doc_id, total_chars, ch, count(*) AS c
+  FROM ch GROUP BY doc_id, total_chars, ch
 ),
 t AS (
   SELECT doc_id, total_chars,
          floor(-(CAST(c AS DOUBLE) / CAST(total_chars AS DOUBLE))
                * ln(CAST(c AS DOUBLE) / CAST(total_chars AS DOUBLE))
                * 1000000.0 + 0.5) / 1000000.0 AS term
-  FROM w
+  FROM c
 )
 SELECT doc_id, total_chars,
        CAST(round(sum(CAST(term AS DECIMAL(24,6))), 6) AS DOUBLE) AS entropy
@@ -277,6 +277,19 @@ FROM t GROUP BY doc_id, total_chars
 BLOOM_NATION = "NATION_3"
 
 
+def _nation_supplier_keys(spark: SparkSession, sf_dir: str):
+    """(lineitem, s_suppkey-keys-of-BLOOM_NATION) — shared by
+    q_bloom_join and q_bloom_fpr_audit so the audit always measures
+    exactly the key set the headline join filters on."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == BLOOM_NATION)
+    keys = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    return li, keys
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by return flag for one nation's suppliers, with the
     supplier set applied to lineitem as a Bloom-filter pre-filter
@@ -287,12 +300,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_semi_join,
     )
 
-    li = load(spark, sf_dir, "lineitem")
-    sup = load(spark, sf_dir, "supplier")
-    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == BLOOM_NATION)
-    keys = sup.join(
-        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
-    ).select("s_suppkey")
+    li, keys = _nation_supplier_keys(spark, sf_dir)
     filtered = bloom_semi_join(li, keys, "l_suppkey", "s_suppkey")
     return filtered.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -563,12 +571,7 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_prefilter,
     )
 
-    li = load(spark, sf_dir, "lineitem")
-    sup = load(spark, sf_dir, "supplier")
-    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == BLOOM_NATION)
-    keys = sup.join(
-        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
-    ).select("s_suppkey")
+    li, keys = _nation_supplier_keys(spark, sf_dir)
     passed = bloom_prefilter(li, keys, "l_suppkey", "s_suppkey")
     exact = li.join(
         F.broadcast(keys.withColumnRenamed("s_suppkey", "l_suppkey").distinct()),

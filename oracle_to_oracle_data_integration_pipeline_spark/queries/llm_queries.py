@@ -114,6 +114,7 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the flag is the sketch-verification boolean (cf. hll_distinct).
     """
     from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        NUM_PERM,
         minhash_signatures,
     )
 
@@ -123,7 +124,7 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     matches = sum(
-        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(16)
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(NUM_PERM)
     )
     return (
         pairs.join(sa, pairs.d1 == F.col("sa.doc_id"))
@@ -133,7 +134,7 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.d2.alias("id_b"),
             pairs.jaccard,
             (
-                F.abs(matches / F.lit(16.0) - pairs.jaccard)
+                F.abs(matches / F.lit(float(NUM_PERM)) - pairs.jaccard)
                 <= F.lit(MINHASH_EST_BOUND)
             )
             .cast("int")

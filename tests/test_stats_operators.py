@@ -175,3 +175,28 @@ def test_bpe_train_learns_expected_merges(spark):
     # r2: after |aa||a||b|: 'a b' -> 3 beats 'aa a' (2)
     # r3: after |aa||ab| / |ab|: 'aa ab' -> 2
     assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+def test_bloom_semi_join_mixed_key_widths(spark):
+    # xxhash64 is type-width sensitive; the operator must canonicalize
+    # both sides before hashing or every true match fails the bitmap
+    big = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    keys = spark.createDataFrame([(1,), (3,)], "kk int")
+    got = sorted(r["k"] for r in bloom_semi_join(big, keys, "k", "kk").collect())
+    assert got == [1, 3]
+
+
+def test_bloom_semi_join_non_multiple_of_64_bits(spark):
+    big = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 7)], "k long")
+    got = bloom_semi_join(big, keys, "k", "k", m_bits=1000)
+    assert got.count() == len(range(0, 200, 7))
+
+
+def test_char_entropy_drops_empty_text(spark):
+    # sequence(1, 0) enumerates DESCENDING in Spark; empty docs must be
+    # dropped, not given phantom characters
+    df = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert 1 not in out
+    assert out[2]["n_chars"] == 2

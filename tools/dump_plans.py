@@ -42,7 +42,7 @@ SHOW = [
     ("rolling_median", "one key exchange feeds the O(n)-state trailing-frame window; no global sort"),
     ("part_cooccurrence", "self-join keyed on the basket id (cost Σdegree², not corpus²), distributed TakeOrderedAndProject top-k"),
     ("regression_per_key", "OLS from aggregated moments: map-side-combinable agg + broadcast re-base join, points never collected"),
-    ("char_entropy", "chars explode map-side; the only exchange is the doc-keyed count agg the entropy reduction rides"),
+    ("char_entropy", "chars explode map-side with partial aggregation before either exchange; both exchanges carry only post-agg rows, no sort/window anywhere"),
 ]
 
 
