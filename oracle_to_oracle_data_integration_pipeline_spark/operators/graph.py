@@ -151,3 +151,41 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: str,
+    max_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS over a directed edge list (pass a symmetrized
+    list for undirected semantics): per-hop-count node totals
+    (dist, n_nodes) for dist ≤ ``max_iters``; unreached nodes are
+    absent.
+
+    One shuffle join + one min-aggregate per round, lineage truncated
+    with ``localCheckpoint`` — the same bounded-iteration shape as
+    :func:`pagerank`. The frontier table carries (node, dist) only, so
+    each round's exchange is O(|reached|) longs regardless of edge
+    count; at 100 TB the edges side stays partitioned by ``src`` and
+    every round reuses that partitioning.
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], f"{src} string, dist int").select(
+        F.col(src).alias("node"), "dist"
+    )
+    for _ in range(max_iters):
+        expanded = (
+            edges.join(dist, edges[src] == dist["node"])
+            .select(F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist(blocking=True)
+        dist = expanded
+    out = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return out

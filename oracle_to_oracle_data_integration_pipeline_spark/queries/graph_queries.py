@@ -144,12 +144,67 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
 """
 
 
+# -- qid: bfs_levels ---------------------------------------------------
+
+BFS_SOURCE = "c1"
+BFS_ITERS = 4
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far does influence travel in the trade network? Node counts
+    per BFS hop from customer 1 over the same symmetric
+    customer↔supplier graph PageRank scores (dist ≤ 4)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import bfs_levels
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return bfs_levels(sym, BFS_SOURCE, max_iters=BFS_ITERS)
+
+
+def _bfs_sql() -> str:
+    blocks = [f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+d0(node, dist) AS (SELECT '{BFS_SOURCE}', 0)"""]
+    for i in range(1, BFS_ITERS + 1):
+        blocks.append(f""",
+d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM e JOIN d{i - 1} d ON e.src = d.node
+  ) GROUP BY node
+)""")
+    blocks.append(f"""
+SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
+FROM d{BFS_ITERS} GROUP BY dist""")
+    return "".join(blocks)
+
+
+SQL_BFS_LEVELS = _bfs_sql()
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "bfs_levels": q_bfs_levels,
 }
 
 ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "bfs_levels": SQL_BFS_LEVELS,
 }

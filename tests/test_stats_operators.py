@@ -200,3 +200,17 @@ def test_char_entropy_drops_empty_text(spark):
     out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
     assert 1 not in out
     assert out[2]["n_chars"] == 2
+
+
+def test_bfs_levels_path_graph(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    out = {r["dist"]: r["n_nodes"] for r in bfs_levels(edges, "a", max_iters=4).collect()}
+    # one node per hop along the path; the x->y component is unreached
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    shallow = {r["dist"]: r["n_nodes"] for r in bfs_levels(edges, "a", max_iters=2).collect()}
+    assert shallow == {0: 1, 1: 1, 2: 1}
