@@ -66,13 +66,55 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+# -- qid: sql_ddl_roundtrip -------------------------------------------
+
+def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DDL surface end-to-end — the reference's DDL
+    extract/replay pattern (scripts/02_clone_schema_structure.py)
+    driven entirely through spark.sql: CREATE TABLE (parquet-backed
+    managed table), ALTER TABLE ADD COLUMNS (the CDC-column evolution
+    step, scripts/01_prepare_cdc_columns:20-38), INSERT INTO ... SELECT
+    from a registered view, then read back through the catalog. Every
+    statement is catalog metadata plus one distributed write; nothing
+    here collects data to the driver."""
+    tune(spark)
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS ddl_rt_nation")
+    # explicit fresh LOCATION: the driver's session may have no
+    # warehouse override, and a default-location managed table would
+    # land in $PWD/spark-warehouse (repo litter) and accrete rows
+    # across executions
+    loc = tempfile.mkdtemp(prefix="ddl_rt_")
+    spark.sql(
+        f"""CREATE TABLE ddl_rt_nation (
+               n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+           ) USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql("ALTER TABLE ddl_rt_nation ADD COLUMNS (load_tag STRING)")
+    spark.sql(
+        """INSERT INTO ddl_rt_nation
+           SELECT n_nationkey, n_name, n_regionkey, 'batch1' AS load_tag
+           FROM nation_src"""
+    )
+    return spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey, load_tag FROM ddl_rt_nation"
+    )
+
+
+SQL_SQL_DDL_ROUNDTRIP = """
+SELECT n_nationkey, n_name, n_regionkey, 'batch1' AS load_tag FROM nation
+"""
+
+
 QUERIES = {
+    "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
 }
 
 ORACLE_SQL = {
+    "sql_ddl_roundtrip": SQL_SQL_DDL_ROUNDTRIP,
     "json_roundtrip": SQL_ROUNDTRIP,
     "csv_roundtrip": SQL_ROUNDTRIP,
     "orc_roundtrip": SQL_ROUNDTRIP,
