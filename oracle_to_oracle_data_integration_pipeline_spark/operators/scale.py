@@ -298,3 +298,39 @@ def bloom_prefilter(
     return probed.where(F.expr(" AND ".join(checks))).drop(
         "_bloom_words", *[f"_bloom_h{s}" for s in range(k_hashes)]
     )
+
+
+def join_size_exact(a: DataFrame, b: DataFrame, a_key: str, b_key: str) -> DataFrame:
+    """Exact equi-join output cardinality WITHOUT running the join:
+    Σ over keys of cntA(k)·cntB(k). Two map-side-combinable groupBys
+    plus a join on the (much smaller) key-count tables — at 100 TB
+    this is how you cost a join before choosing its strategy, not by
+    executing it. One row: (join_size)."""
+    ca = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    return ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_size")
+    )
+
+
+def join_size_sampled(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    rate_inv: int = 16,
+) -> DataFrame:
+    """Sampled estimate of the same quantity: hash-sample each side at
+    1/rate_inv with INDEPENDENT seeds (correlated samples would bias a
+    self-join), join the samples, scale by rate_inv². The samples are
+    deterministic (xxhash64 gates, no rand()), so the estimate replays
+    identically — the cheap pre-flight when even the key-count tables
+    are too big to join exactly. One row: (est_size)."""
+    sa = a.where(F.pmod(F.xxhash64(F.col(a_key).cast("long"), F.lit(11)), F.lit(rate_inv)) == 0)
+    sb = b.where(F.pmod(F.xxhash64(F.col(b_key).cast("long"), F.lit(23)), F.lit(rate_inv)) == 0)
+    joined = sa.select(F.col(a_key).alias("k")).join(
+        sb.select(F.col(b_key).alias("k")), "k"
+    )
+    return joined.agg(
+        (F.count(F.lit(1)) * F.lit(rate_inv * rate_inv)).cast("long").alias("est_size")
+    )

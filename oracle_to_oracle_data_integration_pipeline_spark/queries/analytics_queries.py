@@ -605,7 +605,48 @@ SELECT (SELECT count(*) FROM lineitem) AS n_total,
 """
 
 
+# -- qid: join_size_estimate -------------------------------------------
+
+JSE_RATE_INV = 4
+JSE_BOUND = 0.25
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality WITHOUT running the join — the planner-style
+    pre-flight for choosing a join strategy. Exact size via the
+    key-count moment (Σ cntA·cntB, the hash-compared payload) plus a
+    deterministic key-sampled estimate (independent hash gates, scaled
+    back up) that must land within ±25% — the sketch-verification
+    boolean, since the sampling hash is engine-specific. Subject: the
+    lineitem self-join on l_partkey (the Σn² co-occurrence explosion
+    this engine's dedup/co-occurrence ops must cost before running)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        join_size_exact,
+        join_size_sampled,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    ex = join_size_exact(li, li, "l_partkey", "l_partkey")
+    est = join_size_sampled(li, li, "l_partkey", "l_partkey", rate_inv=JSE_RATE_INV)
+    j = ex.crossJoin(est)
+    ok = (
+        F.abs(F.col("est_size") - F.col("join_size")).cast("double")
+        / F.col("join_size").cast("double")
+        <= F.lit(JSE_BOUND)
+    )
+    return j.select("join_size", ok.cast("int").alias("est_within_bound"))
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(n * n) AS BIGINT) AS join_size,
+       CAST(1 AS INT) AS est_within_bound
+FROM c
+"""
+
+
 QUERIES = {
+    "join_size_estimate": q_join_size_estimate,
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "histogram_fixed": q_histogram_fixed,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -624,6 +665,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
     "histogram_fixed": SQL_HISTOGRAM_FIXED,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,

@@ -214,3 +214,15 @@ def test_bfs_levels_path_graph(spark):
     assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
     shallow = {r["dist"]: r["n_nodes"] for r in bfs_levels(edges, "a", max_iters=2).collect()}
     assert shallow == {0: 1, 1: 1, 2: 1}
+
+
+def test_join_size_exact_matches_real_join(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        join_size_exact,
+    )
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    predicted = join_size_exact(a, b, "k", "k").collect()[0]["join_size"]
+    actual = a.join(b, "k").count()
+    assert predicted == actual == 4  # 2*1 (k=1) + 1*2 (k=2)
