@@ -79,7 +79,8 @@ _MODULES = [
 # robust_scale sql_interface time_weighted_avg counter_agg
 # state_durations minmax_downsample histogram_fixed fuzzy_dedup
 # window_percentiles minhash_estimate_audit bloom_fpr_audit
-# bfs_levels sql_ddl_roundtrip join_size_estimate), then
+# bfs_levels sql_ddl_roundtrip join_size_estimate
+# session_window_batch), then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
 # (r1-era rows: the cdc/relational front) back through so every qid's

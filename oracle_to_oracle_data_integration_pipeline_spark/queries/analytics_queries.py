@@ -645,7 +645,54 @@ FROM c
 """
 
 
+# -- qid: session_window_batch -----------------------------------------
+
+SESSION_GAP = "6 hours"
+SESSION_USERS = 30
+
+
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window in BATCH mode, cross-validated
+    against the gap-islands formulation (qid `sessionize` implements
+    the same semantics manually; the oracle here IS the islands SQL) —
+    two independent session constructions must agree session for
+    session. One shuffle on (user, session-window assignment)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < SESSION_USERS)
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_BATCH = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second',
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) >= 21600
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events WHERE user_id < {SESSION_USERS}
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
+    "session_window_batch": q_session_window_batch,
     "join_size_estimate": q_join_size_estimate,
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "histogram_fixed": q_histogram_fixed,
@@ -665,6 +712,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "session_window_batch": SQL_SESSION_WINDOW_BATCH,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
     "histogram_fixed": SQL_HISTOGRAM_FIXED,
