@@ -163,6 +163,35 @@ _VERIFY_FIRST = [
     "q18_large_orders",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    # round-3 late additions (after the round-3 window was laid out):
+    # behind the owed list, ahead of long-verified r1-era greens, so a
+    # wider-than-expected driver window reaches them first
+    "rolling_median",
+    "regression_per_key",
+    "mad_outliers",
+    "chi2_independence",
+    "part_cooccurrence",
+    "bigram_freq",
+    "char_entropy",
+    "bloom_join",
+    "embed_normalize",
+    "triangle_count",
+    "bpe_train",
+    "robust_scale",
+    "sql_interface",
+    "time_weighted_avg",
+    "counter_agg",
+    "state_durations",
+    "minmax_downsample",
+    "histogram_fixed",
+    "fuzzy_dedup",
+    "window_percentiles",
+    "minhash_estimate_audit",
+    "bloom_fpr_audit",
+    "bfs_levels",
+    "sql_ddl_roundtrip",
+    "join_size_estimate",
+    "session_window_batch",
 ]
 
 
