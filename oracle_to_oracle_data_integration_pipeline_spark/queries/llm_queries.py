@@ -9,7 +9,7 @@ so both engines compute over identical intermediate sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
@@ -192,6 +192,61 @@ reach AS (
   SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
 )
 SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id
+"""
+
+
+# -- qid: neardup_resolve (end-to-end dedup: pairs -> groups -> reps) --
+
+def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole near-dup pipeline as one action list: MinHash-LSH
+    pairs (scale path) → transitive components → keep-best
+    representative per duplicate group (longest text, doc_id
+    tiebreak). Emits one row per multi-member group: the doc to keep,
+    the docs-to-drop count, and the group label — exactly what a
+    curation job applies as an anti-join. Everything after the LSH
+    pairs runs on the (tiny) component table; the rep selection is one
+    window over group members."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+    comps = connected_components(pairs, "d1", "d2", nodes=docs, id_col="doc_id")
+    sized = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = sized.withColumn("_rn", F.row_number().over(w))
+    groups = (
+        ranked.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+        )
+        .where(F.col("n_members") >= 2)
+        .select("comp", "rep_doc_id", (F.col("n_members") - 1).alias("n_dropped"))
+    )
+    return groups
+
+
+SQL_NEARDUP_RESOLVE = f"""
+WITH RECURSIVE {SHINGLE_SQL},
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id),
+sized AS (
+  SELECT c.comp, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comps c JOIN documents d USING (doc_id)
+)
+SELECT comp, max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+       count(*) - 1 AS n_dropped
+FROM sized GROUP BY comp HAVING count(*) >= 2
 """
 
 
@@ -461,6 +516,7 @@ QUERIES = {
     "minhash_estimate_audit": q_minhash_estimate_audit,
     "minhash_dedup": q_minhash_dedup,
     "dedup_components": q_dedup_components,
+    "neardup_resolve": q_neardup_resolve,
     "simhash_neardup": q_simhash_neardup,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -478,6 +534,7 @@ ORACLE_SQL = {
     "minhash_estimate_audit": SQL_MINHASH_ESTIMATE_AUDIT,
     "minhash_dedup": SQL_JACCARD_PAIRS,  # LSH must reproduce the exact pairs
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "neardup_resolve": SQL_NEARDUP_RESOLVE,
     "text_stats": SQL_TEXT_STATS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
