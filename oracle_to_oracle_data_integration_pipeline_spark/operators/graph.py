@@ -173,13 +173,15 @@ def bfs_levels(
     every round reuses that partitioning.
     """
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], f"{src} string, dist int").select(
-        F.col(src).alias("node"), "dist"
-    )
+    # project to collision-proof internal names up front: a caller's
+    # extra columns (e.g. a weight named 'dist' or 'node') must not
+    # collide with the frontier table's
+    e = edges.select(F.col(src).alias("_bfs_src"), F.col(dst).alias("_bfs_dst"))
+    dist = spark.createDataFrame([(source, 0)], "node string, dist int")
     for _ in range(max_iters):
         expanded = (
-            edges.join(dist, edges[src] == dist["node"])
-            .select(F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist"))
+            e.join(dist, e["_bfs_src"] == dist["node"])
+            .select(F.col("_bfs_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .unionByName(dist)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))

@@ -326,8 +326,11 @@ def join_size_sampled(
     deterministic (xxhash64 gates, no rand()), so the estimate replays
     identically — the cheap pre-flight when even the key-count tables
     are too big to join exactly. One row: (est_size)."""
-    sa = a.where(F.pmod(F.xxhash64(F.col(a_key).cast("long"), F.lit(11)), F.lit(rate_inv)) == 0)
-    sb = b.where(F.pmod(F.xxhash64(F.col(b_key).cast("long"), F.lit(23)), F.lit(rate_inv)) == 0)
+    # hash the key as-is: xxhash64 takes any type, and casting (e.g. a
+    # string key to long) would hash NULL for every row, collapsing the
+    # gate to all-or-nothing
+    sa = a.where(F.pmod(F.xxhash64(F.col(a_key), F.lit(11)), F.lit(rate_inv)) == 0)
+    sb = b.where(F.pmod(F.xxhash64(F.col(b_key), F.lit(23)), F.lit(rate_inv)) == 0)
     joined = sa.select(F.col(a_key).alias("k")).join(
         sb.select(F.col(b_key).alias("k")), "k"
     )

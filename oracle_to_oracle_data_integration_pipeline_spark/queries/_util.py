@@ -21,6 +21,11 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Single source for the sessionization gap: q_sessionize
+# (llm_queries2), session_window_batch (analytics_queries), and both
+# oracles' second-granular literals derive from this.
+SESSION_GAP_S = 6 * 3600
+
 TABLES = [
     "customer",
     "documents",

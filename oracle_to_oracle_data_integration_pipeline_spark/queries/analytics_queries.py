@@ -647,7 +647,9 @@ FROM c
 
 # -- qid: session_window_batch -----------------------------------------
 
-SESSION_GAP = "6 hours"
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import SESSION_GAP_S
+
+SESSION_GAP = f"{SESSION_GAP_S} seconds"
 SESSION_USERS = 30
 
 
@@ -656,8 +658,15 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the gap-islands formulation (qid `sessionize` implements
     the same semantics manually; the oracle here IS the islands SQL) —
     two independent session constructions must agree session for
-    session. One shuffle on (user, session-window assignment)."""
+    session. One shuffle on (user, session-window assignment).
+
+    ts is truncated to whole seconds first: session_window splits on
+    the exact microsecond gap while the oracle's date_diff('second')
+    counts second boundaries; truncation makes both sides split on
+    identical whole-second arithmetic (same convention as sessionize's
+    epoch_seconds)."""
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < SESSION_USERS)
+    ev = ev.withColumn("ts", F.date_trunc("second", F.col("ts")))
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -675,7 +684,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR date_diff('second',
                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                ts) >= 21600
+                                ts) >= {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s,
          event_id
   FROM events WHERE user_id < {SESSION_USERS}
@@ -686,7 +695,7 @@ islands AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
-SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+SELECT user_id, date_trunc('second', min(ts)) AS session_start, count(*) AS n_events
 FROM islands GROUP BY user_id, sid
 """
 

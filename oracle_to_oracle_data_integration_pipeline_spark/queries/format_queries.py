@@ -9,6 +9,7 @@ format so both engines agree on the wire representation.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+_DDL_RT_LAST_LOC: str | None = None
+
+
 # -- qid: sql_ddl_roundtrip -------------------------------------------
 
 def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,8 +87,14 @@ def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit fresh LOCATION: the driver's session may have no
     # warehouse override, and a default-location managed table would
     # land in $PWD/spark-warehouse (repo litter) and accrete rows
-    # across executions
+    # across executions. The PREVIOUS run's dir is removed here (its
+    # table was just dropped; the current run's files must outlive
+    # this function for the caller's lazy collect).
+    global _DDL_RT_LAST_LOC
+    if _DDL_RT_LAST_LOC:
+        shutil.rmtree(_DDL_RT_LAST_LOC, ignore_errors=True)
     loc = tempfile.mkdtemp(prefix="ddl_rt_")
+    _DDL_RT_LAST_LOC = loc
     spark.sql(
         f"""CREATE TABLE ddl_rt_nation (
                n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT

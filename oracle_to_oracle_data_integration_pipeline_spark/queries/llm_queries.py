@@ -178,8 +178,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "d1", "d2", nodes=docs, id_col="doc_id")
 
 
-SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE {SHINGLE_SQL},
+# Shared recursive-CTE chain: shingles -> threshold pairs -> symmetric
+# edges -> transitive reach -> min-label components. Single source for
+# SQL_DEDUP_COMPONENTS and SQL_NEARDUP_RESOLVE so the Jaccard
+# predicate / recursion can never silently diverge between them.
+COMPONENTS_SQL = f"""{SHINGLE_SQL.rstrip()},
 pairs AS (
   SELECT d1, d2
   FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
@@ -190,8 +193,13 @@ reach AS (
   SELECT doc_id AS id, doc_id AS comp FROM documents
   UNION
   SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
-)
-SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id
+),
+comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id)
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {COMPONENTS_SQL}
+SELECT doc_id, comp FROM comps
 """
 
 
@@ -225,19 +233,7 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NEARDUP_RESOLVE = f"""
-WITH RECURSIVE {SHINGLE_SQL},
-pairs AS (
-  SELECT d1, d2
-  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
-),
-edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-reach AS (
-  SELECT doc_id AS id, doc_id AS comp FROM documents
-  UNION
-  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
-),
-comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id),
+WITH RECURSIVE {COMPONENTS_SQL},
 sized AS (
   SELECT c.comp, c.doc_id, d.n_chars,
          row_number() OVER (PARTITION BY c.comp

@@ -30,7 +30,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
     token_count_col,
     tokens_col,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import epoch_seconds, load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import SESSION_GAP_S, epoch_seconds, load
 
 
 # -- qid: dedup_keep_best ---------------------------------------------
@@ -222,7 +222,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_sec = epoch_seconds(F.col("ts"))
     gap = ts_sec - F.lag(ts_sec, 1).over(w)
-    new_s = F.when(gap.isNull() | (gap >= 6 * 3600), 1).otherwise(0)
+    new_s = F.when(gap.isNull() | (gap >= SESSION_GAP_S), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -234,14 +234,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSIONIZE = """
+SQL_SESSIONIZE = f"""
 SELECT user_id, event_id, ts,
        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 21600
+                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s
   FROM events WHERE user_id < 30
 )

@@ -226,3 +226,28 @@ def test_join_size_exact_matches_real_join(spark):
     predicted = join_size_exact(a, b, "k", "k").collect()[0]["join_size"]
     actual = a.join(b, "k").count()
     assert predicted == actual == 4  # 2*1 (k=1) + 1*2 (k=2)
+
+
+def test_join_size_sampled_string_keys_not_degenerate(spark):
+    # rate_inv=1 keeps every row: the estimate must equal the exact
+    # size even for string keys (a long-cast would hash NULL for all)
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        join_size_exact,
+        join_size_sampled,
+    )
+
+    a = spark.createDataFrame([(f"key_{i}",) for i in range(50)], "k string")
+    ex = join_size_exact(a, a, "k", "k").collect()[0]["join_size"]
+    est = join_size_sampled(a, a, "k", "k", rate_inv=1).collect()[0]["est_size"]
+    assert ex == est == 50
+
+
+def test_bfs_levels_tolerates_colliding_column_names(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9, "x"), ("b", "c", 9, "x")],
+        "src string, dst string, dist int, node string",
+    )
+    out = {r["dist"]: r["n_nodes"] for r in bfs_levels(edges, "a", max_iters=3).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
