@@ -390,3 +390,55 @@ def dedup_incremental(
             "left_anti",
         ).drop("__h__")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-BERT /
+    T5 alpha-sampling recipe at alpha = 0.5): target share
+    p_s ∝ √n_s, materialized at the largest size needing no
+    upsampling. The whole schedule collapses algebraically to
+    keep-rate_s = √(n_min / n_s) — the smallest source is kept whole
+    and every larger source is downsampled by the square-root ratio,
+    flattening the size distribution exactly like temperature 0.5.
+
+    alpha is fixed at 0.5 deliberately: IEEE 754 requires sqrt to be
+    correctly rounded, so the ppm rates are bit-identical in any
+    engine; a general alpha would route through pow(), whose libm
+    rounding is not portable. Per-source counts are one tiny groupBy;
+    the keep decision is the same map-side md5-ppm gate as
+    :func:`mixture_sample`.
+
+    Output: one summary row per source
+    (source, n_docs, rate_ppm, n_kept).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        F.col("n").alias("n_docs"),
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("n").cast("double"))
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    kept = (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_ppm_col(F.col(id_col)) < F.col("rate_ppm"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

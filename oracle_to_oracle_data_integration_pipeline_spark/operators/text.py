@@ -306,3 +306,48 @@ def bpe_train(df: DataFrame, text: str = "text", n_merges: int = 5) -> DataFrame
     return df.sparkSession.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Tokenize with learned BPE merges (the inference half of
+    :func:`bpe_train`): per-document word and BPE-token counts.
+
+    Scale shape: the merges are applied to the distinct word VOCABULARY
+    (same pipe-anchored replaces as training), which then broadcasts
+    back over the exploded corpus — the corpus is touched once and the
+    chained-replace work is O(|vocab|·|merges|), not O(corpus). Words
+    outside the training alphabet ([a-z0-9]+) are excluded on both
+    train and apply, keeping the two phases consistent.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text)), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .distinct()
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    s = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+    for lhs, rhs in merges:
+        s = F.replace(s, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+    vocab = (
+        words.withColumn("_enc", s)
+        .select(
+            "w",
+            F.size(F.expr("filter(split(_enc, '\\\\|'), x -> x != '')")).alias("nt"),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text)), " ")).alias("w")
+    ).where(F.col("w").rlike("^[a-z0-9]+$"))
+    return (
+        exploded.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )

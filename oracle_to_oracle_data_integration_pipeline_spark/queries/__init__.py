@@ -80,7 +80,8 @@ _MODULES = [
 # state_durations minmax_downsample histogram_fixed fuzzy_dedup
 # window_percentiles minhash_estimate_audit bloom_fpr_audit
 # bfs_levels sql_ddl_roundtrip join_size_estimate
-# session_window_batch neardup_resolve), then
+# session_window_batch neardup_resolve bpe_encode
+# mixture_temperature), then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
 # (r1-era rows: the cdc/relational front) back through so every qid's
@@ -193,6 +194,8 @@ _VERIFY_FIRST = [
     "join_size_estimate",
     "session_window_batch",
     "neardup_resolve",
+    "bpe_encode",
+    "mixture_temperature",
 ]
 
 

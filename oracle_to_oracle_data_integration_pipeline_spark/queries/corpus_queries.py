@@ -153,19 +153,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_l(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES)
 
 
-def _bpe_sql() -> str:
-    """Unrolled DuckDB twin: each round recomputes pair counts over the
-    (tiny) vocabulary and applies the argmax merge with the same
-    pipe-anchored replace. Mirrors operators/text.py::bpe_train token
-    for token — same encode, same tiebreak (count desc, pair asc)."""
-    blocks = ["""
+def _bpe_chain(carry_word: bool) -> str:
+    """The unrolled merge-learning CTE chain shared by the train and
+    encode oracles: each round recomputes pair counts over the (tiny)
+    vocabulary and applies the argmax merge with the same pipe-anchored
+    replace. Mirrors operators/text.py::bpe_train token for token —
+    same encode, same tiebreak (count desc, pair asc). ``carry_word``
+    threads the source word through every v{r} so the encode oracle can
+    join the fully-merged vocabulary back onto the corpus.
+    """
+    wcol = "w, " if carry_word else ""
+    blocks = [f"""
 WITH words AS (
   SELECT w, count(*) AS freq FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
   ) WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w
 ),
 v0 AS (
-  SELECT freq,
+  SELECT {wcol}freq,
          '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
   FROM words
 )"""]
@@ -183,13 +188,18 @@ p{r} AS (
 ),
 b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT freq,
+  SELECT {wcol}freq,
          replace(s,
                  '|' || split_part(b.pair, ' ', 1) || '||'
                      || split_part(b.pair, ' ', 2) || '|',
                  '|' || replace(b.pair, ' ', '') || '|') AS s
   FROM v{r - 1}, b{r} b
 )""")
+    return "".join(blocks)
+
+
+def _bpe_sql() -> str:
+    blocks = [_bpe_chain(carry_word=False)]
     selects = [
         f"SELECT {r} AS merge_rank, split_part(pair, ' ', 1) AS lhs, "
         f"split_part(pair, ' ', 2) AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
@@ -202,11 +212,53 @@ v{r} AS (
 SQL_BPE_TRAIN = _bpe_sql()
 
 
+# -- qid: bpe_encode ---------------------------------------------------
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference half of the tokenizer story: learn the 5 merges
+    (control-plane, tiny), apply them to the distinct word vocabulary,
+    broadcast the (word → token count) table over the corpus, and
+    return per-doc word/BPE-token counts."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load as _l
+
+    docs = _l(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, "text", n_merges=BPE_MERGES).collect()
+    ]
+    return bpe_apply(docs, merges)
+
+
+def _bpe_encode_sql() -> str:
+    return _bpe_chain(carry_word=True) + f""",
+vt AS (
+  SELECT w, len(list_filter(string_split(s, '|'), x -> x != '')) AS nt
+  FROM v{BPE_MERGES}
+),
+ft AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_full_match(w, '[a-z0-9]+')
+)
+SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+FROM ft JOIN vt USING (w) GROUP BY doc_id
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_sql()
+
+
 QUERIES = {
     "source_divergence": q_source_divergence,
     "vocab_build": q_vocab_build,
     "winsorize": q_winsorize,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLE_SQL = {
@@ -214,4 +266,5 @@ ORACLE_SQL = {
     "vocab_build": SQL_VOCAB_BUILD,
     "winsorize": SQL_WINSORIZE,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

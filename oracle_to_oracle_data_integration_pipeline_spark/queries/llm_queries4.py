@@ -150,6 +150,42 @@ WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1
 """
 
 
+# -- qid: mixture_temperature -----------------------------------------
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source rebalancing: keep-rate √(n_min/n_s) per
+    source (the T5/mBERT alpha-sampling schedule at the largest size
+    needing no upsampling), applied via the deterministic md5-ppm
+    gate. One summary row per source."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    return mixture_temperature(load(spark, sf_dir, "documents"))
+
+
+SQL_MIXTURE_TEMPERATURE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (
+  SELECT source, n AS n_docs,
+         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS rate_ppm
+  FROM c, m
+),
+k AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 1000000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.rate_ppm,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.source = k.source
+"""
+
+
 # -- qid: budget_select -----------------------------------------------
 
 SELECT_BUDGET = 8000
@@ -280,6 +316,7 @@ QUERIES = {
     "minhash_incremental": q_minhash_incremental,
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
+    "mixture_temperature": q_mixture_temperature,
     "budget_select": q_budget_select,
     "dedup_incremental": q_dedup_incremental,
 }
@@ -289,6 +326,7 @@ ORACLE_SQL = {
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     "budget_select": SQL_BUDGET_SELECT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

@@ -251,3 +251,27 @@ def test_bfs_levels_tolerates_colliding_column_names(spark):
     )
     out = {r["dist"]: r["n_nodes"] for r in bfs_levels(edges, "a", max_iters=3).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_mixture_temperature_rates_and_smallest_kept_whole(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    rows = [(i, "small") for i in range(100)] + [(1000 + i, "big") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in mixture_temperature(df).collect()}
+    assert out["small"]["rate_ppm"] == 1_000_000
+    assert out["small"]["n_kept"] == 100          # smallest source kept whole
+    assert out["big"]["rate_ppm"] == 500_000      # sqrt(100/400) = 0.5
+    assert 0 < out["big"]["n_kept"] < 400
+
+
+def test_bpe_apply_counts_with_known_merges(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "aaab ab")], "doc_id int, text string")
+    r = bpe_apply(df, [("a", "a"), ("a", "b")]).collect()[0]
+    # aaab -> |aa||a||b| -> |aa||ab| (2 tokens); ab -> |ab| (1 token)
+    assert r["n_words"] == 2
+    assert r["n_bpe_tokens"] == 3
