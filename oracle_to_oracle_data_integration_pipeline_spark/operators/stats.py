@@ -296,3 +296,59 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation extraction: top-k bigrams by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)·p(b))) — the classic "these
+    words belong together" signal for phrase mining / tokenizer vocab
+    seeding. Unigram and bigram counting are each one combinable
+    shuffle; the PMI join is keyed by token (the unigram table), and
+    the one-row totals broadcast. ``min_count`` filters the unstable
+    low-frequency tail before scoring; ranking uses the portably
+    rounded PMI so ordering can't straddle a ulp.
+    """
+    toks = F.split(F.lower(F.col(text)), " ")
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_tot = uni.agg(F.sum("c").cast("long").alias("t_tot"))
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1), "
+        "slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    bc = (
+        df.withColumn("_toks", toks)
+        .where(F.size("_toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    b_tot = bc.agg(F.sum("cb").cast("long").alias("b_tot"))
+    parts = bc.where(F.col("cb") >= min_count).withColumn(
+        "tok_a", F.split(F.col("bigram"), " ")[0]
+    ).withColumn("tok_b", F.split(F.col("bigram"), " ")[1])
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cbb"))
+    scored = (
+        parts.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    p_ab = F.col("cb").cast("double") / F.col("b_tot").cast("double")
+    p_a = F.col("ca").cast("double") / F.col("t_tot").cast("double")
+    p_b = F.col("cbb").cast("double") / F.col("t_tot").cast("double")
+    pmi = pround(F.log(p_ab / (p_a * p_b)), 6)
+    return (
+        scored.select("bigram", F.col("cb").alias("n"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(top_k)
+    )

@@ -81,7 +81,7 @@ _MODULES = [
 # window_percentiles minhash_estimate_audit bloom_fpr_audit
 # bfs_levels sql_ddl_roundtrip join_size_estimate
 # session_window_batch neardup_resolve bpe_encode
-# mixture_temperature), then
+# mixture_temperature pmi_bigrams), then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
 # (r1-era rows: the cdc/relational front) back through so every qid's
@@ -196,6 +196,7 @@ _VERIFY_FIRST = [
     "neardup_resolve",
     "bpe_encode",
     "mixture_temperature",
+    "pmi_bigrams",
 ]
 
 

@@ -700,7 +700,56 @@ FROM islands GROUP BY user_id, sid
 """
 
 
+# -- qid: pmi_bigrams --------------------------------------------------
+
+PMI_MIN_COUNT = 3
+PMI_K = 20
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over the
+    corpus — phrase mining for tokenizer vocab seeding."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import pmi_bigrams
+
+    return pmi_bigrams(
+        load(spark, sf_dir, "documents"), "text", PMI_MIN_COUNT, PMI_K
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+uc AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok
+),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_tot FROM uc),
+bc AS (
+  SELECT bigram, count(*) AS cb FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM t WHERE len(tk) >= 2
+  ) GROUP BY bigram
+),
+bt AS (SELECT CAST(sum(cb) AS BIGINT) AS b_tot FROM bc),
+scored AS (
+  SELECT bigram, cb,
+         floor(ln((CAST(cb AS DOUBLE) / b_tot)
+                  / ((CAST(a.c AS DOUBLE) / t_tot)
+                     * (CAST(b.c AS DOUBLE) / t_tot)))
+               * 1000000.0 + 0.5) / 1000000.0 AS pmi
+  FROM bc
+  JOIN uc a ON a.tok = split_part(bigram, ' ', 1)
+  JOIN uc b ON b.tok = split_part(bigram, ' ', 2)
+  CROSS JOIN tt CROSS JOIN bt
+  WHERE cb >= {PMI_MIN_COUNT}
+)
+SELECT bigram, cb AS n, pmi FROM scored
+ORDER BY pmi DESC, bigram LIMIT {PMI_K}
+"""
+
+
 QUERIES = {
+    "pmi_bigrams": q_pmi_bigrams,
     "session_window_batch": q_session_window_batch,
     "join_size_estimate": q_join_size_estimate,
     "bloom_fpr_audit": q_bloom_fpr_audit,
@@ -721,6 +770,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     "session_window_batch": SQL_SESSION_WINDOW_BATCH,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,

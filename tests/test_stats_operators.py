@@ -275,3 +275,17 @@ def test_bpe_apply_counts_with_known_merges(spark):
     # aaab -> |aa||a||b| -> |aa||ab| (2 tokens); ab -> |ab| (1 token)
     assert r["n_words"] == 2
     assert r["n_bpe_tokens"] == 3
+
+
+def test_pmi_ranks_collocation_above_independent_pair(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import pmi_bigrams
+
+    # 'new york' always co-occurs; 'a the' pairs two tokens that each
+    # appear in many unrelated contexts -> PMI(new york) must be
+    # strictly higher even though 'a the' is more frequent overall
+    docs = [("new york " * 4).strip()] * 3 + ["the a the b the c a the d a e"] * 3
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    rows = pmi_bigrams(df, "text", min_count=3, top_k=10).collect()
+    pmis = {r["bigram"]: r["pmi"] for r in rows}
+    assert pmis["new york"] > pmis["a the"]
+    assert all(r["n"] >= 3 for r in rows)  # min_count respected
