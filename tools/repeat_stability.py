@@ -37,6 +37,8 @@ DEFAULT_QIDS = [
     "bpe_train",
     "bloom_join",
     "cdc_merge",
+    "bpe_encode",
+    "neardup_resolve",
 ]
 
 
