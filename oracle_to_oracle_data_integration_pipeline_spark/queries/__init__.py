@@ -81,7 +81,8 @@ _MODULES = [
 # window_percentiles minhash_estimate_audit bloom_fpr_audit
 # bfs_levels sql_ddl_roundtrip join_size_estimate
 # session_window_batch neardup_resolve bpe_encode
-# mixture_temperature pmi_bigrams), then
+# mixture_temperature pmi_bigrams langid_confusion catalog_columns),
+# then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
 # (r1-era rows: the cdc/relational front) back through so every qid's
@@ -197,6 +198,8 @@ _VERIFY_FIRST = [
     "bpe_encode",
     "mixture_temperature",
     "pmi_bigrams",
+    "langid_confusion",
+    "catalog_columns",
 ]
 
 

@@ -89,6 +89,54 @@ SELECT * FROM (VALUES
 """
 
 
+# -- qid: catalog_columns (S4: per-table column discovery) ------------
+
+def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level catalog discovery — the Spark twin of the
+    reference's get_table_columns (utils/database.py: all_tab_columns
+    query): every fixture table's (column, ordinal, type). The oracle
+    reads DuckDB's information_schema over the same registered views,
+    so the two engines' type systems are compared head-on via a
+    normalizing map (INTEGER->int, VARCHAR->string, FLOAT[]->
+    array<float>, ...)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+        TABLES,
+        load,
+    )
+
+    rows = []
+    for t in sorted(TABLES):
+        for i, (c, dt) in enumerate(load(spark, sf_dir, t).dtypes, start=1):
+            # Spark 4 reads parquet timestamps as TIMESTAMP_NTZ; the
+            # engine pins the session to UTC (queries/_util.tune) and
+            # treats them as instants, so the catalog reports the
+            # logical type — matching DuckDB's TIMESTAMP
+            rows.append((t, c, i, "timestamp" if dt == "timestamp_ntz" else dt))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int, data_type string"
+    )
+
+
+SQL_CATALOG_COLUMNS = """
+SELECT table_name, column_name,
+       CAST(ordinal_position AS INT) AS ordinal,
+       CASE data_type
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'TIMESTAMP' THEN 'timestamp'
+         WHEN 'FLOAT[]' THEN 'array<float>'
+         WHEN 'DOUBLE[]' THEN 'array<double>'
+         ELSE lower(data_type)
+       END AS data_type
+FROM information_schema.columns
+WHERE table_name IN ('customer','documents','embeddings','events','lineitem',
+                     'nation','orders','part','region','supplier')
+"""
+
+
 # -- qid: topo_order (O2: FK-aware load order) ------------------------
 
 def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +207,7 @@ QUERIES = {
     "project_order": q_project_order,
     "order_by": q_order_by,
     "catalog_tables": q_catalog_tables,
+    "catalog_columns": q_catalog_columns,
     "topo_order": q_topo_order,
     "empty_clone": q_empty_clone,
     "schema_clone": q_schema_clone,
@@ -169,6 +218,7 @@ ORACLE_SQL = {
     "project_order": SQL_PROJECT_ORDER,
     "order_by": SQL_ORDER_BY,
     "catalog_tables": SQL_CATALOG_TABLES,
+    "catalog_columns": SQL_CATALOG_COLUMNS,
     "topo_order": SQL_TOPO_ORDER,
     "empty_clone": SQL_EMPTY_CLONE,
     "schema_clone": SQL_SCHEMA_CLONE,

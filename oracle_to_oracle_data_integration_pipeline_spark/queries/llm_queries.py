@@ -352,6 +352,26 @@ FROM toks
 """
 
 
+# -- qid: langid_confusion --------------------------------------------
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation step for the language-ID heuristic: confusion
+    matrix of predicted vs fixture-labeled language. One groupBy over
+    the scored corpus — the eval pattern every classifier-backed
+    curation filter needs before it gates data."""
+    pred = lang_id(load(spark, sf_dir, "documents"))
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_ID})
+SELECT labeled_lang, predicted_lang, count(*) AS n
+FROM pred GROUP BY labeled_lang, predicted_lang
+"""
+
+
 # -- qid: doc_fingerprint ---------------------------------------------
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +537,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "langid_confusion": q_langid_confusion,
     "doc_fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "embed_neardup": q_embed_neardup,
@@ -534,6 +555,7 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "doc_fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_TOPK_LSH,
