@@ -352,3 +352,69 @@ def pmi_bigrams(
         .orderBy(F.desc("pmi"), "bigram")
         .limit(top_k)
     )
+
+
+def ab_test_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    event_type_col: str = "event_type",
+    conversion_event: str = "purchase",
+) -> DataFrame:
+    """Two-proportion A/B analysis over a deterministic 50/50 user
+    split: assign each user an arm by md5 bucket (stable under reruns
+    and engines — never rand()), measure per-arm conversion (did the
+    user ever fire the conversion event), and report the lift and the
+    pooled two-proportion z statistic.
+
+    One user-keyed aggregation builds the (user, arm, converted)
+    table; the final statistic reduces #users rows. All arithmetic
+    after the counts is scalar double math on exact integers (sqrt is
+    IEEE-exact), portably rounded.
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+
+    users = (
+        events.groupBy(user_col)
+        .agg(
+            F.max(
+                F.when(F.col(event_type_col) == conversion_event, 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", hash_bucket_col(F.col(user_col), 2))
+    )
+    per_arm = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a = per_arm.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_arm.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        pround(pa, 6).alias("rate_a"),
+        pround(pb, 6).alias("rate_b"),
+        pround(pa - pb, 6).alias("lift"),
+        F.when(se > 0, pround((pa - pb) / se, 6)).alias("z_score"),
+    )

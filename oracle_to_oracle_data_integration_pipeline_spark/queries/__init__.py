@@ -81,7 +81,8 @@ _MODULES = [
 # window_percentiles minhash_estimate_audit bloom_fpr_audit
 # bfs_levels sql_ddl_roundtrip join_size_estimate
 # session_window_batch neardup_resolve bpe_encode
-# mixture_temperature pmi_bigrams langid_confusion catalog_columns),
+# mixture_temperature pmi_bigrams langid_confusion catalog_columns
+# ab_test_lift),
 # then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
@@ -200,6 +201,7 @@ _VERIFY_FIRST = [
     "pmi_bigrams",
     "langid_confusion",
     "catalog_columns",
+    "ab_test_lift",
 ]
 
 

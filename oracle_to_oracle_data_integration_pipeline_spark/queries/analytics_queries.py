@@ -748,7 +748,56 @@ ORDER BY pmi DESC, bigram LIMIT {PMI_K}
 """
 
 
+# -- qid: ab_test_lift -------------------------------------------------
+
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout over a deterministic md5 user split:
+    per-arm purchase conversion, lift, pooled z — the experimentation
+    primitive on the events stream."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import ab_test_lift
+
+    return ab_test_lift(load(spark, sf_dir, "events"))
+
+
+SQL_AB_TEST_LIFT = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2
+           AS arm
+  FROM events GROUP BY user_id
+),
+per AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM users GROUP BY arm
+),
+j AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM (SELECT n, conv FROM per WHERE arm = 0) a,
+       (SELECT n, conv FROM per WHERE arm = 1) b
+),
+c AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a AS pa,
+         CAST(conv_b AS DOUBLE) / n_b AS pb,
+         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+  FROM j
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       floor(pa * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+       floor(pb * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+       floor((pa - pb) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+       CASE WHEN sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN floor((pa - pb)
+                       / sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS z_score
+FROM c
+"""
+
+
 QUERIES = {
+    "ab_test_lift": q_ab_test_lift,
     "pmi_bigrams": q_pmi_bigrams,
     "session_window_batch": q_session_window_batch,
     "join_size_estimate": q_join_size_estimate,
@@ -770,6 +819,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ab_test_lift": SQL_AB_TEST_LIFT,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "session_window_batch": SQL_SESSION_WINDOW_BATCH,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,

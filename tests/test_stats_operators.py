@@ -289,3 +289,28 @@ def test_pmi_ranks_collocation_above_independent_pair(spark):
     pmis = {r["bigram"]: r["pmi"] for r in rows}
     assert pmis["new york"] > pmis["a the"]
     assert all(r["n"] >= 3 for r in rows)  # min_count respected
+
+
+def test_ab_test_lift_known_rates(spark):
+    import datetime as dt
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import ab_test_lift
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+    from pyspark.sql import functions as F2
+
+    # construct events so every arm-0 user converts and no arm-1 user does
+    ids = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+    arms = {r["user_id"]: r["arm"] for r in ids.select(
+        "user_id", hash_bucket_col(F2.col("user_id"), 2).alias("arm")).collect()}
+    rows = [
+        (u, "purchase" if arms[u] == 0 else "view", dt.datetime(2024, 1, 1))
+        for u in arms
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = ab_test_lift(ev).collect()[0]
+    assert r["n_a"] + r["n_b"] == 200
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 0.0
+    assert r["lift"] == 1.0
+    assert r["z_score"] > 10  # perfectly separated arms
