@@ -43,6 +43,10 @@ SHOW = [
     ("part_cooccurrence", "self-join keyed on the basket id (cost Σdegree², not corpus²), distributed TakeOrderedAndProject top-k"),
     ("regression_per_key", "OLS from aggregated moments: map-side-combinable agg + broadcast re-base join, points never collected"),
     ("char_entropy", "chars explode map-side with partial aggregation before either exchange; both exchanges carry only post-agg rows, no sort/window anywhere"),
+    ("pmi_bigrams", "unigram/bigram counting shuffles + token-keyed PMI join; one-row totals broadcast, TakeOrderedAndProject top-k"),
+    ("mixture_temperature", "per-source counts once; sqrt-rate table broadcast back, keep decision entirely map-side"),
+    ("time_weighted_avg", "lead window and per-key reduction share a single user_id exchange"),
+    ("ab_test_lift", "user-keyed conversion agg, two-row arm table, scalar statistic - no corpus-sized shuffle after the first agg"),
 ]
 
 
