@@ -796,7 +796,72 @@ FROM c
 """
 
 
+# -- qid: funnel_time_window -------------------------------------------
+
+FUNNEL_WINDOW_H = 24
+
+
+def q_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: of users whose first event of type
+    'signup' exists, how many purchased within 24 hours of it? The
+    unconstrained funnel (events_funnel) ignores time; this is the
+    product-metric variant. Anchor timestamps are one user-keyed agg;
+    the conversion probe joins purchases back on the same key."""
+    ev = load(spark, sf_dir, "events")
+    anchors = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        purchases.join(anchors, "user_id")
+        .where(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (
+                F.col("ts")
+                <= F.col("signup_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+            )
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_anchor = anchors.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    n_conv = converted.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    return n_anchor.crossJoin(n_conv).select(
+        "n_signup_users",
+        "n_converted",
+        pround(
+            F.col("n_converted").cast("double") / F.col("n_signup_users").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+SQL_FUNNEL_TIME_WINDOW = f"""
+WITH anchors AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN anchors a ON e.user_id = a.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= a.signup_ts
+    AND e.ts <= a.signup_ts + INTERVAL {FUNNEL_WINDOW_H} HOURS
+)
+SELECT (SELECT count(*) FROM anchors) AS n_signup_users,
+       CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+       floor(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / (SELECT count(*) FROM anchors) * 1000000.0 + 0.5) / 1000000.0
+         AS conversion_rate
+"""
+
+
 QUERIES = {
+    "funnel_time_window": q_funnel_time_window,
     "ab_test_lift": q_ab_test_lift,
     "pmi_bigrams": q_pmi_bigrams,
     "session_window_batch": q_session_window_batch,
@@ -819,6 +884,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "funnel_time_window": SQL_FUNNEL_TIME_WINDOW,
     "ab_test_lift": SQL_AB_TEST_LIFT,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "session_window_batch": SQL_SESSION_WINDOW_BATCH,
