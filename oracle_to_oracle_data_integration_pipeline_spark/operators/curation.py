@@ -235,6 +235,16 @@ def mixture_sample(
             ).alias("rate_ppm"),
         )
     )
+    return _apply_ppm_gate(df, rates, source_col, id_col)
+
+
+def _apply_ppm_gate(
+    df: DataFrame, rates: DataFrame, source_col: str, id_col: str
+) -> DataFrame:
+    """Shared keep-decision for the mixture operators: broadcast the
+    tiny per-source rate table and gate each row by its md5-ppm bucket.
+    One place, so the two mixture schedules can never diverge on HOW
+    a rate is applied."""
     return (
         df.join(F.broadcast(rates), source_col)
         .filter(_ppm_col(F.col(id_col)) < F.col("rate_ppm"))
@@ -428,8 +438,7 @@ def mixture_temperature(
         .alias("rate_ppm"),
     )
     kept = (
-        df.join(F.broadcast(rates), source_col)
-        .filter(_ppm_col(F.col(id_col)) < F.col("rate_ppm"))
+        _apply_ppm_gate(df, rates.select(source_col, "rate_ppm"), source_col, id_col)
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )

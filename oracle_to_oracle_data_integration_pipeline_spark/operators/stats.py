@@ -388,13 +388,15 @@ def ab_test_lift(
         F.count(F.lit(1)).alias("n"),
         F.sum("converted").cast("long").alias("conv"),
     )
-    a = per_arm.where(F.col("arm") == 0).select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    # conditional aggregation (not filter + crossJoin): the readout is
+    # ALWAYS one row, with NULL stats when an arm is empty, instead of
+    # silently vanishing on degenerate inputs
+    j = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
     )
-    b = per_arm.where(F.col("arm") == 1).select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
-    )
-    j = a.crossJoin(b)
     pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
     pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
     pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (

@@ -116,7 +116,10 @@ def dsum(col: Column, round_to: int = 2) -> Column:
 
 
 def pround(col: Column, round_to: int = 6) -> Column:
-    """Portable half-up rounding of a non-negative double:
+    """Portable half-up rounding of a double (signed values round
+    halves toward +inf — consistent on both sides because the oracle
+    twin uses the literally identical floor formula, which is the
+    property the hash compare needs; do NOT swap in engine round()):
     ``floor(x·10^r + 0.5) / 10^r``. SQL ``round()`` on a raw double is
     engine-specific at the .5 boundary (Spark rounds the exact decimal
     expansion HALF_UP; DuckDB multiplies then std::round), so a value

@@ -772,9 +772,11 @@ per AS (
   FROM users GROUP BY arm
 ),
 j AS (
-  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
-  FROM (SELECT n, conv FROM per WHERE arm = 0) a,
-       (SELECT n, conv FROM per WHERE arm = 1) b
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+  FROM per
 ),
 c AS (
   SELECT n_a, conv_a, n_b, conv_b,

@@ -117,7 +117,11 @@ def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CATALOG_COLUMNS = """
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import TABLES as _TABLES
+
+_TABLES_IN = ", ".join(f"'{t}'" for t in sorted(_TABLES))
+
+SQL_CATALOG_COLUMNS = f"""
 SELECT table_name, column_name,
        CAST(ordinal_position AS INT) AS ordinal,
        CASE data_type
@@ -132,8 +136,7 @@ SELECT table_name, column_name,
          ELSE lower(data_type)
        END AS data_type
 FROM information_schema.columns
-WHERE table_name IN ('customer','documents','embeddings','events','lineitem',
-                     'nation','orders','part','region','supplier')
+WHERE table_name IN ({_TABLES_IN})
 """
 
 

@@ -227,9 +227,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load as _l
 
     docs = _l(spark, sf_dir, "documents")
+    # merge application is order-sensitive: sort by the explicit rank,
+    # never rely on collect() order
     merges = [
         (r["lhs"], r["rhs"])
-        for r in bpe_train(docs, "text", n_merges=BPE_MERGES).collect()
+        for r in sorted(
+            bpe_train(docs, "text", n_merges=BPE_MERGES).collect(),
+            key=lambda r: r["merge_rank"],
+        )
     ]
     return bpe_apply(docs, merges)
 

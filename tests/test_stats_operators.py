@@ -314,3 +314,21 @@ def test_ab_test_lift_known_rates(spark):
     assert r["rate_a"] == 1.0 and r["rate_b"] == 0.0
     assert r["lift"] == 1.0
     assert r["z_score"] > 10  # perfectly separated arms
+
+
+def test_ab_test_lift_degenerate_single_arm_still_one_row(spark):
+    import datetime as dt
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import ab_test_lift
+
+    # a single user: one arm is empty; the readout must still be one
+    # row with NULL stats, not an empty frame
+    ev = spark.createDataFrame(
+        [(7, "purchase", dt.datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    rows = ab_test_lift(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"] or 0) + (r["n_b"] or 0) == 1
+    assert r["lift"] is None and r["z_score"] is None
