@@ -862,7 +862,66 @@ SELECT (SELECT count(*) FROM anchors) AS n_signup_users,
 """
 
 
+# -- qid: pareto_revenue -----------------------------------------------
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked into spend deciles, each
+    decile's share of total revenue — the 80/20 readout. The ranking
+    window runs over the (already aggregated) per-customer totals,
+    never the order fact table."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+    from pyspark.sql import Window
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    total = deciled.agg(F.sum(F.col("spend").cast("decimal(24,6)")).alias("t"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("spend").cast("decimal(24,6)")).alias("_d_rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            pround(F.col("_d_rev").cast("double"), 2).alias("revenue"),
+            pround(
+                F.col("_d_rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+SQL_PARETO_REVENUE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, spend,
+         CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS decile
+  FROM per_cust
+),
+t AS (SELECT sum(CAST(spend AS DECIMAL(24,6))) AS t_rev FROM d)
+SELECT decile, count(*) AS n_customers,
+       floor(CAST(sum(CAST(spend AS DECIMAL(24,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS revenue,
+       floor(CAST(sum(CAST(spend AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST((SELECT t_rev FROM t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS revenue_share
+FROM d GROUP BY decile
+"""
+
+
 QUERIES = {
+    "pareto_revenue": q_pareto_revenue,
     "funnel_time_window": q_funnel_time_window,
     "ab_test_lift": q_ab_test_lift,
     "pmi_bigrams": q_pmi_bigrams,
@@ -886,6 +945,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pareto_revenue": SQL_PARETO_REVENUE,
     "funnel_time_window": SQL_FUNNEL_TIME_WINDOW,
     "ab_test_lift": SQL_AB_TEST_LIFT,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
