@@ -420,3 +420,50 @@ def ab_test_lift(
         pround(pa - pb, 6).alias("lift"),
         F.when(se > 0, pround((pa - pb) / se, 6)).alias("z_score"),
     )
+
+
+def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Spearman rank correlation of two (low-cardinality) columns with
+    classical average-rank tie handling. One row: (n, spearman).
+
+    Ranks come from per-column VALUE FREQUENCY tables, not a global
+    row sort: avg-rank(v) = cnt_less(v) + (cnt_eq(v)+1)/2, computed
+    with a window over the |distinct| table (bounded by the value
+    cardinality, never the corpus) and broadcast back. Doubled ranks
+    (2r is integral even at .5 ties) keep every sum exact in longs;
+    only the final Pearson-on-ranks formula runs in doubles —
+    identical bit-for-bit in any engine since the inputs are exact
+    integers. For high-cardinality columns, pre-bucket or sample —
+    the operator's cost model assumes |distinct| ≪ |rows|.
+    """
+    def rank2_table(col: str, alias: str) -> DataFrame:
+        freq = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return freq.select(
+            F.col("v").alias(col),
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+            ).alias(alias),
+        )
+    rx = rank2_table(x, "rx2")
+    ry = rank2_table(y, "ry2")
+    joined = df.select(x, y).join(F.broadcast(rx), x).join(F.broadcast(ry), y)
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return agg.select(
+        "n", F.when(den > 0, pround(num / den, 6)).alias("spearman")
+    )

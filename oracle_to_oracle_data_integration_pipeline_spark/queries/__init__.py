@@ -82,7 +82,7 @@ _MODULES = [
 # bfs_levels sql_ddl_roundtrip join_size_estimate
 # session_window_batch neardup_resolve bpe_encode
 # mixture_temperature pmi_bigrams langid_confusion catalog_columns
-# ab_test_lift funnel_time_window pareto_revenue),
+# ab_test_lift funnel_time_window pareto_revenue spearman_corr),
 # then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
@@ -204,6 +204,7 @@ _VERIFY_FIRST = [
     "ab_test_lift",
     "funnel_time_window",
     "pareto_revenue",
+    "spearman_corr",
 ]
 
 

@@ -920,7 +920,60 @@ FROM d GROUP BY decile
 """
 
 
+# -- qid: spearman_corr ------------------------------------------------
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs discount
+    (average-rank tie handling) — the monotone-association complement
+    to stats_moments' Pearson."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    return spearman_corr(load(spark, sf_dir, "lineitem"), "l_quantity", "l_discount")
+
+
+SQL_SPEARMAN_CORR = """
+WITH fx AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity),
+rx2 AS (
+  SELECT v AS l_quantity,
+         2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rx2
+  FROM fx
+),
+fy AS (SELECT l_discount AS v, count(*) AS c FROM lineitem GROUP BY l_discount),
+ry2 AS (
+  SELECT v AS l_discount,
+         2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS ry2
+  FROM fy
+),
+j AS (
+  SELECT rx2.rx2, ry2.ry2
+  FROM lineitem l JOIN rx2 USING (l_quantity) JOIN ry2 USING (l_discount)
+),
+a AS (
+  SELECT count(*) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) > 0
+            THEN floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS spearman
+FROM a
+"""
+
+
 QUERIES = {
+    "spearman_corr": q_spearman_corr,
     "pareto_revenue": q_pareto_revenue,
     "funnel_time_window": q_funnel_time_window,
     "ab_test_lift": q_ab_test_lift,
@@ -945,6 +998,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "spearman_corr": SQL_SPEARMAN_CORR,
     "pareto_revenue": SQL_PARETO_REVENUE,
     "funnel_time_window": SQL_FUNNEL_TIME_WINDOW,
     "ab_test_lift": SQL_AB_TEST_LIFT,

@@ -332,3 +332,19 @@ def test_ab_test_lift_degenerate_single_arm_still_one_row(spark):
     r = rows[0]
     assert (r["n_a"] or 0) + (r["n_b"] or 0) == 1
     assert r["lift"] is None and r["z_score"] is None
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    # y strictly increasing with x -> spearman exactly 1
+    up = spark.createDataFrame([(i, i * 10) for i in range(20)], "x int, y int")
+    assert spearman_corr(up, "x", "y").collect()[0]["spearman"] == 1.0
+    # y strictly decreasing -> -1
+    dn = spark.createDataFrame([(i, -i) for i in range(20)], "x int, y int")
+    assert spearman_corr(dn, "x", "y").collect()[0]["spearman"] == -1.0
+    # constant y -> zero variance -> NULL (den == 0 guard)
+    flat = spark.createDataFrame([(i, 7) for i in range(5)], "x int, y int")
+    assert spearman_corr(flat, "x", "y").collect()[0]["spearman"] is None
