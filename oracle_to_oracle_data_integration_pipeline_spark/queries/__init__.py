@@ -82,7 +82,8 @@ _MODULES = [
 # bfs_levels sql_ddl_roundtrip join_size_estimate
 # session_window_batch neardup_resolve bpe_encode
 # mixture_temperature pmi_bigrams langid_confusion catalog_columns
-# ab_test_lift funnel_time_window pareto_revenue spearman_corr),
+# ab_test_lift funnel_time_window pareto_revenue spearman_corr
+# impute_median one_hot_encode),
 # then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
@@ -205,6 +206,8 @@ _VERIFY_FIRST = [
     "funnel_time_window",
     "pareto_revenue",
     "spearman_corr",
+    "impute_median",
+    "one_hot_encode",
 ]
 
 

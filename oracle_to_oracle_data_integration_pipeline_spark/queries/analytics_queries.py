@@ -972,7 +972,95 @@ FROM a
 """
 
 
+# -- qid: impute_median ------------------------------------------------
+
+IMPUTE_USERS = 20
+
+
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-feature imputation: nulls (synthesized deterministically
+    on event_id % 7 — the fixture has none) are filled with the
+    per-event-type median of the OBSERVED values. Broadcast group
+    medians + map-only fill; the imputed flag rides along so
+    downstream can weight accordingly."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value").cast("double")
+        ),
+    )
+    med = ev.where(F.col("v").isNotNull()).groupBy("event_type").agg(
+        pround(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    return (
+        ev.where(F.col("user_id") < IMPUTE_USERS)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(pround(F.col("v"), 6), F.col("med")).alias("value_imputed"),
+            F.col("v").isNull().cast("int").alias("was_imputed"),
+        )
+    )
+
+
+SQL_IMPUTE_MEDIAN = f"""
+WITH e AS (
+  SELECT event_id, event_type, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(value AS DOUBLE) END AS v
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         floor(quantile_cont(v, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med
+  FROM e WHERE v IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       coalesce(floor(e.v * 1000000.0 + 0.5) / 1000000.0, m.med) AS value_imputed,
+       CAST(CASE WHEN e.v IS NULL THEN 1 ELSE 0 END AS INT) AS was_imputed
+FROM e JOIN med m USING (event_type)
+WHERE e.user_id < {IMPUTE_USERS}
+"""
+
+
+# -- qid: one_hot_encode -----------------------------------------------
+
+OHE_USERS = 20
+
+
+def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical → indicator columns for the event_type feature —
+    the ML-prep encode step as pure column algebra (map-only, the
+    category set pinned explicitly so the schema is stable even if a
+    batch lacks a category)."""
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < OHE_USERS)
+    return ev.select(
+        "event_id",
+        *[
+            (F.col("event_type") == c).cast("int").alias(f"is_{c}")
+            for c in cats
+        ],
+    )
+
+
+SQL_ONE_HOT_ENCODE = f"""
+SELECT event_id,
+       CAST(event_type = 'click' AS INT) AS is_click,
+       CAST(event_type = 'error' AS INT) AS is_error,
+       CAST(event_type = 'purchase' AS INT) AS is_purchase,
+       CAST(event_type = 'signup' AS INT) AS is_signup,
+       CAST(event_type = 'view' AS INT) AS is_view
+FROM events WHERE user_id < {OHE_USERS}
+"""
+
+
 QUERIES = {
+    "impute_median": q_impute_median,
+    "one_hot_encode": q_one_hot_encode,
     "spearman_corr": q_spearman_corr,
     "pareto_revenue": q_pareto_revenue,
     "funnel_time_window": q_funnel_time_window,
@@ -998,6 +1086,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "impute_median": SQL_IMPUTE_MEDIAN,
+    "one_hot_encode": SQL_ONE_HOT_ENCODE,
     "spearman_corr": SQL_SPEARMAN_CORR,
     "pareto_revenue": SQL_PARETO_REVENUE,
     "funnel_time_window": SQL_FUNNEL_TIME_WINDOW,
