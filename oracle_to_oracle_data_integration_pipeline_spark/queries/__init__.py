@@ -83,7 +83,8 @@ _MODULES = [
 # session_window_batch neardup_resolve bpe_encode
 # mixture_temperature pmi_bigrams langid_confusion catalog_columns
 # ab_test_lift funnel_time_window pareto_revenue spearman_corr
-# impute_median one_hot_encode),
+# impute_median one_hot_encode target_encode hashing_trick
+# class_weights group_split),
 # then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
@@ -208,6 +209,10 @@ _VERIFY_FIRST = [
     "spearman_corr",
     "impute_median",
     "one_hot_encode",
+    "target_encode",
+    "hashing_trick",
+    "class_weights",
+    "group_split",
 ]
 
 

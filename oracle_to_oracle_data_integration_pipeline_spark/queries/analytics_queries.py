@@ -1058,7 +1058,179 @@ FROM events WHERE user_id < {OHE_USERS}
 """
 
 
+# -- qid: target_encode ------------------------------------------------
+
+TE_SMOOTH = 20.0
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of the event_type categorical:
+    enc(c) = (sum_c + m*global_mean) / (n_c + m) — the classic
+    high-cardinality-safe encoder. Per-category sums are one
+    combinable groupBy; the global mean is a broadcast scalar; all
+    sums ride the exact decimal path."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("sum_c"),
+    )
+    g = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gmean")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_c",
+        pround(
+            (F.col("sum_c").cast("double") + F.lit(TE_SMOOTH) * F.col("gmean"))
+            / (F.col("n_c") + F.lit(TE_SMOOTH)),
+            6,
+        ).alias("encoded"),
+    )
+
+
+SQL_TARGET_ENCODE = f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n_c,
+         sum(CAST(value AS DECIMAL(24,6))) AS sum_c
+  FROM events GROUP BY event_type
+),
+g AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS gmean
+  FROM events
+)
+SELECT event_type, n_c,
+       floor((CAST(sum_c AS DOUBLE) + {TE_SMOOTH} * gmean)
+             / (n_c + {TE_SMOOTH}) * 1000000.0 + 0.5) / 1000000.0 AS encoded
+FROM per, g
+"""
+
+
+# -- qid: hashing_trick ------------------------------------------------
+
+HASH_BUCKETS = 16
+HASH_DOCS = 25
+
+
+def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text features: tokens bucketed by a portable md5
+    hash into a fixed 16-dim count vector per document — the
+    vocabulary-free featurizer for linear models. Map-side hashing,
+    one (doc, bucket) combinable shuffle."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < HASH_DOCS)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    return (
+        toks.withColumn("bucket", hash_bucket_col(F.col("tok"), HASH_BUCKETS))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HASHING_TRICK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < {HASH_DOCS}
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % {HASH_BUCKETS} AS INT)
+         AS bucket,
+       count(*) AS n
+FROM toks GROUP BY doc_id, bucket
+"""
+
+
+# -- qid: class_weights ------------------------------------------------
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights for the lang label —
+    w_c = N / (K * n_c), the sklearn 'balanced' recipe: one tiny
+    groupBy + scalar broadcast."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = per.agg(
+        F.sum("n_c").cast("long").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_c",
+        pround(
+            F.col("n").cast("double")
+            / (F.col("k").cast("double") * F.col("n_c").cast("double")),
+            6,
+        ).alias("weight"),
+    )
+
+
+SQL_CLASS_WEIGHTS = """
+WITH per AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, count(*) AS k FROM per)
+SELECT lang, n_c,
+       floor(CAST(n AS DOUBLE) / (CAST(k AS DOUBLE) * n_c) * 1000000.0 + 0.5)
+         / 1000000.0 AS weight
+FROM per, tot
+"""
+
+
+# -- qid: group_split --------------------------------------------------
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test assignment: the fold comes from the
+    USER's hash, so no user's events ever straddle folds (the leakage
+    guard group-shuffle-split enforces). Output: per (split, user)
+    event counts — any user appearing under two splits would double
+    its row count against the oracle."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    b = hash_bucket_col(F.col("user_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_GROUP_SPLIT = """
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM assigned GROUP BY split
+"""
+
+
 QUERIES = {
+    "target_encode": q_target_encode,
+    "hashing_trick": q_hashing_trick,
+    "class_weights": q_class_weights,
+    "group_split": q_group_split,
     "impute_median": q_impute_median,
     "one_hot_encode": q_one_hot_encode,
     "spearman_corr": q_spearman_corr,
@@ -1086,6 +1258,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "target_encode": SQL_TARGET_ENCODE,
+    "hashing_trick": SQL_HASHING_TRICK,
+    "class_weights": SQL_CLASS_WEIGHTS,
+    "group_split": SQL_GROUP_SPLIT,
     "impute_median": SQL_IMPUTE_MEDIAN,
     "one_hot_encode": SQL_ONE_HOT_ENCODE,
     "spearman_corr": SQL_SPEARMAN_CORR,
