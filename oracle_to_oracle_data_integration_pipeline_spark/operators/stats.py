@@ -426,18 +426,25 @@ def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
     """Spearman rank correlation of two (low-cardinality) columns with
     classical average-rank tie handling. One row: (n, spearman).
 
-    Ranks come from per-column VALUE FREQUENCY tables, not a global
-    row sort: avg-rank(v) = cnt_less(v) + (cnt_eq(v)+1)/2, computed
-    with a window over the |distinct| table (bounded by the value
+    Only COMPLETE pairs participate: rows null in either column are
+    dropped before the frequency tables are built (a null row must not
+    shift the other column's ranks). Ranks come from per-column VALUE
+    FREQUENCY tables, not a global row sort:
+    avg-rank(v) = cnt_less(v) + (cnt_eq(v)+1)/2, computed with a
+    window over the |distinct| table (bounded by the value
     cardinality, never the corpus) and broadcast back. Doubled ranks
-    (2r is integral even at .5 ties) keep every sum exact in longs;
-    only the final Pearson-on-ranks formula runs in doubles —
-    identical bit-for-bit in any engine since the inputs are exact
-    integers. For high-cardinality columns, pre-bucket or sample —
-    the operator's cost model assumes |distinct| ≪ |rows|.
+    (2r is integral even at .5 ties) make every per-row product exact;
+    the sums accumulate in DECIMAL (the long-sum would wrap at
+    n ≈ 1.9M where Σ(2r)² ≈ 4n³/3 exceeds int64) and convert to
+    double only for the final Pearson-on-ranks formula — identical
+    bit-for-bit in any engine since the inputs are exact integers.
+    For high-cardinality columns, pre-bucket or sample — the cost
+    model assumes |distinct| ≪ |rows|.
     """
+    base = df.select(x, y).where(F.col(x).isNotNull() & F.col(y).isNotNull())
+
     def rank2_table(col: str, alias: str) -> DataFrame:
-        freq = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        freq = base.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
         w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
         return freq.select(
             F.col("v").alias(col),
@@ -445,24 +452,26 @@ def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
                 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
             ).alias(alias),
         )
+
+    def dec_sum(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
     rx = rank2_table(x, "rx2")
     ry = rank2_table(y, "ry2")
-    joined = df.select(x, y).join(F.broadcast(rx), x).join(F.broadcast(ry), y)
+    joined = base.join(F.broadcast(rx), x).join(F.broadcast(ry), y)
     agg = joined.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        dec_sum(F.col("rx2")).alias("sx"),
+        dec_sum(F.col("ry2")).alias("sy"),
+        dec_sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        dec_sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        dec_sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
     )
     n = F.col("n").cast("double")
-    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
-        "sy"
-    ).cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
-        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
-        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return agg.select(
         "n", F.when(den > 0, pround(num / den, 6)).alias("spearman")

@@ -934,14 +934,18 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SPEARMAN_CORR = """
-WITH fx AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity),
+WITH base AS (
+  SELECT l_quantity, l_discount FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+fx AS (SELECT l_quantity AS v, count(*) AS c FROM base GROUP BY l_quantity),
 rx2 AS (
   SELECT v AS l_quantity,
          2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            + c + 1 AS rx2
   FROM fx
 ),
-fy AS (SELECT l_discount AS v, count(*) AS c FROM lineitem GROUP BY l_discount),
+fy AS (SELECT l_discount AS v, count(*) AS c FROM base GROUP BY l_discount),
 ry2 AS (
   SELECT v AS l_discount,
          2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -950,22 +954,24 @@ ry2 AS (
 ),
 j AS (
   SELECT rx2.rx2, ry2.ry2
-  FROM lineitem l JOIN rx2 USING (l_quantity) JOIN ry2 USING (l_discount)
+  FROM base l JOIN rx2 USING (l_quantity) JOIN ry2 USING (l_discount)
 ),
 a AS (
+  -- exact HUGEINT sums cast to double (the BIGINT cast would error at
+  -- n where sum((2r)^2) exceeds int64; Spark mirrors via DECIMAL sums)
   SELECT count(*) AS n,
-         CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
-         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
-         CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
-         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+         CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+         CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+         CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+         CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy
   FROM j
 )
 SELECT n,
-       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) > 0
-            THEN floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+            THEN floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy))
                        * 1000000.0 + 0.5) / 1000000.0
             END AS spearman
 FROM a
@@ -1192,16 +1198,12 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts — any user appearing under two splits would double
     its row count against the oracle."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
-        hash_bucket_col,
+        split_assign,
     )
 
     ev = load(spark, sf_dir, "events")
-    b = hash_bucket_col(F.col("user_id"), 100)
-    split = (
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    )
     return (
-        ev.withColumn("split", split)
+        split_assign(ev, id_col="user_id", train_pct=80, val_pct=10)
         .groupBy("split")
         .agg(
             F.countDistinct("user_id").alias("n_users"),

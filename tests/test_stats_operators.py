@@ -348,3 +348,16 @@ def test_spearman_perfect_monotone_and_ties(spark):
     # constant y -> zero variance -> NULL (den == 0 guard)
     flat = spark.createDataFrame([(i, 7) for i in range(5)], "x int, y int")
     assert spearman_corr(flat, "x", "y").collect()[0]["spearman"] is None
+    # real tie: x=[1,2,2,3] avg-ranks to [1, 2.5, 2.5, 4]; scipy
+    # spearmanr against y=[1,2,3,4] is 0.9486832...
+    tied = spark.createDataFrame(
+        [(1, 1), (2, 2), (2, 3), (3, 4)], "x int, y int"
+    )
+    assert abs(spearman_corr(tied, "x", "y").collect()[0]["spearman"] - 0.948683) < 1e-6
+    # null in one column must drop the PAIR entirely: remaining pairs
+    # are perfectly monotone -> exactly 1.0
+    with_null = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (None, 15)], "x int, y int"
+    )
+    r = spearman_corr(with_null, "x", "y").collect()[0]
+    assert r["n"] == 3 and r["spearman"] == 1.0
