@@ -84,7 +84,7 @@ _MODULES = [
 # mixture_temperature pmi_bigrams langid_confusion catalog_columns
 # ab_test_lift funnel_time_window pareto_revenue spearman_corr
 # impute_median one_hot_encode target_encode hashing_trick
-# class_weights group_split),
+# class_weights group_split kmv_distinct dau_wau_ratio anomaly_days),
 # then
 # whatever tail of this
 # list fell outside round 3's window, then rotate long-unchecked greens
@@ -213,6 +213,9 @@ _VERIFY_FIRST = [
     "hashing_trick",
     "class_weights",
     "group_split",
+    "kmv_distinct",
+    "dau_wau_ratio",
+    "anomaly_days",
 ]
 
 

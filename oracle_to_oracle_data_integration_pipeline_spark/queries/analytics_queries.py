@@ -1228,7 +1228,196 @@ FROM assigned GROUP BY split
 """
 
 
+# -- qid: kmv_distinct -------------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per event_type — unlike HLL
+    (engine-private state, flag-gated in hll_distinct), KMV over a
+    PORTABLE md5 hash is bit-identical in any engine, so the ESTIMATE
+    itself is hash-compared, not just bounds-checked. est = (k-1)/h(k)
+    where h(k) is the k-th smallest hash mapped into (0,1); groups with
+    fewer than k distinct values report their exact count. Sketch
+    state is k values per group — mergeable, constant memory, the
+    100 TB cardinality primitive."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    # 52-bit md5 prefix -> uniform fraction in (0,1); distinct user per type
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", h)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    kth = ranked.where(F.col("rn") <= KMV_K).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max("h").alias("hk"),
+    )
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+    ).otherwise((F.lit(float(KMV_K - 1))) / F.col("hk"))
+    return kth.select(
+        "event_type",
+        "n_in_sketch",
+        pround(est, 6).alias("distinct_estimate"),
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           / CAST(power(16, 13) AS DOUBLE) AS h
+  FROM du
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+kth AS (
+  SELECT event_type, count(*) AS n_in_sketch, max(h) AS hk
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_in_sketch,
+       floor(CASE WHEN n_in_sketch < {KMV_K}
+                  THEN CAST(n_in_sketch AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / hk END * 1000000.0 + 0.5) / 1000000.0
+         AS distinct_estimate
+FROM kth
+"""
+
+
+# -- qid: dau_wau_ratio ------------------------------------------------
+
+def q_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness per ISO week: average daily-active-users divided by
+    weekly-active-users — two keyed distinct-count aggregations, the
+    denominator broadcast back onto the 7-row-per-week numerator."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    dau = ev.groupBy("wk", "day").agg(F.countDistinct("user_id").alias("dau"))
+    avg_dau = dau.groupBy("wk").agg(
+        (F.sum("dau").cast("double") / F.countDistinct("day")).alias("avg_dau"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    wau = ev.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        avg_dau.join(wau, "wk")
+        .select(
+            F.col("wk").cast("date").alias("week_start"),
+            "n_days",
+            pround(F.col("avg_dau"), 6).alias("avg_dau"),
+            "wau",
+            pround(F.col("avg_dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+SQL_DAU_WAU_RATIO = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(ts AS DATE) AS day
+  FROM events
+),
+dau AS (
+  SELECT wk, day, count(DISTINCT user_id) AS dau FROM e GROUP BY wk, day
+),
+a AS (
+  SELECT wk, CAST(sum(dau) AS DOUBLE) / count(DISTINCT day) AS avg_dau,
+         CAST(count(DISTINCT day) AS BIGINT) AS n_days
+  FROM dau GROUP BY wk
+),
+w AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM e GROUP BY wk)
+SELECT a.wk AS week_start, a.n_days,
+       floor(a.avg_dau * 1000000.0 + 0.5) / 1000000.0 AS avg_dau,
+       w.wau,
+       floor(a.avg_dau / w.wau * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+FROM a JOIN w USING (wk)
+"""
+
+
+# -- qid: anomaly_days -------------------------------------------------
+
+ANOM_SIGMA = 2.0
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates more than 2 sigma from the mean
+    daily volume — the volume-anomaly monitor. Daily counts are one
+    shuffle; mean/std come from decimal-exact power sums over the tiny
+    day table and broadcast back."""
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.sum("n").alias("s"),
+    ).select(
+        "mu",
+        F.sqrt(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_days"))
+            / F.col("n_days")
+        ).alias("sigma"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where(F.abs(F.col("n") - F.col("mu")) > F.lit(ANOM_SIGMA) * F.col("sigma"))
+        .select(
+            "day",
+            "n",
+            pround(F.col("mu"), 6).alias("mean_daily"),
+            pround(F.col("sigma"), 6).alias("sigma_daily"),
+        )
+    )
+
+
+SQL_ANOMALY_DAYS = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY CAST(ts AS DATE)
+),
+stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+         sqrt((CAST(sum(n * n) AS DOUBLE)
+               - CAST(sum(n) AS DOUBLE) * sum(n) / count(*)) / count(*)) AS sigma
+  FROM daily
+)
+SELECT day, n,
+       floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+       floor(sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma_daily
+FROM daily, stats
+WHERE abs(n - mu) > {ANOM_SIGMA} * sigma
+"""
+
+
 QUERIES = {
+    "kmv_distinct": q_kmv_distinct,
+    "dau_wau_ratio": q_dau_wau_ratio,
+    "anomaly_days": q_anomaly_days,
     "target_encode": q_target_encode,
     "hashing_trick": q_hashing_trick,
     "class_weights": q_class_weights,
@@ -1260,6 +1449,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "dau_wau_ratio": SQL_DAU_WAU_RATIO,
+    "anomaly_days": SQL_ANOMALY_DAYS,
     "target_encode": SQL_TARGET_ENCODE,
     "hashing_trick": SQL_HASHING_TRICK,
     "class_weights": SQL_CLASS_WEIGHTS,

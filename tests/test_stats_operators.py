@@ -361,3 +361,24 @@ def test_spearman_perfect_monotone_and_ties(spark):
     )
     r = spearman_corr(with_null, "x", "y").collect()[0]
     assert r["n"] == 3 and r["spearman"] == 1.0
+
+
+def test_kmv_estimate_accuracy_against_exact(spark, sf_dir):
+    # the KMV estimate (k=64) should land within ~25% of the exact
+    # per-type distinct user count on real data (1/sqrt(64) ≈ 12.5% σ)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.analytics_queries import (
+        q_kmv_distinct,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+    from pyspark.sql import functions as F2
+
+    est = {r["event_type"]: r["distinct_estimate"]
+           for r in q_kmv_distinct(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load(spark, sf_dir, "events")
+             .groupBy("event_type").agg(F2.countDistinct("user_id").alias("n"))
+             .collect()}
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.25, (et, est[et], n)
