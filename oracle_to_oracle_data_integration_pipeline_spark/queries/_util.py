@@ -98,6 +98,19 @@ def epoch_seconds(col: Column) -> Column:
     return F.unix_timestamp(col)
 
 
+def md5_frac52(key: Column) -> Column:
+    """Engine-portable uniform fraction in (0, 1): the first 52 bits
+    (13 hex chars) of md5 of the key's string form, divided by 16^13.
+    Companions: ``sampling.hash_bucket_col`` (16-bit buckets) and
+    ``curation._ppm_col`` (32-bit ppm) wrap the same idiom at other
+    widths. SQL twin:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+    / CAST(power(16, 13) AS DOUBLE)``.
+    """
+    h52 = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
+    return h52 / F.lit(float(16**13))
+
+
 def dsum(col: Column, round_to: int = 2) -> Column:
     """Order-independent double sum: cast each term to DECIMAL(24,6)
     (deterministic per-term rounding), sum exactly, cast back to double.

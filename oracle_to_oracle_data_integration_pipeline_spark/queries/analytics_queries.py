@@ -1242,18 +1242,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than k distinct values report their exact count. Sketch
     state is k values per group — mergeable, constant memory, the
     100 TB cardinality primitive."""
-    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+        md5_frac52,
+        pround,
+    )
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    # 52-bit md5 prefix -> uniform fraction in (0,1); distinct user per type
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
-        .cast("double")
-        / F.lit(float(16**13))
-    )
+    h = md5_frac52(F.col("user_id"))
+    # NULL keys would rank NULLS FIRST in Spark but LAST in DuckDB —
+    # exclude them on both sides
     hashed = (
-        ev.select("event_type", "user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
         .distinct()
         .withColumn("h", h)
     )
@@ -1274,7 +1275,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KMV_DISTINCT = f"""
-WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
 hashed AS (
   SELECT event_type,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
@@ -1313,9 +1316,11 @@ def q_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
     )
     dau = ev.groupBy("wk", "day").agg(F.countDistinct("user_id").alias("dau"))
+    # dau has one row per (wk, day) by construction: plain counts, not
+    # a second distinct-aggregate pass
     avg_dau = dau.groupBy("wk").agg(
-        (F.sum("dau").cast("double") / F.countDistinct("day")).alias("avg_dau"),
-        F.countDistinct("day").alias("n_days"),
+        (F.sum("dau").cast("double") / F.count(F.lit(1))).alias("avg_dau"),
+        F.count(F.lit(1)).alias("n_days"),
     )
     wau = ev.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
     return (
@@ -1342,8 +1347,8 @@ dau AS (
   SELECT wk, day, count(DISTINCT user_id) AS dau FROM e GROUP BY wk, day
 ),
 a AS (
-  SELECT wk, CAST(sum(dau) AS DOUBLE) / count(DISTINCT day) AS avg_dau,
-         CAST(count(DISTINCT day) AS BIGINT) AS n_days
+  SELECT wk, CAST(sum(dau) AS DOUBLE) / count(*) AS avg_dau,
+         count(*) AS n_days
   FROM dau GROUP BY wk
 ),
 w AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM e GROUP BY wk)
