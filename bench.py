@@ -60,6 +60,11 @@ HEADLINE = [
     "rolling_median",
     "time_weighted_avg",
     "triangle_count",
+    # round-4 plan rewrites (global window -> TakeOrdered / sketch
+    # cuts) — benched so the fixes are measured, not just asserted
+    "token_freq",
+    "pareto_revenue",
+    "vocab_build",
 ]
 
 

@@ -8,13 +8,14 @@ parsed byte-for-byte by the pure-stdlib codecs in
 ``operators/media_codecs.py`` (PNG includes the zlib IDAT inflate and
 all five scanline filters; exercised end-to-end by the
 ``media_decode_bmp`` / ``media_decode_wav`` / ``media_decode_png``
-qids and their DuckDB oracles). Codec-library formats (JPEG/MP4/...)
-still need PIL/av, absent in this container, and remain STUBBED:
-``decode_media`` raises
-``NotImplementedError`` for them unless ``fake=True`` (the
-deterministic fake used by the batch-shape qids). Swapping the stub
-for PIL/ffmpeg changes only the inner function; the Spark plumbing
-(batch shape, schema, partitioning) is unchanged.
+qids and their DuckDB oracles). Codec-library formats (JPEG/GIF/TIFF/
+WebP) go through an OPTIONAL-DEPENDENCY dispatch: when Pillow is
+importable ``decode_media`` decodes them for real; otherwise (this
+container) it raises ``NotImplementedError`` unless ``fake=True`` (the
+deterministic fake used by the batch-shape qids). Video (MP4) remains
+a documented stub pending av/ffmpeg. Either way the Spark plumbing
+(batch shape, schema, partitioning) is identical — the dispatch is
+entirely inside the per-payload kernel.
 
 Scale notes: media processing is the canonical ``mapInPandas`` case —
 embarrassingly parallel, no shuffle, Arrow moves the binary batches to
@@ -35,14 +36,33 @@ from pyspark.sql import functions as F
 META_SCHEMA = "doc_id long, n_bytes int, width int, height int, fmt string"
 
 
+def _try_import_pil():
+    """Optional-dependency probe for the codec-library formats
+    (JPEG/GIF/TIFF/WebP/...). Returns the PIL.Image module when
+    Pillow is importable, else None — the dispatch in
+    :func:`decode_media` uses it when the stdlib sniffs miss, so the
+    same pipeline code runs real decodes wherever the lib exists and
+    falls back to the documented stub here (Pillow is absent in this
+    container). Import is per-call-site lazy: on an executor the
+    Python worker pays it once per process via module import cache."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(payload: bytes, fake: bool = False) -> dict:
     """Decode one media payload to metadata.
 
     REAL path: BMP, RIFF/WAVE and PNG payloads are sniffed by magic
     bytes and parsed by the stdlib codecs (operators/media_codecs.py)
-    — no external libraries (PNG needs only stdlib zlib). Everything
-    else needs PIL/av/soundfile (absent here): raises unless ``fake=True``
-    (the deterministic fake derives metadata from byte length so the
+    — no external libraries (PNG needs only stdlib zlib). Codec-library
+    raster formats (JPEG/GIF/TIFF/WebP) decode via Pillow WHEN
+    IMPORTABLE (optional-dependency dispatch, absent in this
+    container); otherwise raises unless ``fake=True`` (the
+    deterministic fake derives metadata from byte length so the
     batch-shape qids can verify the full pipeline shape).
     """
     import struct
@@ -78,11 +98,31 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         # chunk walk + IDAT inflate + 5-filter scanline reconstruction
         m = decode_png(payload)
         return {"n_bytes": m["n_bytes"], "width": m["width"], "height": m["height"], "fmt": "png"}
+    # codec-library formats (JPEG/GIF/TIFF/WebP/...): real decode when
+    # Pillow is importable, else the documented stub. The stdlib paths
+    # above stay authoritative for BMP/WAV/PNG regardless (they are
+    # the oracled ones — engine behavior must not depend on whether an
+    # optional lib happens to be installed for those formats).
+    pil_image = _try_import_pil()
+    if pil_image is not None:
+        import io
+
+        try:
+            with pil_image.open(io.BytesIO(payload)) as img:
+                w, h = img.size
+                return {
+                    "n_bytes": len(payload),
+                    "width": int(w),
+                    "height": int(h),
+                    "fmt": (img.format or "unknown").lower(),
+                }
+        except Exception:
+            pass  # not an image Pillow knows; fall through to stub/raise
     if not fake:
         raise NotImplementedError(
             "compressed media formats require imaging/audio libraries not present "
-            "in this environment; BMP/WAV decode natively, or pass fake=True for "
-            "the deterministic stub"
+            "in this environment; BMP/WAV/PNG decode natively, install Pillow for "
+            "JPEG/GIF/TIFF/WebP, or pass fake=True for the deterministic stub"
         )
     n = len(payload)
     return {"n_bytes": n, "width": n % 64 + 1, "height": n % 37 + 1, "fmt": "fake"}

@@ -263,8 +263,13 @@ def bloom_prefilter(
     def positions(col: Column) -> list[Column]:
         # xxhash64 is type-width sensitive (hash(5 as int) != hash(5 as
         # long)), so both sides MUST hash one canonical type or every
-        # true match silently fails the bitmap test
-        c = col.cast("long")
+        # true match silently fails the bitmap test. The canonical form
+        # is STRING, not long: a long cast of a non-numeric string key
+        # yields NULL, collapsing all k positions to seed constants so
+        # every probe row passes — the filter silently becomes a no-op
+        # and the documented FPR bound is violated. String round-trips
+        # every key type losslessly ("5" == "5" whether int or long).
+        c = col.cast("string")
         return [
             F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m))
             for seed in range(k_hashes)

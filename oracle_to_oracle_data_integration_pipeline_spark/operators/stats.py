@@ -150,7 +150,14 @@ def chi2_independence(
     observed table is completed to the full category cross product
     (tiny × tiny cross join) before the statistic. Returns one row:
     (n, dof, chi2).
+
+    Only COMPLETE pairs participate (the spearman_corr guard): a NULL
+    category would form its own observed group yet fail the equality
+    join when completing the cross product, yielding an r_tot=0 row
+    and a 0/0 expected count — so NULL rows in either column are
+    dropped up front.
     """
+    df = df.where(F.col(row_key).isNotNull() & F.col(col_key).isNotNull())
     observed = df.groupBy(row_key, col_key).agg(F.count(F.lit(1)).alias("o"))
     cells = (
         observed.select(row_key)
@@ -438,8 +445,12 @@ def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
     n ≈ 1.9M where Σ(2r)² ≈ 4n³/3 exceeds int64) and convert to
     double only for the final Pearson-on-ranks formula — identical
     bit-for-bit in any engine since the inputs are exact integers.
-    For high-cardinality columns, pre-bucket or sample — the cost
-    model assumes |distinct| ≪ |rows|.
+    The rank-table joins carry no broadcast hint: small tables
+    broadcast via the planner threshold; a high-cardinality column
+    degrades to a shuffle join instead of OOMing the driver. (The
+    cumulative-count window over each rank table is still bounded by
+    that column's |distinct| — for a truly continuous column,
+    pre-bucket or sample first.)
     """
     base = df.select(x, y).where(F.col(x).isNotNull() & F.col(y).isNotNull())
 
@@ -458,7 +469,14 @@ def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
 
     rx = rank2_table(x, "rx2")
     ry = rank2_table(y, "ry2")
-    joined = base.join(F.broadcast(rx), x).join(F.broadcast(ry), y)
+    # no explicit broadcast hint on the rank tables: under the size
+    # threshold Spark broadcasts them anyway (plan test pins that at
+    # fixture scale), and on a HIGH-cardinality column the planner
+    # falls back to a shuffle join instead of force-shipping an
+    # unbounded |distinct| table to the driver (an explicit hint would
+    # override the threshold and OOM — the unigram_nll rationale,
+    # operators/retrieval.py)
+    joined = base.join(rx, x).join(ry, y)
     agg = joined.agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum(F.col("rx2")).alias("sx"),

@@ -59,107 +59,26 @@ _MODULES = [
 ]
 
 # The driver's correctness gate evaluates qids in registry (dict) order
-# and stops after ~50. Round 1 verified the first 50; round 2's window
-# covered the LLM/streaming/format/catalog/io front. This ROUND-3
-# window re-verifies the round-2 reds (events.ts type bug, fixed)
-# FIRST, then every never-driver-checked qid ordered riskiest-first:
-# the first 50 entries are exactly the operators with novel or
-# numerically-delicate oracles; the tail (low-risk compositions of
-# already-driver-proven machinery, plus the 8 owed TPC-H shapes — plain
-# relational SQL, locally green since round 2) absorbs the window
-# cutoff. Every registered qid is green in the local
-# differential suite (tests/test_queries_vs_duckdb.py, plus
-# tools/parity_sweep.py at sf0.001/sf0.1) each round regardless.
-#
-# ROUND-4 ROTATION TODO: put any round-3 CORRECTNESS reds first, then
-# the round-3 late additions that never saw a driver window (the
-# analytics_queries batch: rolling_median regression_per_key
-# mad_outliers chi2_independence part_cooccurrence bigram_freq
-# char_entropy bloom_join embed_normalize triangle_count bpe_train
-# robust_scale sql_interface time_weighted_avg counter_agg
-# state_durations minmax_downsample histogram_fixed fuzzy_dedup
-# window_percentiles minhash_estimate_audit bloom_fpr_audit
-# bfs_levels sql_ddl_roundtrip join_size_estimate
-# session_window_batch neardup_resolve bpe_encode
-# mixture_temperature pmi_bigrams langid_confusion catalog_columns
-# ab_test_lift funnel_time_window pareto_revenue spearman_corr
-# impute_median one_hot_encode target_encode hashing_trick
-# class_weights group_split kmv_distinct dau_wau_ratio anomaly_days),
-# then
-# whatever tail of this
-# list fell outside round 3's window, then rotate long-unchecked greens
-# (r1-era rows: the cdc/relational front) back through so every qid's
-# driver row stays fresh.
+# and stops after ~50. Rounds 1-3 verified 140/203 qids (all green; r03
+# was 50/50). This ROUND-4 window targets the 63 qids that have NEVER
+# had a driver row (every round-3 late addition plus the 8 TPC-H
+# shapes owed since round 1): first the TPC-H shapes and the two
+# SURVEY-§2-adjacent catalog/DDL qids, then every qid whose plan or
+# gate CHANGED this round (pareto_revenue / vocab_build global-window
+# rewrites, chi2 NULL guard, join_size_estimate recalibration,
+# spearman unhinted broadcast, bloom canonical-string hashing), then
+# the analytics / feature-engineering / graph / tokenizer /
+# time-series / retrieval batches; the lowest-risk compositions of
+# driver-proven machinery absorb the ~50-entry window cutoff
+# (remainder queues for round 5). Behind them: token_freq (r2-green
+# but plan-rewritten this round), then the 47 qids whose only driver
+# row is round 1, then the round-2 cohort — so no qid's newest driver
+# row ages past two rounds if the window runs wide. Every registered
+# qid is green in the local differential suite
+# (tests/test_queries_vs_duckdb.py + tools/parity_sweep.py) each
+# round regardless.
 _VERIFY_FIRST = [
-    # round-2 failures (one shared root cause: TIMESTAMP_NTZ events.ts),
-    # fixed via _util.normalize_events_ts — re-verify before anything else
-    "sessionize",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_join",
-    "stream_dedup",
-    # simhash_neardup was rows-only (no_oracle) in r1/r2; now carries a
-    # portable-hash DuckDB oracle — treat as never-verified
-    "simhash_neardup",
-    # owed a driver row after rounds 1-2 (novel-oracle subset)
-    "watermark_store",
-    "delta_count",
-    "embed_quantize",
-    "scd2_history",
-    "rollup_refresh",
-    "chunk_docs",
-    "pack_sequences",
-    "passage_dedup",
-    "semantic_dedup",
-    "dedup_incremental",
-    "mixture_sample",
-    "budget_select",
-    "profile_docs",
-    "dq_checks",
-    "dq_unique",
-    # round-3 additions with novel/numerically-delicate oracles
-    "gap_fill",
-    "gap_fill_interp",
-    "hll_distinct",
-    "approx_quantiles",
-    "kmeans_assign",
-    "stream_incremental",
-    "media_decode_bmp",
-    "media_decode_wav",
-    "media_decode_png",
-    "media_resize_real",
-    "media_frames_real",
-    "media_features_real",
-    "ts_zscore",
-    "feature_bins",
-    "stream_stateful",
-    "feature_bins_sketch",
-    "pysource_changefeed",
-    "stream_pysource",
-    "stream_cdc_feed",
-    "approx_heavy_hitters",
-    "bm25_topk",
-    "lm_perplexity",
-    "skew_profile",
-    "zorder_cluster",
-    "pagerank",
-    "source_divergence",
-    "winsorize",
-    "pit_join",
-    # ---- ~50-entry window cutoff lands here ----
-    # low-risk tail: compositions of driver-proven machinery (cosine
-    # top-k, integer levenshtein, count+row_number, fake-kernel batch
-    # shapes) and the owed TPC-H shapes
-    "knn_classify",
-    "fuzzy_match",
-    "vocab_build",
-    "cohort_retention",
-    "event_transitions",
-    "minhash_incremental",
-    "media_resize",
-    "media_frames",
-    "media_features",
+    # --- never driver-sampled (63) ---
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -168,54 +87,154 @@ _VERIFY_FIRST = [
     "q18_large_orders",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
-    # round-3 late additions (after the round-3 window was laid out):
-    # behind the owed list, ahead of long-verified r1-era greens, so a
-    # wider-than-expected driver window reaches them first
+    "catalog_columns",
+    "sql_ddl_roundtrip",
+    "pareto_revenue",
+    "vocab_build",
+    "chi2_independence",
+    "join_size_estimate",
+    "spearman_corr",
+    "bloom_join",
+    "bloom_fpr_audit",
     "rolling_median",
     "regression_per_key",
     "mad_outliers",
-    "chi2_independence",
     "part_cooccurrence",
     "bigram_freq",
     "char_entropy",
-    "bloom_join",
     "embed_normalize",
-    "triangle_count",
-    "bpe_train",
-    "robust_scale",
-    "sql_interface",
-    "time_weighted_avg",
-    "counter_agg",
-    "state_durations",
-    "minmax_downsample",
-    "histogram_fixed",
-    "fuzzy_dedup",
     "window_percentiles",
-    "minhash_estimate_audit",
-    "bloom_fpr_audit",
-    "bfs_levels",
-    "sql_ddl_roundtrip",
-    "join_size_estimate",
-    "session_window_batch",
-    "neardup_resolve",
-    "bpe_encode",
-    "mixture_temperature",
-    "pmi_bigrams",
-    "langid_confusion",
-    "catalog_columns",
     "ab_test_lift",
     "funnel_time_window",
-    "pareto_revenue",
-    "spearman_corr",
+    "kmv_distinct",
+    "dau_wau_ratio",
+    "anomaly_days",
+    "minhash_estimate_audit",
     "impute_median",
     "one_hot_encode",
     "target_encode",
     "hashing_trick",
     "class_weights",
     "group_split",
-    "kmv_distinct",
-    "dau_wau_ratio",
-    "anomaly_days",
+    "robust_scale",
+    "bfs_levels",
+    "triangle_count",
+    "bpe_train",
+    "bpe_encode",
+    "pmi_bigrams",
+    "langid_confusion",
+    "time_weighted_avg",
+    "counter_agg",
+    "state_durations",
+    "minmax_downsample",
+    "histogram_fixed",
+    "window_time_range",
+    "fuzzy_dedup",
+    "neardup_resolve",
+    "mixture_temperature",
+    "session_window_batch",
+    "sql_interface",
+    "knn_classify",
+    "fuzzy_match",
+    "cohort_retention",
+    "event_transitions",
+    "minhash_incremental",
+    "media_resize",
+    "media_frames",
+    "media_features",
+    # --- changed-this-round with an existing (r2) driver row ---
+    "token_freq",
+    # --- then stale rows: newest evidence is round 1 ---
+    "change_ts",
+    "delta_filter",
+    "watermark_max",
+    "latest_per_key",
+    "cdc_merge",
+    "merge_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_rollup",
+    "agg_cube",
+    "distinct_agg",
+    "window_topk",
+    "window_running",
+    "join_semi",
+    "join_anti",
+    "set_ops",
+    "pivot_qty",
+    "date_buckets",
+    "string_funcs",
+    "array_math",
+    "asof_join",
+    "range_join",
+    "percentiles",
+    "stats_moments",
+    "grouping_sets",
+    "math_funcs",
+    "date_parts",
+    "unpivot",
+    "null_handling",
+    "regex_funcs",
+    "map_funcs",
+    "explode_pos",
+    "window_analytics2",
+    "correlated_subquery",
+    "having_subquery",
+    "q10_returned_customers",
+    "q14_promo_share",
+    "q19_disjunctive",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q22_dormant_customers",
+    "grouped_rank_pandas",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    # --- then the round-2 cohort ---
+    "json_extract",
+    "array_agg",
+    "q12_priority_class",
+    "partitioned_scan",
+    "join_outer",
+    "window_range_frame",
+    "salted_join",
+    "scan_full",
+    "project_order",
+    "order_by",
+    "catalog_tables",
+    "topo_order",
+    "empty_clone",
+    "schema_clone",
+    "sink_append",
+    "json_roundtrip",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_dedup",
+    "dedup_components",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "embed_neardup",
+    "cosine_topk_lsh",
+    "multimodal_meta",
+    "split_assign",
+    "stratified_sample",
+    "decontaminate",
+    "dedup_keep_best",
+    "ann_label_agreement",
+    "tfidf_top_term",
+    "events_funnel",
+    "ivf_topk",
+    "token_count_bpe",
+    "pii_scrub",
+    "repetition_filter",
+    "curation_pipeline",
 ]
 
 

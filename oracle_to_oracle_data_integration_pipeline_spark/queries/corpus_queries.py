@@ -72,30 +72,37 @@ FROM j GROUP BY source, t_s
 # -- qid: vocab_build --------------------------------------------------
 
 
+VOCAB_MAX_V = 4096
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked token→id vocabulary (id 0 = most frequent,
-    count-desc with token tiebreak) — the mapping a tokenizer-training
-    step consumes. The global ranking window runs over the VOCABULARY
-    (post-aggregation, ≪ corpus), which is the one place a global
-    window is the honest plan; a web-scale vocab would cut to top-V by
-    TakeOrdered first."""
+    count-desc with token tiebreak), capped at top-V — the mapping a
+    tokenizer-training step consumes. The cap is
+    ``orderBy().limit(V)`` → TakeOrderedAndProject (partial top-k per
+    partition), so the id-minting rank window runs over at most V
+    rows, never the unbounded full vocabulary — the web-scale plan the
+    old docstring only promised. V=4096 exceeds every fixture's
+    vocabulary, so results are identical to the uncapped form there."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens_col("text")).alias("tok"))
     counts = tok.groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "tok").limit(VOCAB_MAX_V)
     w = Window.orderBy(F.col("n_occurrences").desc(), "tok")
-    return counts.select(
+    return top.select(
         F.col("tok").alias("token"),
         "n_occurrences",
         (F.row_number().over(w) - 1).alias("token_id"),
     )
 
 
-SQL_VOCAB_BUILD = """
+SQL_VOCAB_BUILD = f"""
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-counts AS (SELECT tok, count(*) AS n_occurrences FROM tok GROUP BY tok)
+counts AS (SELECT tok, count(*) AS n_occurrences FROM tok GROUP BY tok),
+top AS (SELECT * FROM counts ORDER BY n_occurrences DESC, tok LIMIT {VOCAB_MAX_V})
 SELECT tok AS token, n_occurrences,
        CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) - 1 AS INT) AS token_id
-FROM counts
+FROM top
 """
 
 

@@ -67,48 +67,49 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
-_DDL_RT_LAST_LOC: str | None = None
-
-
 # -- qid: sql_ddl_roundtrip -------------------------------------------
 
 def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL DDL surface end-to-end — the reference's DDL
     extract/replay pattern (scripts/02_clone_schema_structure.py)
     driven entirely through spark.sql: CREATE TABLE (parquet-backed
-    managed table), ALTER TABLE ADD COLUMNS (the CDC-column evolution
+    table at an explicit fresh LOCATION — a default-location managed
+    table would land in $PWD/spark-warehouse and accrete rows across
+    executions), ALTER TABLE ADD COLUMNS (the CDC-column evolution
     step, scripts/01_prepare_cdc_columns:20-38), INSERT INTO ... SELECT
-    from a registered view, then read back through the catalog. Every
-    statement is catalog metadata plus one distributed write; nothing
-    here collects data to the driver."""
+    from a registered view, then read back through the catalog.
+
+    The readback is materialized EAGERLY (nation is 25 rows — catalog
+    metadata scale) so the table can be dropped and its location
+    removed in the ``finally`` before returning: no tempdir survives
+    the call, no table stays registered, no module-global state — the
+    qid is hermetic under repetition and concurrent sessions. The
+    distributed-write plan under test (CTAS + INSERT INTO) is
+    unaffected; only the 25-row verification readback is local."""
     tune(spark)
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
     spark.sql("DROP TABLE IF EXISTS ddl_rt_nation")
-    # explicit fresh LOCATION: the driver's session may have no
-    # warehouse override, and a default-location managed table would
-    # land in $PWD/spark-warehouse (repo litter) and accrete rows
-    # across executions. The PREVIOUS run's dir is removed here (its
-    # table was just dropped; the current run's files must outlive
-    # this function for the caller's lazy collect).
-    global _DDL_RT_LAST_LOC
-    if _DDL_RT_LAST_LOC:
-        shutil.rmtree(_DDL_RT_LAST_LOC, ignore_errors=True)
     loc = tempfile.mkdtemp(prefix="ddl_rt_")
-    _DDL_RT_LAST_LOC = loc
-    spark.sql(
-        f"""CREATE TABLE ddl_rt_nation (
-               n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
-           ) USING parquet LOCATION '{loc}'"""
-    )
-    spark.sql("ALTER TABLE ddl_rt_nation ADD COLUMNS (load_tag STRING)")
-    spark.sql(
-        """INSERT INTO ddl_rt_nation
-           SELECT n_nationkey, n_name, n_regionkey, 'batch1' AS load_tag
-           FROM nation_src"""
-    )
-    return spark.sql(
-        "SELECT n_nationkey, n_name, n_regionkey, load_tag FROM ddl_rt_nation"
-    )
+    try:
+        spark.sql(
+            f"""CREATE TABLE ddl_rt_nation (
+                   n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+               ) USING parquet LOCATION '{loc}'"""
+        )
+        spark.sql("ALTER TABLE ddl_rt_nation ADD COLUMNS (load_tag STRING)")
+        spark.sql(
+            """INSERT INTO ddl_rt_nation
+               SELECT n_nationkey, n_name, n_regionkey, 'batch1' AS load_tag
+               FROM nation_src"""
+        )
+        readback = spark.sql(
+            "SELECT n_nationkey, n_name, n_regionkey, load_tag FROM ddl_rt_nation"
+        )
+        rows = readback.collect()
+        return spark.createDataFrame(rows, schema=readback.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_rt_nation")
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 SQL_SQL_DDL_ROUNDTRIP = """

@@ -119,19 +119,26 @@ FROM top1 GROUP BY q_label
 # -- qid: token_freq --------------------------------------------------
 
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by frequency. The cut is
+    ``orderBy().limit(20)`` → TakeOrderedAndProject (partial top-k per
+    partition, k rows to the driver-side reducer) — the rank window
+    then runs over only those 20 rows, never the full vocabulary (the
+    bm25_topk pattern, operators/retrieval.py)."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens_col()).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 SQL_TOKEN_FREQ = """
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
-SELECT token, n, CAST(rnk AS INT) AS rnk FROM (
-  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM counts
-) WHERE rnk <= 20
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+top AS (SELECT * FROM counts ORDER BY n DESC, token LIMIT 20)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rnk
+FROM top
 """
 
 

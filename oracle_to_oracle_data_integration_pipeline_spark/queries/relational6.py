@@ -229,9 +229,11 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with maximum revenue in a quarter: revenue view +
-    scalar-max subquery, expressed as an unpartitioned window max (one
-    extra tiny shuffle of the 1-row-per-supplier aggregate, never the
-    fact table).
+    scalar-max subquery. The scalar max is a 1-row AGGREGATE broadcast
+    back over the per-supplier revenues — not a window: an
+    unpartitioned window max would funnel the whole (unbounded
+    |suppliers|) revenue table through one partition, whereas the
+    aggregate reduces tree-wise and the filter stays map-side.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -242,8 +244,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

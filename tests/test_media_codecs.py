@@ -186,3 +186,75 @@ def test_resize_nearest_identity_and_downsample():
     assert len(small) == 2 * 2 * 3
     # corner pixel (0,0) is preserved by nearest-neighbor
     assert small[:3] == px[:3]
+
+
+# -- optional-dependency dispatch (JPEG et al. via Pillow when present) --
+
+JPEG_MAGIC_PAYLOAD = b"\xff\xd8\xff\xe0" + b"\x00" * 60  # passes no stdlib sniff
+
+
+class _FakePilImage:
+    """Stands in for a PIL.Image.Image: context manager + size/format."""
+
+    size = (640, 480)
+    format = "JPEG"
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def test_decode_media_uses_pillow_when_importable(monkeypatch):
+    """With Pillow importable, a JPEG payload decodes for real through
+    the optional-dependency dispatch — no stub, no raise."""
+    import sys
+    import types
+
+    image_mod = types.SimpleNamespace(open=lambda buf: _FakePilImage())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    meta = decode_media(JPEG_MAGIC_PAYLOAD, fake=False)
+    assert meta == {
+        "n_bytes": len(JPEG_MAGIC_PAYLOAD),
+        "width": 640,
+        "height": 480,
+        "fmt": "jpeg",
+    }
+
+
+def test_decode_media_pillow_unreadable_payload_falls_back(monkeypatch):
+    """A payload Pillow rejects flows on to the stub/raise path — the
+    dispatch never masks the documented contract."""
+    import sys
+    import types
+
+    def _raise(_buf):
+        raise OSError("cannot identify image file")
+
+    image_mod = types.SimpleNamespace(open=_raise)
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    with pytest.raises(NotImplementedError):
+        decode_media(JPEG_MAGIC_PAYLOAD, fake=False)
+    assert decode_media(JPEG_MAGIC_PAYLOAD, fake=True)["fmt"] == "fake"
+
+
+def test_decode_media_without_pillow_keeps_stub_contract():
+    """In this container Pillow is absent: codec-library formats raise
+    without fake=True and stub deterministically with it — unchanged
+    behavior, now guarded."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import _try_import_pil
+
+    if _try_import_pil() is not None:
+        pytest.skip("Pillow installed; the no-lib path is not reachable here")
+    with pytest.raises(NotImplementedError):
+        decode_media(JPEG_MAGIC_PAYLOAD, fake=False)
+    assert decode_media(JPEG_MAGIC_PAYLOAD, fake=True)["fmt"] == "fake"

@@ -298,10 +298,40 @@ def test_winsorize_single_stats_exchange(spark, sf_dir):
 
 
 def test_vocab_build_single_count_exchange(spark, sf_dir):
-    """Token counting is the only hash exchange; the ranking window
-    runs post-aggregation over the (small) vocabulary."""
+    """Token counting is the only hash exchange; the top-V cut is
+    TakeOrderedAndProject (partial per-partition top-k), so the
+    id-minting rank window runs over at most V rows — never an
+    unpartitioned window over the full vocabulary."""
     p = plan_str(spark, sf_dir, "vocab_build")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_token_freq_distributed_topk(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject, never a global rank
+    window over the entire token-frequency table (the bm25_topk
+    pattern — the rank window then covers only 20 rows)."""
+    p = plan_str(spark, sf_dir, "token_freq")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pareto_revenue_no_global_window(spark, sf_dir):
+    """Decile assignment is map-only against sketch cut points — no
+    Window operator and no global Sort anywhere in the plan (the old
+    ntile form single-partitioned the per-customer table)."""
+    p = plan_str(spark, sf_dir, "pareto_revenue")
+    assert "Window" not in p
+    assert "Sort [" not in p
+
+
+def test_spearman_rank_tables_broadcast_unhinted(spark, sf_dir):
+    """At fixture cardinality the rank tables broadcast via the
+    planner's size threshold — with NO explicit hint, so a
+    high-cardinality column degrades to a shuffle join instead of
+    force-shipping an unbounded table (the unigram_nll rationale)."""
+    p = plan_str(spark, sf_dir, "spearman_corr")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_pit_join_is_equi_not_interval_nlj(spark, sf_dir):
@@ -365,3 +395,11 @@ def test_minmax_downsample_single_combinable_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" not in p
     assert "partial_min_by" in p and "partial_max_by" in p
+
+
+def test_q15_scalar_max_is_aggregate_not_window(spark, sf_dir):
+    """Q15's scalar-max subquery must reduce as a 1-row aggregate
+    broadcast back over the per-supplier revenues — an unpartitioned
+    window max would single-partition the revenue table."""
+    p = plan_str(spark, sf_dir, "q15_top_supplier")
+    assert "Window" not in p

@@ -105,3 +105,39 @@ def test_cluster_by_range_prunable_footers(spark, tmp_path):
     a = spark.read.parquet(clustered).filter("k between 10000 and 15000").count()
     b = spark.read.parquet(baseline).filter("k between 10000 and 15000").count()
     assert a == b == 5001
+
+
+def test_bloom_prefilter_string_keys_actually_filter(spark):
+    """Keys are hashed in canonical STRING form: a long-cast of a
+    non-numeric string key would be NULL, collapsing every hash
+    position to a seed constant so ALL probe rows pass (the filter
+    silently becomes a no-op). With string hashing, non-member string
+    keys are (near-certainly, fpr ~1e-9 at this density) rejected."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(2000)], "k string"
+    )
+    keys = spark.createDataFrame([(f"key_{i}",) for i in range(10)], "k string")
+    passed = bloom_prefilter(big, keys, "k", "k").count()
+    # all 10 members pass; the 1990 non-members must be (almost) all
+    # rejected — the broken long-cast form passed all 2000
+    assert passed < 50
+    exact = {r["k"] for r in bloom_semi_join(big, keys, "k", "k").collect()}
+    assert exact == {f"key_{i}" for i in range(10)}
+
+
+def test_bloom_prefilter_numeric_keys_unchanged(spark):
+    """Numeric keys keep working through the same canonical string
+    form (int vs long widths canonicalize identically)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        bloom_prefilter,
+    )
+
+    big = spark.range(0, 2000).select(F.col("id").alias("k"))
+    keys = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    rows = {r["k"] for r in bloom_prefilter(big, keys, "k", "k").collect()}
+    assert set(range(10)) <= rows and len(rows) < 50

@@ -381,3 +381,24 @@ def test_kmv_estimate_accuracy_against_exact(spark, sf_dir):
              .collect()}
     for et, n in exact.items():
         assert abs(est[et] - n) / n < 0.35, (et, est[et], n)
+
+
+def test_chi2_null_categories_dropped(spark):
+    """NULL categories must not poison the statistic: a NULL group
+    would pass the observed groupBy but fail the cross-product
+    equality join, yielding a 0/0 expected count (NaN chi2). Rows
+    null in either column are excluded up front — the result equals
+    the statistic over the complete pairs only."""
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5
+    clean = spark.createDataFrame(rows, "r string, c string")
+    dirty = clean.unionAll(
+        spark.createDataFrame(
+            [(None, "x"), ("a", None), (None, None)], "r string, c string"
+        )
+    )
+    got = chi2_independence(dirty, "r", "c").collect()[0]
+    want = chi2_independence(clean, "r", "c").collect()[0]
+    assert got["n"] == want["n"] == 20
+    assert got["dof"] == want["dof"]
+    assert got["chi2"] == want["chi2"]
+    assert got["chi2"] == got["chi2"]  # not NaN

@@ -47,6 +47,11 @@ SHOW = [
     ("mixture_temperature", "per-source counts once; sqrt-rate table broadcast back, keep decision entirely map-side"),
     ("time_weighted_avg", "lead window and per-key reduction share a single user_id exchange"),
     ("ab_test_lift", "user-keyed conversion agg, two-row arm table, scalar statistic - no corpus-sized shuffle after the first agg"),
+    # round-4 plan rewrites: the three global-window hazards killed
+    ("token_freq", "top-20 via TakeOrderedAndProject; rank window covers only the 20 survivors"),
+    ("vocab_build", "top-V cut via TakeOrderedAndProject; id-minting window bounded by V, never the full vocabulary"),
+    ("pareto_revenue", "decile cut points from one percentile_approx pass; map-only bucket assignment, no window, no sort"),
+    ("q15_top_supplier", "scalar-max subquery as a 1-row aggregate broadcast, not an unpartitioned window max"),
 ]
 
 

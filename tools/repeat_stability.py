@@ -39,6 +39,13 @@ DEFAULT_QIDS = [
     "cdc_merge",
     "bpe_encode",
     "neardup_resolve",
+    "bfs_levels",           # localCheckpoints per BFS round
+    "sql_ddl_roundtrip",    # catalog DDL + tempdir lifecycle per run
+    # round-4 plan rewrites (global window -> TakeOrdered / sketch
+    # cuts) — watched here so the fixes are measured, not asserted
+    "token_freq",
+    "pareto_revenue",
+    "vocab_build",
 ]
 
 
