@@ -277,3 +277,52 @@ def minmax_downsample(
             F.expr("max_by(pid, struct(v, pid))").alias("max_point_id"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the recursive
+    smoother (s₀ = x₀; sₜ = α·xₜ + (1−α)·sₜ₋₁) no window frame can
+    express: every prefix weight changes with t, so this is the
+    canonical custom STATEFUL kernel. Runs as Arrow-batched
+    ``applyInPandas`` per key: one hash shuffle on the key, O(1) state
+    per key inside the kernel, series ordered by (ts, tiebreak) for a
+    deterministic recursion. Returns one row per key:
+    (key, n_points, ewma).
+
+    Cross-engine exactness: the recursion is a fixed sequence of IEEE
+    double ops (α·x + (1−α)·s, in that operand order), so any engine
+    replaying the same ordered series produces bit-identical doubles —
+    DuckDB's ``list_reduce(list(v ORDER BY ts), (acc, x) -> α*x +
+    (1-α)*acc)`` is the oracle twin, no rounding tolerance needed.
+
+    At 100 TB: state is one double per key and batches stream through
+    Arrow; a key's full series must fit one Arrow batch group — for
+    unbounded series, feed pre-resampled buckets (``resample``) or the
+    Structured Streaming twin (applyInPandasWithState keeps s across
+    micro-batches instead of re-reading history).
+    """
+    import pandas as pd
+
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+    a = float(alpha)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols)
+        s = None
+        for x in pdf[value]:
+            x = float(x)
+            s = x if s is None else a * x + (1.0 - a) * s
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n_points": [len(pdf)], "ewma": [s]}
+        )
+
+    base = df.where(F.col(value).isNotNull()).select(key, *order_cols, value)
+    out_schema = f"{key} long, n_points long, ewma double"
+    return base.groupBy(key).applyInPandas(kernel, schema=out_schema)

@@ -20,6 +20,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     llm_queries3,
     llm_queries4,
     quality_queries,
+    reconcile_queries,
     retrieval_queries,
     timeseries_queries,
     relational,
@@ -49,6 +50,7 @@ _MODULES = [
     llm_queries3,
     llm_queries4,
     quality_queries,
+    reconcile_queries,
     retrieval_queries,
     timeseries_queries,
     clustering_queries,
@@ -142,6 +144,13 @@ _VERIFY_FIRST = [
     "media_resize",
     "media_frames",
     "media_features",
+    # --- new this round (reconciliation + stateful EWMA): queue
+    # behind the owed 63 so they don't displace older evidence ---
+    "checksum_diff",
+    "cdc_op_priority",
+    "schema_diff",
+    "ewma_smooth",
+    "stream_ewma",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

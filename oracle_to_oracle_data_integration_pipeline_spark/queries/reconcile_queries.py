@@ -1,0 +1,234 @@
+"""Reconciliation qids — the validation surface of a replication
+pipeline (operators/reconcile.py): anti-entropy checksum compare,
+same-timestamp CDC conflict resolution, and schema diff. The reference
+replicates Oracle→Oracle and trusts MERGE row counts
+(`/root/reference/scripts/03_cdc_etl.py`); these prove convergence.
+
+Cross-engine hashing notes: all digests ride md5 over canonical STRING
+forms (the md5_frac52 idiom). Doubles are decimal(18,2)-cast before
+stringification — Spark's Java double→string switches to scientific
+notation at 1e7 where DuckDB does not, so raw double strings would
+silently diverge at scale; decimal strings are format-stable in both.
+Timestamps are excluded from digests for the same reason (trailing-zero
+micros print differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+    resolve_op_conflicts,
+    schema_diff,
+    table_checksum_diff,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+
+# -- qid: checksum_diff ------------------------------------------------
+
+CKD_BUCKETS = 64
+CKD_DROP_MOD = 101   # target is missing keys divisible by this
+CKD_DRIFT_MOD = 97   # target drifted +1.00 on keys divisible by this
+
+
+def _ckd_prep(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_s"),
+    )
+
+
+def q_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style level-1 anti-entropy audit: source = orders;
+    target = orders with simulated replication drift (keys ÷101
+    missing, keys ÷97 price-drifted +1.00). Each side reduces to 64
+    order-independent bucket digests (map-side combinable 52-bit
+    DECIMAL sums of per-row md5s) and ONLY the digests join — at
+    100 TB the compare ships 64 rows per side, never data. Buckets
+    containing a drifted/missing key flag digests_match=0; clean
+    buckets prove bitwise convergence."""
+    o = load(spark, sf_dir, "orders")
+    source = _ckd_prep(o)
+    target = _ckd_prep(
+        o.where(F.col("o_orderkey") % CKD_DROP_MOD != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % CKD_DRIFT_MOD == 0,
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return table_checksum_diff(
+        source,
+        target,
+        keys=["o_orderkey"],
+        digest_cols=["o_custkey", "o_orderstatus", "price_s"],
+        n_buckets=CKD_BUCKETS,
+    )
+
+
+SQL_CHECKSUM_DIFF = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_s
+  FROM orders
+),
+tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(CASE WHEN o_orderkey % {CKD_DRIFT_MOD} = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+              AS DECIMAL(18,2)) AS VARCHAR) AS price_s
+  FROM orders WHERE o_orderkey % {CKD_DROP_MOD} <> 0
+),
+sd AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+           % {CKD_BUCKETS} AS bucket,
+         count(*) AS n_rows,
+         sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus, price_s)), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+  FROM src GROUP BY 1
+),
+td AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+           % {CKD_BUCKETS} AS bucket,
+         count(*) AS n_rows,
+         sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus, price_s)), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+  FROM tgt GROUP BY 1
+)
+SELECT coalesce(sd.bucket, td.bucket) AS bucket,
+       coalesce(sd.n_rows, 0) AS n_source,
+       coalesce(td.n_rows, 0) AS n_target,
+       CAST(CASE WHEN sd.digest IS NOT NULL AND td.digest IS NOT NULL
+                  AND sd.digest = td.digest AND sd.n_rows = td.n_rows
+            THEN 1 ELSE 0 END AS INT) AS digests_match
+FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+"""
+
+
+# -- qid: cdc_op_priority ----------------------------------------------
+
+OPP_KEYS = 500
+
+
+def q_cdc_op_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-timestamp CDC conflict resolution: a delta batch with ~30
+    ops per key (orders folded onto {OPP_KEYS} keys, timestamps
+    truncated to month so ties are guaranteed) resolved to ONE
+    surviving op per key by (ts DESC, D>U>I priority, key DESC
+    tiebreak). The reference's MERGE keeps max(last_updated) and
+    leaves equal-timestamp order to the database; this pins it.
+    Keyed window — one hash shuffle, the latest-per-key plan."""
+    o = load(spark, sf_dir, "orders")
+    delta = o.select(
+        (F.col("o_orderkey") % OPP_KEYS).alias("merge_key"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("op_ts"),
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        ).alias("op"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    resolved = resolve_op_conflicts(
+        delta, ["merge_key"], ts_col="op_ts", op_col="op", tiebreak=["o_orderkey"]
+    )
+    return resolved.select(
+        "merge_key", "op_ts", "op", "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "n_conflicts",
+    )
+
+
+SQL_CDC_OP_PRIORITY = f"""
+WITH delta AS (
+  SELECT o_orderkey % {OPP_KEYS} AS merge_key,
+         date_trunc('month', o_orderdate) AS op_ts,
+         CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+         o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY merge_key
+           ORDER BY op_ts DESC,
+                    CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC,
+                    o_orderkey DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY merge_key) AS n_conflicts
+  FROM delta
+)
+SELECT merge_key, op_ts, op, o_orderkey, CAST(price AS DOUBLE) AS price,
+       n_conflicts
+FROM ranked WHERE rn = 1
+"""
+
+
+# -- qid: schema_diff --------------------------------------------------
+
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level source/target schema diff — the decision input of
+    the reference's prepare-CDC-columns step
+    (scripts/01_prepare_cdc_columns:20-38: find missing audit columns,
+    ALTER TABLE ADD them). Target simulates a drifted replica of
+    orders: one column dropped, one added, one re-typed — so all four
+    statuses (add/drop/type_change/common) appear. Driver-side
+    metadata only; no data is scanned."""
+    src = load(spark, sf_dir, "orders")
+    tgt = (
+        src.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .withColumn("load_tag", F.lit("batch1"))
+    )
+    return schema_diff(spark, src, tgt)
+
+
+SQL_SCHEMA_DIFF = """
+WITH src AS (
+  SELECT column_name,
+         CASE data_type
+           WHEN 'INTEGER' THEN 'int'
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'TIMESTAMP' THEN 'timestamp'
+           ELSE lower(data_type)
+         END AS source_type
+  FROM information_schema.columns WHERE table_name = 'orders'
+),
+tgt AS (
+  SELECT column_name,
+         CASE WHEN column_name = 'o_totalprice' THEN 'string'
+              ELSE source_type END AS target_type
+  FROM src WHERE column_name <> 'o_orderpriority'
+  UNION ALL SELECT 'load_tag', 'string'
+)
+SELECT coalesce(s.column_name, t.column_name) AS column_name,
+       s.source_type, t.target_type,
+       CASE WHEN t.column_name IS NULL THEN 'add'
+            WHEN s.column_name IS NULL THEN 'drop'
+            WHEN s.source_type <> t.target_type THEN 'type_change'
+            ELSE 'common' END AS status
+FROM src s FULL OUTER JOIN tgt t ON s.column_name = t.column_name
+"""
+
+
+QUERIES = {
+    "checksum_diff": q_checksum_diff,
+    "cdc_op_priority": q_cdc_op_priority,
+    "schema_diff": q_schema_diff,
+}
+
+ORACLE_SQL = {
+    "checksum_diff": SQL_CHECKSUM_DIFF,
+    "cdc_op_priority": SQL_CDC_OP_PRIORITY,
+    "schema_diff": SQL_SCHEMA_DIFF,
+}

@@ -450,6 +450,83 @@ GROUP BY event_type
 """
 
 
+# -- qid: stream_ewma (order-sensitive recursive state) ---------------
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA: the ORDER-SENSITIVE recursion carried
+    across 8 real micro-batches in ``applyInPandasWithState`` state
+    (streaming/stateful.py ``ewma_state`` — one double per key). The
+    harness splits the fixture into 8 EVENT-TIME-RANGE files (ntile
+    over ts; written sequentially so modification times ascend) and
+    the file source consumes them oldest-first, so batches arrive in
+    event-time order — unlike stream_stateful's commutative totals,
+    an arbitrary split would NOT converge here, which is exactly what
+    this qid proves the state machinery handles. A correctly-ordered
+    stream replays the identical IEEE op sequence as the batch kernel,
+    so the oracle is the batch list_reduce SQL, exact-hash-compared."""
+    from pyspark.sql import Window
+
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
+        EWMA_ALPHA,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import (
+        ewma_state,
+    )
+
+    tune(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_ewma_")
+    name = f"events_ewma_{uuid.uuid4().hex[:8]}"
+    try:
+        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # 8 contiguous event-time ranges; file i+1 strictly later than i
+        w = Window.orderBy("ts", "event_id")
+        bucketed = src_df.withColumn("_b", F.ntile(8).over(w))
+        for i in range(1, 9):
+            (
+                bucketed.where(F.col("_b") == i)
+                .drop("_b")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stream_dir)
+            )
+        stream = normalize_events_ts(
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)  # latestFirst=false: oldest mtime first
+            .parquet(stream_dir)
+        )
+        q = (
+            ewma_state(stream, alpha=EWMA_ALPHA)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table(name)
+        emissions = spark.createDataFrame(sunk.collect(), sunk.schema)
+        wf = Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
+        return (
+            emissions.withColumn("__rn", F.row_number().over(wf))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n_points", "ewma")
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+def _sql_stream_ewma() -> str:
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
+        SQL_EWMA_SMOOTH,
+    )
+
+    return SQL_EWMA_SMOOTH
+
+
 QUERIES = {
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
@@ -458,6 +535,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_incremental": q_stream_incremental,
     "stream_stateful": q_stream_stateful,
+    "stream_ewma": q_stream_ewma,
     "stream_cdc_feed": q_stream_cdc_feed,
 }
 
@@ -469,5 +547,6 @@ ORACLE_SQL = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_incremental": SQL_STREAM_INCREMENTAL,
     "stream_stateful": SQL_STREAM_STATEFUL,
+    "stream_ewma": _sql_stream_ewma(),
     "stream_cdc_feed": SQL_STREAM_CDC_FEED,
 }

@@ -496,7 +496,45 @@ GROUP BY user_id, bucket_start
 """
 
 
+# -- qid: ewma_smooth --------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α=0.2) — the recursive smoother
+    no window frame expresses (every prefix weight changes with t),
+    run as a per-key Arrow ``applyInPandas`` kernel
+    (operators/timeseries.py ``ewma``). The recursion is a fixed
+    sequence of IEEE double ops, so the oracle's ``list_reduce`` twin
+    reproduces it BIT-IDENTICALLY: a stateful Python kernel whose
+    output is exact-hash-compared, not bounds-gated."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
+        ewma,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return ewma(
+        e, key="user_id", ts="ts", value="value",
+        alpha=EWMA_ALPHA, tiebreak="event_id",
+    )
+
+
+SQL_EWMA_SMOOTH = f"""
+SELECT user_id,
+       count(*) AS n_points,
+       list_reduce(
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+         (acc, x) -> {EWMA_ALPHA} * x + (1.0 - {EWMA_ALPHA}) * acc
+       ) AS ewma
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "ewma_smooth": q_ewma_smooth,
     "time_weighted_avg": q_time_weighted_avg,
     "counter_agg": q_counter_agg,
     "state_durations": q_state_durations,
@@ -512,6 +550,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ewma_smooth": SQL_EWMA_SMOOTH,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "counter_agg": SQL_COUNTER_AGG,
     "state_durations": SQL_STATE_DURATIONS,

@@ -107,3 +107,69 @@ def running_totals_exact(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- order-sensitive recursive state: streaming EWMA ------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def ewma_state(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming per-key EWMA — the ORDER-SENSITIVE recursion
+    (s₀ = x₀; sₜ = α·xₜ + (1−α)·sₜ₋₁) carried across micro-batches in
+    the state store: one double + one long per key, bounded by key
+    cardinality regardless of stream length. This is the case
+    ``applyInPandasWithState`` exists for — the batch twin
+    (operators/timeseries.ewma) must re-read a key's whole history,
+    the streaming form folds each new batch into O(1) state.
+
+    Contract: micro-batches must arrive in event-time order per key
+    (the qid harness splits the fixture into ts-range files consumed
+    oldest-first); rows WITHIN a batch are sorted by (ts, event_id)
+    before folding. Late data that violates the contract corrupts the
+    recursion — reorder upstream (watermark + sort in foreachBatch) or
+    fall back to the batch operator. The fold is the same fixed IEEE
+    double op sequence as the batch kernel, so a correctly-ordered
+    stream reproduces the batch EWMA bit-for-bit (the stream_ewma
+    qid's oracle is the batch list_reduce SQL, exact-hash-compared).
+    """
+    a = float(alpha)
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        s, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                if pd.isna(x):
+                    continue
+                x = float(x)
+                s = x if n == 0 else a * x + (1.0 - a) * s
+                n += 1
+        if n:
+            state.update((s, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_points": [n], "ewma": [s]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -403,3 +403,35 @@ def test_q15_scalar_max_is_aggregate_not_window(spark, sf_dir):
     window max would single-partition the revenue table."""
     p = plan_str(spark, sf_dir, "q15_top_supplier")
     assert "Window" not in p
+
+
+def test_checksum_diff_partial_digest_aggregation(spark, sf_dir):
+    """Each side's bucket digest must reduce with map-side partial
+    aggregation (the 100 TB contract: only |buckets| digest rows cross
+    any wire), and nothing may cartesian."""
+    p = plan_str(spark, sf_dir, "checksum_diff")
+    assert "partial_sum" in p and "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ewma_is_arrow_grouped_map(spark, sf_dir):
+    """The EWMA kernel must run as Arrow applyInPandas (grouped map),
+    never row-at-a-time Python."""
+    p = plan_str(spark, sf_dir, "ewma_smooth")
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cdc_op_priority_single_exchange(spark, sf_dir):
+    """Both windows (rank + conflict count) ride one merge_key hash
+    exchange."""
+    p = plan_str(spark, sf_dir, "cdc_op_priority")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_schema_diff_no_data_pass(spark, sf_dir):
+    """Schema diff is driver-side metadata: the plan must not scan
+    parquet or shuffle."""
+    p = plan_str(spark, sf_dir, "schema_diff")
+    assert "Exchange" not in p
+    assert "parquet" not in p.lower()

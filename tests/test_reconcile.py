@@ -1,0 +1,140 @@
+"""Unit tests for the reconciliation operators
+(operators/reconcile.py) and the EWMA stateful kernel
+(operators/timeseries.py ewma)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+    bucket_row_diff,
+    resolve_op_conflicts,
+    schema_diff,
+    table_checksum_diff,
+)
+
+
+def _pair(spark):
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, payload string"
+    )
+    # target: key 7 missing, key 13 changed, key 500 extra
+    tgt = spark.createDataFrame(
+        [(i, "CHANGED" if i == 13 else f"v{i}") for i in range(200) if i != 7]
+        + [(500, "extra")],
+        "k long, payload string",
+    )
+    return src, tgt
+
+
+def test_checksum_diff_flags_only_drifted_buckets(spark):
+    src, tgt = _pair(spark)
+    out = table_checksum_diff(src, tgt, ["k"], ["payload"], n_buckets=16).collect()
+    assert sum(r["n_source"] for r in out) == 200
+    assert sum(r["n_target"] for r in out) == 200  # -1 missing +1 extra
+    bad = [r for r in out if r["digests_match"] == 0]
+    # the three drifted keys hit at most 3 buckets, at least 1
+    assert 1 <= len(bad) <= 3
+    ok = [r for r in out if r["digests_match"] == 1]
+    assert ok, "clean buckets must verify"
+
+
+def test_checksum_diff_identical_tables_all_match(spark):
+    src, _ = _pair(spark)
+    out = table_checksum_diff(src, src, ["k"], ["payload"], n_buckets=16).collect()
+    assert all(r["digests_match"] == 1 for r in out)
+    assert all(r["n_source"] == r["n_target"] for r in out)
+
+
+def test_bucket_row_diff_attributes_each_drift(spark):
+    src, tgt = _pair(spark)
+    flagged = [
+        r["bucket"]
+        for r in table_checksum_diff(src, tgt, ["k"], ["payload"], n_buckets=16)
+        .where(F.col("digests_match") == 0)
+        .collect()
+    ]
+    rows = {
+        r["k"]: r["status"]
+        for r in bucket_row_diff(
+            src, tgt, ["k"], ["payload"], buckets=flagged, n_buckets=16
+        ).collect()
+    }
+    assert rows == {7: "source_only", 13: "changed", 500: "target_only"}
+
+
+def test_resolve_op_conflicts_priority_and_ts(spark):
+    delta = spark.createDataFrame(
+        [
+            # key 1: later ts wins regardless of priority
+            (1, 10, "D", "old"),
+            (1, 20, "I", "new"),
+            # key 2: same ts -> D beats U beats I
+            (2, 10, "I", "i"),
+            (2, 10, "U", "u"),
+            (2, 10, "D", "d"),
+            # key 3: same ts and op -> tiebreak column (desc) decides
+            (3, 10, "U", "a"),
+            (3, 10, "U", "b"),
+        ],
+        "k long, op_ts long, op string, payload string",
+    )
+    out = {
+        r["k"]: (r["op"], r["payload"], r["n_conflicts"])
+        for r in resolve_op_conflicts(
+            delta, ["k"], ts_col="op_ts", op_col="op", tiebreak=["payload"]
+        ).collect()
+    }
+    assert out[1] == ("I", "new", 2)
+    assert out[2] == ("D", "d", 3)
+    assert out[3] == ("U", "b", 2)
+
+
+def test_schema_diff_all_statuses(spark):
+    src = spark.createDataFrame([(1, 1.0, "x")], "a long, b double, c string")
+    tgt = src.drop("c").withColumn("b", F.col("b").cast("string")).withColumn(
+        "d", F.lit(1)
+    )
+    rows = {r["column_name"]: r["status"] for r in schema_diff(spark, src, tgt).collect()}
+    assert rows == {"a": "common", "b": "type_change", "c": "add", "d": "drop"}
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """Independent check: the recursion equals pandas
+    ewm(alpha, adjust=False).mean()'s last value per key."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import ewma
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 5 + [2] * 3,
+            "ts": list(range(5)) + list(range(3)),
+            "v": [3.14, 2.71, 6.55, 0.001, 123.456, 1.0, 2.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf, "k long, ts long, v double")
+    got = {
+        r["k"]: (r["n_points"], r["ewma"])
+        for r in ewma(df, "k", "ts", "v", alpha=0.2).collect()
+    }
+    want = {
+        int(k): (len(g), g.sort_values("ts")["v"].ewm(alpha=0.2, adjust=False).mean().iloc[-1])
+        for k, g in pdf.groupby("k")
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=0.0)
+
+
+def test_ewma_null_values_excluded(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, None), (1, 3, 4.0)], "k long, ts long, v double"
+    )
+    out = ewma(df, "k", "ts", "v", alpha=0.5).collect()[0]
+    assert out["n_points"] == 2
+    assert out["ewma"] == 0.5 * 4.0 + 0.5 * 2.0
