@@ -65,6 +65,9 @@ HEADLINE = [
     "token_freq",
     "pareto_revenue",
     "vocab_build",
+    # round-4 additions: anti-entropy digest compare, stateful EWMA
+    "checksum_diff",
+    "ewma_smooth",
 ]
 
 

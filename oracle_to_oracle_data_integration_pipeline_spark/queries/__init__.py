@@ -147,6 +147,7 @@ _VERIFY_FIRST = [
     # --- new this round (reconciliation + stateful EWMA): queue
     # behind the owed 63 so they don't displace older evidence ---
     "checksum_diff",
+    "checksum_drill",
     "cdc_op_priority",
     "schema_diff",
     "ewma_smooth",

@@ -112,6 +112,55 @@ FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
 """
 
 
+# -- qid: checksum_drill -----------------------------------------------
+
+def q_checksum_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-entropy drill-down pass: level-1 digests flag the
+    drifted buckets (collected — ≤64 ids, control plane), then the
+    row-level diff runs ONLY over those buckets' slice, emitting
+    exactly the drifted keys with their drift class. At 100 TB the
+    expensive keyed full-outer join touches |flagged buckets|/64 of
+    each table instead of all of it — and in the common all-clean case,
+    nothing at all."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+        bucket_row_diff,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    source = _ckd_prep(o)
+    target = _ckd_prep(
+        o.where(F.col("o_orderkey") % CKD_DROP_MOD != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % CKD_DRIFT_MOD == 0,
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    level1 = table_checksum_diff(
+        source, target, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price_s"], n_buckets=CKD_BUCKETS,
+    )
+    flagged = [
+        r["bucket"]
+        for r in level1.where(F.col("digests_match") == 0).collect()
+    ]
+    return bucket_row_diff(
+        source, target, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price_s"],
+        buckets=flagged, n_buckets=CKD_BUCKETS,
+    )
+
+
+SQL_CHECKSUM_DRILL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {CKD_DROP_MOD} = 0 THEN 'source_only'
+            ELSE 'changed' END AS status
+FROM orders
+WHERE o_orderkey % {CKD_DROP_MOD} = 0 OR o_orderkey % {CKD_DRIFT_MOD} = 0
+"""
+
+
 # -- qid: cdc_op_priority ----------------------------------------------
 
 OPP_KEYS = 500
@@ -223,12 +272,14 @@ FROM src s FULL OUTER JOIN tgt t ON s.column_name = t.column_name
 
 QUERIES = {
     "checksum_diff": q_checksum_diff,
+    "checksum_drill": q_checksum_drill,
     "cdc_op_priority": q_cdc_op_priority,
     "schema_diff": q_schema_diff,
 }
 
 ORACLE_SQL = {
     "checksum_diff": SQL_CHECKSUM_DIFF,
+    "checksum_drill": SQL_CHECKSUM_DRILL,
     "cdc_op_priority": SQL_CDC_OP_PRIORITY,
     "schema_diff": SQL_SCHEMA_DIFF,
 }

@@ -402,3 +402,32 @@ def test_chi2_null_categories_dropped(spark):
     assert got["dof"] == want["dof"]
     assert got["chi2"] == want["chi2"]
     assert got["chi2"] == got["chi2"]  # not NaN
+
+
+def test_spearman_high_cardinality_shuffle_fallback(spark):
+    """With the broadcast threshold disabled, the (unhinted) rank-table
+    joins must degrade to shuffle joins — the guard that prevents
+    force-shipping an unbounded |distinct| table to the driver — and
+    the statistic must be unchanged from the broadcast plan."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    # near-unique x (high cardinality), correlated y
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 4999).cast("double").alias("x"),
+        ((F.col("id") * 7919 % 4999) * 2 + (F.col("id") % 13)).cast("double").alias("y"),
+    )
+    base = spearman_corr(df, "x", "y").collect()[0]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out_df = spearman_corr(df, "x", "y")
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, "hint must not override the threshold"
+        out = out_df.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert out["n"] == base["n"] == 5000
+    assert out["spearman"] == base["spearman"]
+    assert out["spearman"] > 0.99  # strongly monotone by construction

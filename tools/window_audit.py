@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Unpartitioned-window sweep: build every registered batch qid's
+physical plan and flag Window operators with an EMPTY partition spec —
+the single-partition hazard class the round-3 verdict called out
+(token_freq / pareto_revenue / vocab_build, all since rewritten).
+
+A global window is only acceptable over a BOUNDED input (post-limit
+top-k rows, histogram buckets, a category cross product, a value-
+frequency table bounded by |distinct|). Those sites are whitelisted
+below WITH their bound; anything else flagging here is a scale bug —
+fix the plan (TakeOrderedAndProject / percentile_approx cut points /
+1-row aggregate broadcast are the in-repo patterns) before shipping.
+
+    python tools/window_audit.py          # exit 1 on unexpected hits
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+from oracle_to_oracle_data_integration_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# qid -> why its global window is bounded (and by what)
+WHITELIST = {
+    "token_freq": "rank window runs AFTER limit(20): 20 rows",
+    "vocab_build": "id window runs AFTER limit(V=4096): <=V rows",
+    "bm25_topk": "rank window runs AFTER limit(k): k rows",
+    "part_cooccurrence": "rank window AFTER limit(top_k): k rows",
+    "pmi_bigrams": "rank window AFTER limit(top_k): k rows",
+    "feature_bins": "exact ntile BY DESIGN; 100 TB path is feature_bins_sketch",
+    "budget_select": "cumulative sum over HISTOGRAM buckets: |buckets| rows",
+    "chi2_independence": "windows over the category cross product: |r|x|c| cells",
+    "spearman_corr": "cumulative count over value-frequency tables: |distinct| rows",
+}
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window lines whose windowspecdefinition has no leading partition
+    expressions (it starts with an ORDER BY expr or the frame spec)."""
+    hits = []
+    for line in plan.splitlines():
+        ls = line.strip()
+        if not re.search(r"\bWindow\b \[", ls):
+            continue
+        m = re.search(r"windowspecdefinition\((.*)$", ls)
+        if not m:
+            continue
+        inner = m.group(1)
+        # partitioned: "windowspecdefinition(col#1, ..., col ASC ..., specifiedwindowframe"
+        # unpartitioned: first element is an ordered expr or the frame itself
+        first = inner.split(",", 1)[0].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"(ASC|DESC) NULLS", first
+        ):
+            hits.append(ls[:160])
+    return hits
+
+
+def main() -> int:
+    spark = get_spark(
+        app_name="o2o_window_audit",
+        cpus=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = q.all_queries()
+    unexpected, errs = [], []
+    for qid, fn in reg.items():
+        if qid.startswith("stream_") or "pysource" in qid:
+            continue  # streaming harnesses: plans built per micro-batch
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - report, don't die mid-sweep
+            errs.append((qid, str(e).splitlines()[0][:120]))
+            continue
+        hits = unpartitioned_windows(plan)
+        if hits and qid not in WHITELIST:
+            unexpected.append((qid, hits[0]))
+        elif hits:
+            print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
+    for qid, err in errs:
+        print(f"ERROR building {qid}: {err}")
+    for qid, line in unexpected:
+        print(f"UNEXPECTED global window: {qid} | {line}")
+    print(f"swept {len(reg)} qids; unexpected={len(unexpected)} errors={len(errs)}")
+    return 1 if unexpected or errs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
