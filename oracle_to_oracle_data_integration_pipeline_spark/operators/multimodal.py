@@ -152,6 +152,21 @@ def extract_media_metadata(df_with_payload: DataFrame, fake: bool = True) -> Dat
 RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes_out int"
 
 
+def _resize_payload_real(payload: bytes, target_w: int, target_h: int) -> int:
+    """Real per-payload resize body (module-level so it is unit-testable
+    outside a Spark executor): Pillow when importable, else the
+    documented raise. Returns the target raster's raw pixel byte count
+    (w·h·bands)."""
+    pil_image = _try_import_pil()
+    if pil_image is None:
+        decode_media(b"", fake=False)  # raises: real path not available
+    import io
+
+    with pil_image.open(io.BytesIO(payload)) as img:
+        resized = img.resize((target_w, target_h))
+        return target_w * target_h * len(resized.getbands())
+
+
 def resize_media(
     df_with_payload: DataFrame,
     target_w: int = 32,
@@ -159,22 +174,30 @@ def resize_media(
     fake: bool = True,
 ) -> DataFrame:
     """Resize every payload to ``target_w x target_h`` — 1:1 row batch
-    shape. STUB: the fake models the real invariant (output byte count
-    is capped by the target raster, ``min(len, w*h)``) without a pixel
-    library; swapping in PIL changes only the per-row body."""
+    shape. The REAL stdlib nearest-neighbor kernel lives in
+    media_codecs (BMP; qid ``media_resize_real``); here the non-fake
+    path dispatches codec-library formats to Pillow when importable
+    (``img.resize``; n_bytes_out = the target raster's raw pixel
+    bytes), and otherwise raises. The fake models the real invariant
+    (output byte count capped by the target raster, ``min(len, w*h)``)
+    without a pixel library."""
     import pandas as pd
+
+    def real_resize(payload: bytes) -> int:
+        return _resize_payload_real(payload, target_w, target_h)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            if not fake:
-                decode_media(b"", fake=False)  # raises: real path not available
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "width": target_w,
                     "height": target_h,
                     "n_bytes_out": [
-                        min(len(p), target_w * target_h) for p in pdf["payload"]
+                        min(len(p), target_w * target_h)
+                        if fake
+                        else real_resize(p)
+                        for p in pdf["payload"]
                     ],
                 }
             )

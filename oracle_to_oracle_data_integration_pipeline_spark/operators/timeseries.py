@@ -315,10 +315,13 @@ def ewma(
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_cols)
-        s = None
-        for x in pdf[value]:
-            x = float(x)
-            s = x if s is None else a * x + (1.0 - a) * s
+        # pandas ewm(adjust=False) runs the SAME recursion in C:
+        # y = ((1-a)*y + a*x) / ((1-a) + a) — the divisor is exactly
+        # 1.0 and IEEE addition is commutative, so the result is
+        # bit-identical to the explicit a*x + (1-a)*s fold (pinned by
+        # tests/test_reconcile.py::test_ewma_matches_pandas_ewm with
+        # abs=0.0) at vectorized speed.
+        s = float(pdf[value].ewm(alpha=a, adjust=False).mean().iloc[-1])
         return pd.DataFrame(
             {key: [pdf[key].iloc[0]], "n_points": [len(pdf)], "ewma": [s]}
         )

@@ -152,6 +152,7 @@ _VERIFY_FIRST = [
     "schema_diff",
     "ewma_smooth",
     "stream_ewma",
+    "stream_watermark_late",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

@@ -527,6 +527,92 @@ def _sql_stream_ewma() -> str:
     return SQL_EWMA_SMOOTH
 
 
+# -- qid: stream_watermark_late (late-data drop semantics) ------------
+
+WM_DELAY = "1 hour"
+WM_SPLIT_TS = "2024-01-16 00:00:00"   # batch boundary (event-time range split)
+WM_LATE_BEFORE = "2024-01-08 00:00:00"  # the late echoes' event-time ceiling
+
+
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, end to end, across 3 real
+    micro-batches: batch 1 = early punctual rows (ts < Jan 16, minus
+    the late set), batch 2 = the punctual tail (advances the watermark
+    to max(ts) − 1h ≈ Jan 30), batch 3 = the LATE ECHOES — a
+    deterministic set of very-early rows (ts < Jan 8, event_id % 7 = 0)
+    withheld until after the watermark passed their windows. Their
+    hour windows were sealed and EVICTED at batch 2's commit, so
+    Structured Streaming must DROP all of them (verified while
+    building: numRowsDroppedByWatermark fires in batch 3; a late row
+    arriving while its window is still in state would instead merge —
+    which is why the echoes ride their own batch AFTER the seal).
+    Append mode emits exactly the windows the final watermark has
+    sealed. The oracle recomputes both effects in SQL: aggregate over
+    all rows EXCEPT the late set, keep windows with window_end ≤
+    max(ts) − 1h. (Watermark timestamps are tracked in millis; a flip
+    of the ≤ would need max(ts) − 1h to land within 1 ms above an hour
+    boundary — verified safe at all three fixture SFs.)"""
+    tune(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_wm_late_")
+    name = f"events_wm_late_{uuid.uuid4().hex[:8]}"
+    try:
+        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src_n = normalize_events_ts(src_df)
+        late_cond = (F.col("ts") < F.lit(WM_LATE_BEFORE).cast("timestamp")) & (
+            F.col("event_id") % 7 == 0
+        )
+        early = F.col("ts") < F.lit(WM_SPLIT_TS).cast("timestamp")
+        file1 = src_n.where(early & ~late_cond)
+        file2 = src_n.where(~early)              # punctual tail: seals early windows
+        file3 = src_n.where(late_cond)           # late echoes: must all drop
+        for part in (file1, file2, file3):
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = normalize_events_ts(
+            spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+            .option("maxFilesPerTrigger", 1)  # oldest mtime first
+            .parquet(stream_dir)
+        )
+        from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
+            tumbling_agg,
+        )
+
+        agg = tumbling_agg(stream.withWatermark("ts", WM_DELAY), "1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sunk = spark.table(name)
+        return spark.createDataFrame(sunk.collect(), sunk.schema)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+SQL_STREAM_WATERMARK_LATE = f"""
+WITH clean AS (
+  SELECT * FROM events
+  WHERE NOT (ts < TIMESTAMP '{WM_LATE_BEFORE}' AND event_id % 7 = 0)
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         count(*) AS n_events,
+         {_SUM_SQL} AS sum_value
+  FROM clean GROUP BY 1, 2, 3
+)
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+"""
+
+
 QUERIES = {
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
@@ -536,6 +622,7 @@ QUERIES = {
     "stream_incremental": q_stream_incremental,
     "stream_stateful": q_stream_stateful,
     "stream_ewma": q_stream_ewma,
+    "stream_watermark_late": q_stream_watermark_late,
     "stream_cdc_feed": q_stream_cdc_feed,
 }
 
@@ -548,5 +635,6 @@ ORACLE_SQL = {
     "stream_incremental": SQL_STREAM_INCREMENTAL,
     "stream_stateful": SQL_STREAM_STATEFUL,
     "stream_ewma": _sql_stream_ewma(),
+    "stream_watermark_late": SQL_STREAM_WATERMARK_LATE,
     "stream_cdc_feed": SQL_STREAM_CDC_FEED,
 }

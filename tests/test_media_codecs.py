@@ -258,3 +258,59 @@ def test_decode_media_without_pillow_keeps_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_media(JPEG_MAGIC_PAYLOAD, fake=False)
     assert decode_media(JPEG_MAGIC_PAYLOAD, fake=True)["fmt"] == "fake"
+
+
+def test_resize_kernel_dispatches_to_pillow(monkeypatch):
+    """The real resize body must go through Pillow when importable:
+    n_bytes_out = target raster raw pixel bytes (w·h·bands). Tested
+    driver-side on the module-level kernel (an executor's Python
+    worker would not see the monkeypatched module)."""
+    import sys
+    import types
+
+    class _Resized:
+        @staticmethod
+        def getbands():
+            return ("R", "G", "B")
+
+    class _Img(_FakePilImage):
+        @staticmethod
+        def resize(size):
+            assert size == (8, 8)
+            return _Resized()
+
+    image_mod = types.SimpleNamespace(open=lambda buf: _Img())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        _resize_payload_real,
+    )
+
+    assert _resize_payload_real(b"\xff\xd8" + b"x" * 100, 8, 8) == 192
+
+
+def test_resize_kernel_without_pillow_raises():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        _resize_payload_real,
+        _try_import_pil,
+    )
+
+    if _try_import_pil() is not None:
+        pytest.skip("Pillow installed; the no-lib path is not reachable here")
+    with pytest.raises(NotImplementedError):
+        _resize_payload_real(b"\xff\xd8" + b"x" * 100, 8, 8)
+
+
+def test_resize_media_fake_path_via_spark(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8" + b"x" * 100))], "doc_id long, payload binary"
+    )
+    rows = resize_media(df, target_w=8, target_h=8, fake=True).collect()
+    assert rows[0]["n_bytes_out"] == 64  # fake invariant: min(len, w*h)

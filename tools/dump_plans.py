@@ -52,6 +52,8 @@ SHOW = [
     ("vocab_build", "top-V cut via TakeOrderedAndProject; id-minting window bounded by V, never the full vocabulary"),
     ("pareto_revenue", "decile cut points from one percentile_approx pass; map-only bucket assignment, no window, no sort"),
     ("q15_top_supplier", "scalar-max subquery as a 1-row aggregate broadcast, not an unpartitioned window max"),
+    ("checksum_diff", "anti-entropy level-1: per-side partial-agg bucket digests; only 64 digest rows join"),
+    ("ewma_smooth", "order-sensitive recursive kernel as Arrow grouped-map: one key shuffle, no Python row loop"),
 ]
 
 
