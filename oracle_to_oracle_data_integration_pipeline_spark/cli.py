@@ -127,7 +127,13 @@ def cmd_replicate(args) -> int:
 def cmd_validate(args) -> int:
     """Post-replication reconciliation — the reference README's
     validation queries (source vs target row counts, live rows only on
-    the target since soft-deleted rows remain by design)."""
+    the target since soft-deleted rows remain by design). With
+    ``--checksum``, row counts are upgraded to the anti-entropy digest
+    compare (operators/reconcile.table_checksum_diff): each side
+    reduces to bucket digests and only the digests join, so CONTENT
+    drift (same count, different values) is caught too — and with
+    ``--drill``, mismatched buckets get a row-level diff restricted to
+    their slice, printing the drifted keys."""
     spark = get_spark(app_name="o2o_validate")
     cat = Catalog.from_parquet_dir(spark, args.source)
     target = ParquetTargetStore(spark, args.target)
@@ -145,16 +151,51 @@ def cmd_validate(args) -> int:
         if {c.lower() for c in src.columns} >= {"created_at", "updated_at", "is_deleted"} and pk:
             from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import latest_per_key
 
-            live_src = latest_per_key(src, pk).filter(F.col("is_deleted") == "N").count()
-            tgt_df = target.read(table)
-            live_tgt = tgt_df.filter(F.col("is_deleted") == "N").count()
+            live_src_df = latest_per_key(src, pk).filter(F.col("is_deleted") == "N")
+            live_tgt_df = target.read(table).filter(F.col("is_deleted") == "N")
         else:
-            live_src = src.count()
-            live_tgt = target.read(table).count()
-        status = "OK" if live_src == live_tgt else "MISMATCH"
-        if status != "OK":
-            mismatches += 1
-        print(f"validate: {table}: source_live={live_src} target_live={live_tgt} {status}")
+            live_src_df = src
+            live_tgt_df = target.read(table)
+        if getattr(args, "checksum", False) and pk:
+            from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+                bucket_row_diff,
+                table_checksum_diff,
+            )
+
+            # digest the columns both sides share, minus volatile CDC
+            # audit columns (UPDATED_AT differs by design on the target)
+            shared = [
+                c for c in live_src_df.columns
+                if c in set(live_tgt_df.columns)
+                and c.lower() not in {"created_at", "updated_at"}
+                and c not in pk
+            ]
+            diff = table_checksum_diff(
+                live_src_df, live_tgt_df, pk, shared
+            ).collect()
+            bad = sorted(r["bucket"] for r in diff if not r["digests_match"])
+            n_src = sum(r["n_source"] for r in diff)
+            n_tgt = sum(r["n_target"] for r in diff)
+            status = "OK" if not bad else "MISMATCH"
+            if bad:
+                mismatches += 1
+            print(
+                f"validate: {table}: source_live={n_src} target_live={n_tgt} "
+                f"buckets_drifted={len(bad)}/{len(diff)} {status}"
+            )
+            if bad and getattr(args, "drill", False):
+                for row in bucket_row_diff(
+                    live_src_df, live_tgt_df, pk, shared, buckets=bad
+                ).collect():
+                    key = ", ".join(f"{k}={row[k]}" for k in pk)
+                    print(f"validate:   drift {table}: {key} [{row['status']}]")
+        else:
+            live_src = live_src_df.count()
+            live_tgt = live_tgt_df.count()
+            status = "OK" if live_src == live_tgt else "MISMATCH"
+            if status != "OK":
+                mismatches += 1
+            print(f"validate: {table}: source_live={live_src} target_live={live_tgt} {status}")
     print(f"validate: mismatches={mismatches}")
     return 1 if mismatches else 0
 
@@ -216,6 +257,14 @@ def main(argv: list[str] | None = None) -> int:
     p4 = sub.add_parser("validate", help="reconcile live row counts source vs target")
     p4.add_argument("--source", required=True)
     p4.add_argument("--target", required=True)
+    p4.add_argument(
+        "--checksum", action="store_true",
+        help="upgrade count compare to anti-entropy bucket digests (catches content drift)",
+    )
+    p4.add_argument(
+        "--drill", action="store_true",
+        help="with --checksum: row-level diff of mismatched buckets (prints drifted keys)",
+    )
     p4.set_defaults(fn=cmd_validate)
 
     p5 = sub.add_parser("compact", help="rewrite fragmented target tables to N files")

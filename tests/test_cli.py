@@ -119,3 +119,37 @@ def test_compact_isolates_broken_table(spark, tmp_path):
     # ...but the healthy tables were still compacted and stay readable
     assert spark.read.parquet(f"{tgt}/events").count() == 2
     assert spark.read.parquet(f"{tgt}/documents").count() == 1
+
+
+def test_validate_checksum_catches_content_drift(spark, tmp_path, capsys):
+    """--checksum upgrades count reconciliation to digest compare:
+    counts equal but one value drifted on the target -> MISMATCH, and
+    --drill names the drifted key."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    state = str(tmp_path / "wm")
+    os.makedirs(src)
+    _write_cdc_source(spark, src)
+    assert main(["replicate", "--source", src, "--target", tgt, "--state", state]) == 0
+    assert main(["validate", "--source", src, "--target", tgt, "--checksum"]) == 0
+
+    # corrupt one target value (row count unchanged -> plain validate OK)
+    ev = spark.read.parquet(f"{tgt}/events").collect()
+    rows = [
+        (r["event_id"], "CORRUPTED" if r["event_id"] == 2 else r["val"],
+         r["created_at"], r["updated_at"], r["is_deleted"])
+        for r in ev
+    ]
+    corrupted = spark.createDataFrame(rows, spark.read.parquet(f"{tgt}/events").schema)
+    corrupted.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev2"))
+    import shutil as _sh
+
+    _sh.rmtree(f"{tgt}/events")
+    _sh.move(str(tmp_path / "ev2"), f"{tgt}/events")
+
+    assert main(["validate", "--source", src, "--target", tgt]) == 0  # counts still agree
+    rc = main(["validate", "--source", src, "--target", tgt, "--checksum", "--drill"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH" in out
+    assert "event_id=2 [changed]" in out

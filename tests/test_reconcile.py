@@ -138,3 +138,68 @@ def test_ewma_null_values_excluded(spark):
     out = ewma(df, "k", "ts", "v", alpha=0.5).collect()[0]
     assert out["n_points"] == 2
     assert out["ewma"] == 0.5 * 4.0 + 0.5 * 2.0
+
+
+# -- property: the digest pass finds exactly the drifted buckets ------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+drift_st = st.fixed_dictionaries(
+    {
+        "dropped": st.sets(st.integers(min_value=0, max_value=99), max_size=5),
+        "changed": st.sets(st.integers(min_value=0, max_value=99), max_size=5),
+        "extra": st.sets(st.integers(min_value=100, max_value=120), max_size=3),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(drift=drift_st)
+def test_checksum_diff_detects_any_drift(spark, drift):
+    """For ANY drift pattern (drops, changes, extras), the level-1
+    digest pass flags a bucket iff the bucket contains a drifted key,
+    and the drill-down attributes every drifted key exactly."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+        _bucket_col,
+    )
+
+    n_buckets = 8
+    src_rows = [(i, f"v{i}") for i in range(100)]
+    tgt_rows = [
+        (i, "X" if i in drift["changed"] else f"v{i}")
+        for i in range(100)
+        if i not in drift["dropped"]
+    ] + [(i, "extra") for i in drift["extra"]]
+    src = spark.createDataFrame(src_rows, "k long, payload string")
+    tgt = spark.createDataFrame(tgt_rows, "k long, payload string")
+
+    out = table_checksum_diff(src, tgt, ["k"], ["payload"], n_buckets=n_buckets).collect()
+    # effective drift: a key both dropped and changed counts as dropped
+    drifted_keys = (drift["dropped"] | (drift["changed"] - drift["dropped"])
+                    | drift["extra"])
+    drifted_buckets = set()
+    if drifted_keys:
+        probe = spark.createDataFrame([(k,) for k in drifted_keys], "k long")
+        drifted_buckets = {
+            r["b"] for r in probe.select(_bucket_col(["k"], n_buckets).alias("b")).collect()
+        }
+    assert {r["bucket"] for r in out if not r["digests_match"]} == drifted_buckets
+
+    got = {
+        (r["k"], r["status"])
+        for r in bucket_row_diff(
+            src, tgt, ["k"], ["payload"], buckets=sorted(drifted_buckets),
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    want = (
+        {(k, "source_only") for k in drift["dropped"]}
+        | {(k, "changed") for k in drift["changed"] - drift["dropped"]}
+        | {(k, "target_only") for k in drift["extra"]}
+    )
+    assert got == want
