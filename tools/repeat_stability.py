@@ -41,6 +41,8 @@ DEFAULT_QIDS = [
     "neardup_resolve",
     "bfs_levels",           # localCheckpoints per BFS round
     "sql_ddl_roundtrip",    # catalog DDL + tempdir lifecycle per run
+    "checksum_drill",       # collects flagged buckets mid-plan
+    "stream_ewma",          # streaming harness: tempdir + memory sink per run
     # round-4 plan rewrites (global window -> TakeOrdered / sketch
     # cuts) — watched here so the fixes are measured, not asserted
     "token_freq",

@@ -1,15 +1,20 @@
 #!/usr/bin/env python
-"""Unpartitioned-window sweep: build every registered batch qid's
-physical plan and flag Window operators with an EMPTY partition spec —
-the single-partition hazard class the round-3 verdict called out
-(token_freq / pareto_revenue / vocab_build, all since rewritten).
+"""Plan-hazard sweep over every registered batch qid:
 
-A global window is only acceptable over a BOUNDED input (post-limit
-top-k rows, histogram buckets, a category cross product, a value-
-frequency table bounded by |distinct|). Those sites are whitelisted
-below WITH their bound; anything else flagging here is a scale bug —
-fix the plan (TakeOrderedAndProject / percentile_approx cut points /
-1-row aggregate broadcast are the in-repo patterns) before shipping.
+1. UNPARTITIONED WINDOWS — Window operators with an empty partition
+   spec, the single-partition hazard class the round-3 verdict called
+   out (token_freq / pareto_revenue / vocab_build, all since
+   rewritten). A global window is only acceptable over a BOUNDED input
+   (post-limit top-k rows, histogram buckets, a category cross
+   product, a value-frequency table bounded by |distinct|); those
+   sites are whitelisted WITH their bound. Anything else is a scale
+   bug — fix the plan (TakeOrderedAndProject / percentile_approx cut
+   points / 1-row aggregate broadcast are the in-repo patterns).
+
+2. CARTESIAN PRODUCTS — CartesianProduct nodes anywhere. The engine's
+   only legitimate unkeyed joins are broadcast nested loops (1-row
+   scalar broadcasts, broadcast query sets, interval probes), which
+   plan as BroadcastNestedLoopJoin, never CartesianProduct.
 
     python tools/window_audit.py          # exit 1 on unexpected hits
 """
@@ -85,6 +90,8 @@ def main() -> int:
             unexpected.append((qid, hits[0]))
         elif hits:
             print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
+        if "CartesianProduct" in plan:
+            unexpected.append((qid, "CartesianProduct in plan"))
     for qid, err in errs:
         print(f"ERROR building {qid}: {err}")
     for qid, line in unexpected:
