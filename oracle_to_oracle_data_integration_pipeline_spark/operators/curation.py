@@ -305,28 +305,34 @@ def global_order_index(
     window would single-partition 100 TB, so this is the classic
     two-pass distributed order index:
 
-    1. bucket every row by the first byte(s) of its md5 key
-       (``buckets`` ≤ 65536 histogram cells);
+    1. bucket every row by a MONOTONIC range split of its md5 key's
+       16-bit prefix — ``bucket = prefix16 * buckets DIV 65536``
+       (``buckets`` ≤ 65536 histogram cells). Monotonicity is the
+       correctness condition: a modulo here would interleave key
+       ranges across buckets and silently break the global order for
+       any bucket count other than 16^ndigits;
     2. count rows per bucket — a tiny aggregate — and prefix-sum it
        into per-bucket offsets (window over ≤``buckets`` rows,
        driver-scale);
     3. rank within each bucket in parallel (window keyed by bucket)
        and add the broadcast bucket offset.
 
-    Because the bucket is a PREFIX of the sort key, ordering by
-    (bucket, key, id) equals ordering by (key, id): the two-pass index
-    is exactly the global rank. Writers then ``repartitionByRange`` on
-    ``out_col`` to lay training shards out in shuffled order.
+    Because the bucket is a monotonic function of the sort key's
+    prefix, ordering by (bucket, key, id) equals ordering by
+    (key, id): the two-pass index is exactly the global rank — for
+    EVERY bucket count (property-tested buckets ∈ {1, 256, 4096}).
+    Writers then ``repartitionByRange`` on ``out_col`` to lay
+    training shards out in shuffled order.
 
     Output: input columns + (out_col BIGINT) in [0, N).
     """
     if not 1 <= buckets <= 65536:
         raise ValueError("buckets must be in [1, 65536]")
-    ndigits = 4 if buckets > 256 else 2
     key = F.md5(F.col(id_col).cast("string"))
+    prefix16 = F.conv(F.substring("__key__", 1, 4), 16, 10).cast("bigint")
     b = df.withColumn("__key__", key).withColumn(
         "__bucket__",
-        (F.conv(F.substring("__key__", 1, ndigits), 16, 10).cast("int") % buckets),
+        F.floor((prefix16 * buckets) / F.lit(65536)).cast("int"),
     )
     wb = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -85,6 +85,30 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return row.select(F.explode(pairs).alias("p")).select("p.rule", "p.n_violations")
 
 
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Privacy gate: a released dataset is k-anonymous when every
+    combination of quasi-identifier values is shared by at least ``k``
+    rows. Returns the VIOLATING equivalence classes — quasi-identifier
+    tuples with fewer than ``k`` rows, each a re-identification risk —
+    so an empty result is the pass and the rows name exactly what to
+    suppress or generalize.
+
+    Scale: one map-combinable count shuffle keyed by the
+    quasi-identifier tuple (identical cost profile to
+    ``check_unique``); the output is bounded by the number of rare
+    classes, never the corpus.
+
+    Output: quasi_cols + (n_rows BIGINT), n_rows in [1, k).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )
+
+
 def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Uniqueness check for a (composite) key: returns the duplicated
     key values with their multiplicities — one hash aggregation on the

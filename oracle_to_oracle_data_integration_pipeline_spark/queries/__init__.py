@@ -153,6 +153,9 @@ _VERIFY_FIRST = [
     "ewma_smooth",
     "stream_ewma",
     "stream_watermark_late",
+    "order_index",
+    "domain_cap",
+    "k_anonymity",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

@@ -311,8 +311,66 @@ WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
 SQL_MINHASH_INCREMENTAL = _minhash_incremental_sql()
 
 
+# -- qid: domain_cap --------------------------------------------------
+
+DOMAIN_CAP_N = 15  # hard per-source ceiling (fixture: 25 docs/source)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap: keep at most DOMAIN_CAP_N docs per
+    source, preferring the longest (n_chars DESC, doc_id tiebreak) —
+    the hard ceiling against any single domain dominating the training
+    mixture, complementing ``mixture_sample``'s rate-based reweighting.
+    One window shuffle keyed by source."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import domain_cap
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(d, cap=DOMAIN_CAP_N, order_col="n_chars")
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, source, n_chars, domain_rank FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT)
+           AS domain_rank
+  FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP_N}
+"""
+
+
+# -- qid: order_index -------------------------------------------------
+
+def q_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-order index 0..N-1 over the corpus
+    ("shuffle before training" as a reproducible column). Semantically
+    ``row_number() OVER (ORDER BY md5(id), id) - 1`` — but computed as
+    the two-pass distributed order index (md5-prefix bucket histogram
+    → prefix-summed offsets broadcast → bucket-keyed local ranks), so
+    no window ever sees more than max(|bucket|, 256) rows where the
+    naive form single-partitions the corpus
+    (operators/curation.global_order_index)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
+        global_order_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return global_order_index(d, buckets=256)
+
+
+SQL_ORDER_INDEX = """
+SELECT doc_id, lang, source,
+       CAST(row_number() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         AS position
+FROM documents
+"""
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
+    "domain_cap": q_domain_cap,
+    "order_index": q_order_index,
     "minhash_incremental": q_minhash_incremental,
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
@@ -323,6 +381,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "order_index": SQL_ORDER_INDEX,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

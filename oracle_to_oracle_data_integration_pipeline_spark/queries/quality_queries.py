@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from oracle_to_oracle_data_integration_pipeline_spark.operators.dq import (
     check_rules,
     check_unique,
+    k_anonymity,
     profile_columns,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
@@ -103,14 +104,43 @@ FROM both_rows GROUP BY 1, 2 HAVING count(*) > 1
 """
 
 
+# -- qid: k_anonymity -------------------------------------------------
+
+K_ANON_K = 3  # minimum equivalence-class size for release
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the documents table under the
+    quasi-identifier tuple (lang, source, n_chars-century bucket):
+    every combination shared by fewer than K_ANON_K docs is a
+    re-identification risk and comes back as a violation row. The
+    extension of the reference's count-only validate to a release
+    gate (privacy counterpart of ``pii_scrub``'s content screen)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    return k_anonymity(d, ["lang", "source", "size_bucket"], k=K_ANON_K)
+
+
+SQL_K_ANONYMITY = f"""
+SELECT lang, source, CAST(n_chars // 100 AS INT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON_K}
+"""
+
+
 QUERIES = {
     "profile_docs": q_profile_docs,
     "dq_checks": q_dq_checks,
     "dq_unique": q_dq_unique,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLE_SQL = {
     "profile_docs": SQL_PROFILE_DOCS,
     "dq_checks": SQL_DQ_CHECKS,
     "dq_unique": SQL_DQ_UNIQUE,
+    "k_anonymity": SQL_K_ANONYMITY,
 }

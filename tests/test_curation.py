@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
     budget_select,
     dedup_incremental,
+    domain_cap,
+    global_order_index,
     mixture_sample,
     passage_dedup,
     semantic_dedup,
@@ -149,3 +151,45 @@ def test_dedup_incremental_plan_is_anti_join(spark):
     seen = _docs(spark, [(1, "beta")])
     plan = dedup_incremental(new, seen)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+# -- domain_cap -------------------------------------------------------
+
+def test_domain_cap_keeps_best_per_source(spark):
+    rows = [(i, "s" + str(i % 2), float(i)) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = domain_cap(d, cap=2)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # per source: the two highest-quality (largest doc_id) rows survive
+    assert kept == [6, 7, 8, 9]
+    assert out.filter(F.col("domain_rank") > 2).count() == 0
+
+
+def test_domain_cap_tiebreak_is_deterministic(spark):
+    d = spark.createDataFrame(
+        [(3, "s", 1.0), (1, "s", 1.0), (2, "s", 1.0)],
+        "doc_id long, source string, quality double",
+    )
+    kept = sorted(r["doc_id"] for r in domain_cap(d, cap=2).collect())
+    assert kept == [1, 2]  # equal quality -> lowest ids win
+
+
+# -- global_order_index -----------------------------------------------
+
+def test_global_order_index_is_exact_permutation(spark):
+    d = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out = global_order_index(d, buckets=16)
+    pos = sorted(r["position"] for r in out.collect())
+    assert pos == list(range(97))
+
+
+def test_global_order_index_bucket_count_invariant(spark):
+    """The index must equal row_number() OVER (ORDER BY md5(id), id)-1
+    regardless of how many histogram buckets the two-pass form uses —
+    the bucket is a PREFIX of the sort key, so any bucketing yields
+    the same global rank."""
+    d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {r["doc_id"]: r["position"] for r in global_order_index(d, buckets=1).collect()}
+    b = {r["doc_id"]: r["position"] for r in global_order_index(d, buckets=256).collect()}
+    c = {r["doc_id"]: r["position"] for r in global_order_index(d, buckets=4096).collect()}
+    assert a == b == c

@@ -54,3 +54,23 @@ def test_check_unique_empty_when_unique(spark):
     dup = df.union(spark.createDataFrame([(1, 2)], "a int, b int"))
     rows = check_unique(dup, ["a", "b"]).collect()
     assert [(r["a"], r["b"], r["n_rows"]) for r in rows] == [(1, 2, 2)]
+
+
+def test_k_anonymity_flags_only_small_classes(spark):
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dq import k_anonymity
+
+    rows = [("en", "a")] * 3 + [("en", "b")] * 2 + [("fr", "a")]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = {(r["lang"], r["src"]): r["n_rows"]
+           for r in k_anonymity(df, ["lang", "src"], k=3).collect()}
+    assert out == {("en", "b"): 2, ("fr", "a"): 1}
+
+
+def test_k_anonymity_rejects_vacuous_k(spark):
+    import pytest as _pytest
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dq import k_anonymity
+
+    df = spark.createDataFrame([("en",)], "lang string")
+    with _pytest.raises(ValueError):
+        k_anonymity(df, ["lang"], k=1)

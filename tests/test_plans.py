@@ -435,3 +435,34 @@ def test_schema_diff_no_data_pass(spark, sf_dir):
     p = plan_str(spark, sf_dir, "schema_diff")
     assert "Exchange" not in p
     assert "parquet" not in p.lower()
+
+
+def test_order_index_two_pass_no_corpus_global_window(spark, sf_dir):
+    """The global permutation index must be the two-pass form: the
+    corpus rank window is KEYED by the md5-prefix bucket, the bucket
+    histogram's prefix-sum is the only single-partition exchange
+    (<= 256 rows), and the offsets join back by broadcast — never a
+    single-partition window over the corpus itself."""
+    p = plan_str(spark, sf_dir, "order_index")
+    assert re.search(r"windowspecdefinition\(__bucket__", p)
+    assert p.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_domain_cap_partial_topk_before_shuffle(spark, sf_dir):
+    """The per-source cap must push a partial rank limit below the
+    exchange (WindowGroupLimit Partial/Final): a hot domain ships at
+    most cap rows per map task, not its whole slice."""
+    p = plan_str(spark, sf_dir, "domain_cap")
+    assert p.count("WindowGroupLimit") >= 2
+    assert "Partial" in p and "Final" in p
+
+
+def test_k_anonymity_single_combinable_shuffle(spark, sf_dir):
+    """The privacy audit is one map-combinable count shuffle on the
+    quasi-identifier tuple; violation filtering happens on the
+    aggregated class table."""
+    p = plan_str(spark, sf_dir, "k_anonymity")
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1

@@ -43,6 +43,8 @@ WHITELIST = {
     "budget_select": "cumulative sum over HISTOGRAM buckets: |buckets| rows",
     "chi2_independence": "windows over the category cross product: |r|x|c| cells",
     "spearman_corr": "cumulative count over value-frequency tables: |distinct| rows",
+    "order_index": "offset prefix-sum over the bucket HISTOGRAM: <=256 rows "
+    "(the corpus rank window itself is keyed by __bucket__)",
 }
 
 
