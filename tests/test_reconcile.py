@@ -64,6 +64,19 @@ def test_bucket_row_diff_attributes_each_drift(spark):
     assert rows == {7: "source_only", 13: "changed", 500: "target_only"}
 
 
+def test_bucket_row_diff_all_clean_is_empty_and_scan_free(spark):
+    """The common production case: level-1 flags nothing, so the
+    drill-down gets buckets=[] and must return zero rows WITHOUT
+    touching the tables (Catalyst folds the empty IN to false and
+    prunes the scans — the 'in the all-clean case, nothing at all'
+    contract)."""
+    src, _ = _pair(spark)
+    out = bucket_row_diff(src, src, ["k"], ["payload"], buckets=[], n_buckets=16)
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+
+
 def test_resolve_op_conflicts_priority_and_ts(spark):
     delta = spark.createDataFrame(
         [
