@@ -134,6 +134,9 @@ def cmd_validate(args) -> int:
     drift (same count, different values) is caught too — and with
     ``--drill``, mismatched buckets get a row-level diff restricted to
     their slice, printing the drifted keys."""
+    if getattr(args, "drill", False) and not getattr(args, "checksum", False):
+        print("validate: --drill requires --checksum (nothing flags buckets to drill)")
+        return 2
     spark = get_spark(app_name="o2o_validate")
     cat = Catalog.from_parquet_dir(spark, args.source)
     target = ParquetTargetStore(spark, args.target)
@@ -156,19 +159,29 @@ def cmd_validate(args) -> int:
         else:
             live_src_df = src
             live_tgt_df = target.read(table)
+        if getattr(args, "checksum", False) and not pk:
+            # be loud about the downgrade: the user asked for a content
+            # digest, but without a PK there is no key to bucket on —
+            # count compare is all that can run, and drift that
+            # preserves counts will NOT be caught for this table
+            print(
+                f"validate: {table}: no PK registered — --checksum "
+                "falls back to count compare (content drift undetected)"
+            )
         if getattr(args, "checksum", False) and pk:
             from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
                 bucket_row_diff,
                 table_checksum_diff,
             )
 
-            # digest the columns both sides share, minus volatile CDC
-            # audit columns (UPDATED_AT differs by design on the target)
+            # digest every column both sides share (audit columns
+            # included: this pipeline replicates created_at/updated_at
+            # verbatim from the source — nothing is target-stamped —
+            # so drift in them is real drift; both sides are Spark, so
+            # timestamp stringification is consistent)
             shared = [
                 c for c in live_src_df.columns
-                if c in set(live_tgt_df.columns)
-                and c.lower() not in {"created_at", "updated_at"}
-                and c not in pk
+                if c in set(live_tgt_df.columns) and c not in pk
             ]
             diff = table_checksum_diff(
                 live_src_df, live_tgt_df, pk, shared

@@ -103,7 +103,12 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
     # above stay authoritative for BMP/WAV/PNG regardless (they are
     # the oracled ones — engine behavior must not depend on whether an
     # optional lib happens to be installed for those formats).
-    pil_image = _try_import_pil()
+    # fake=True means the caller wants the DETERMINISTIC stub: skip
+    # the optional-lib dispatch entirely, or the same call would
+    # return different values depending on whether Pillow is
+    # installed — exactly the environment-dependence the oracled
+    # batch-shape qids must not have.
+    pil_image = None if fake else _try_import_pil()
     if pil_image is not None:
         import io
 

@@ -41,13 +41,24 @@ _NULL_SENTINEL = "\x00null\x00"
 
 
 def _row_digest(cols: list[str]) -> Column:
-    """Portable per-row digest: md5 over '|'-joined canonical string
-    forms. NULLs map to an explicit sentinel (concat_ws would silently
-    SKIP them, making ('a', NULL) collide with (NULL, 'a'))."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
-    ]
-    return F.md5(F.concat_ws("|", *parts))
+    """Portable per-row digest: md5 over '|'-joined LENGTH-PREFIXED
+    canonical string forms (``len:value``). The length prefix makes
+    part boundaries unambiguous — a bare '|' join would be
+    delimiter-injectable: ('x|', 'y') and ('x', '|y') both concat to
+    'x||y', so two genuinely different rows digest identically and
+    their drift becomes invisible to the whole anti-entropy stack.
+    NULLs map to an explicit sentinel (concat_ws would silently SKIP
+    them, making ('a', NULL) collide with (NULL, 'a')). SQL twin per
+    part: ``length(v) || ':' || v`` (char semantics in both
+    engines)."""
+    def canon(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit(_NULL_SENTINEL),
+        )
+
+    return F.md5(F.concat_ws("|", *[canon(c) for c in cols]))
 
 
 def _bucket_col(keys: list[str], n_buckets: int) -> Column:

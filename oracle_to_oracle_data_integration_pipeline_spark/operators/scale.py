@@ -260,6 +260,24 @@ def bloom_prefilter(
     m = int(m_bits)
     words = (m + 63) // 64  # ceil: positions span [0, m), even when m % 64 != 0
 
+    # Canonical-string hashing is only sound when both sides stringify
+    # the SAME value identically. All integral types do ("5" == "5"
+    # for int and bigint), but bigint-vs-double would hash '5' against
+    # '5.0' — every true match fails the bitmap and the filter
+    # silently returns ~nothing, even though the equality join itself
+    # would have coerced 5 == 5.0. Fail fast and make the caller cast
+    # one side explicitly.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    bt = dict(big.dtypes)[big_key]
+    kt = dict(keys.dtypes)[keys_key]
+    fam = lambda t: "integral" if t in integral else t  # noqa: E731
+    if fam(bt) != fam(kt):
+        raise ValueError(
+            f"bloom_prefilter key types disagree ({big_key}: {bt} vs "
+            f"{keys_key}: {kt}): their canonical string forms differ, so "
+            "every true match would fail the bitmap — cast one side first"
+        )
+
     def positions(col: Column) -> list[Column]:
         # xxhash64 is type-width sensitive (hash(5 as int) != hash(5 as
         # long)), so both sides MUST hash one canonical type or every

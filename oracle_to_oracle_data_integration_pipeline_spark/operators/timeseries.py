@@ -327,5 +327,8 @@ def ewma(
         )
 
     base = df.where(F.col(value).isNotNull()).select(key, *order_cols, value)
-    out_schema = f"{key} long, n_points long, ewma double"
+    # key type follows the input (a string- or int-keyed series must
+    # not be forced through a bigint schema)
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n_points long, ewma double"
     return base.groupBy(key).applyInPandas(kernel, schema=out_schema)

@@ -614,6 +614,30 @@ SELECT (SELECT count(*) FROM lineitem) AS n_total,
 JSE_BOUND = 0.25
 
 
+def _parquet_num_rows(sf_dir: str, table: str, fallback=None) -> int:
+    """Exact row count from the parquet footer (metadata-only — no
+    data scan), the statistic a planner reads before costing. Falls
+    back to a real count() only if the footer is unreadable (e.g. a
+    non-file layout)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            import pyarrow.dataset as ds
+
+            return sum(
+                f.metadata.num_rows
+                for f in (pq.ParquetFile(p) for p in
+                          ds.dataset(path, format="parquet").files)
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return fallback.count() if fallback is not None else 0
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join cardinality WITHOUT running the join — the planner-style
     pre-flight for choosing a join strategy. Exact size via the
@@ -638,7 +662,11 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem")
-    n_rows = li.count()
+    # row count from parquet FOOTER statistics (metadata-only, like a
+    # planner reading table stats) — an eager count() here would scan
+    # the fact table at query-CONSTRUCTION time, charging every plan
+    # inspection (dump_plans, window_audit, bench warmup) a full pass
+    n_rows = _parquet_num_rows(sf_dir, "lineitem", fallback=li)
     rate_inv = 1 if n_rows < 20_000 else (2 if n_rows < 200_000 else 4)
     ex = join_size_exact(li, li, "l_partkey", "l_partkey")
     est = join_size_sampled(li, li, "l_partkey", "l_partkey", rate_inv=rate_inv)
@@ -892,10 +920,16 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch cuts are engine-specific, so the oracle is accuracy-gated:
     the hash-compared payload is per-decile (decile id, exact customer
-    total, exact revenue total rounded — conservation checks) plus a
-    flag that the decile's customer share lands within ±2% of the
-    ideal tenth (rank error ≤ n·1e-4 at accuracy=10000, so the flag is
-    guaranteed unless the sketch breaks or spend ties are massive)."""
+    count, exact corpus revenue total rounded) plus two flags — the
+    decile's customer share lands within ±2% of the ideal tenth (rank
+    error ≤ n·1e-4 at accuracy=10000, so guaranteed unless the sketch
+    breaks or spend ties are massive), and per-decile AVERAGE spend is
+    non-increasing in decile id (true BY CONSTRUCTION: bucket ranges
+    don't overlap, so every decile-d customer outspends every
+    decile-d+1 customer — a broken cut assignment flips it). All 10
+    decile rows are always emitted (left join from a 1..10 spine), so
+    a degenerate sketch shows up as a red flag, not a row-count
+    drift."""
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
 
     per_cust = (
@@ -922,9 +956,29 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("spend").cast("decimal(24,6)")).alias("_d_rev"),
     )
+    # all 10 deciles always present: an empty decile (degenerate
+    # sketch / massive ties) must surface as a failed flag, never as a
+    # row-count drift against the oracle's generated 1..10
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    per = spine.join(F.broadcast(per), "decile", "left").select(
+        "decile",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        (F.col("_d_rev").cast("double") / F.col("_n")).alias("_avg_spend"),
+    )
+    # per-decile average spend must not increase with decile id — the
+    # by-construction monotonicity of non-overlapping bucket ranges
+    prev = per.select(
+        (F.col("decile") + 1).alias("decile"), F.col("_avg_spend").alias("_prev_avg")
+    )
+    per = per.join(F.broadcast(prev), "decile", "left")
     share_ok = (
         F.abs(F.col("_n") - F.col("n_total_customers") / 10)
         <= F.col("n_total_customers") * 0.02
+    ).cast("int")
+    mono_ok = (
+        F.col("_prev_avg").isNull()
+        | F.col("_avg_spend").isNull()
+        | (F.col("_avg_spend") <= F.col("_prev_avg"))
     ).cast("int")
     return (
         per.crossJoin(F.broadcast(totals))
@@ -933,6 +987,7 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total_customers",
             pround(F.col("t").cast("double"), 2).alias("total_revenue"),
             share_ok.alias("share_within_2pct"),
+            mono_ok.alias("avg_spend_monotone"),
         )
     )
 
@@ -948,7 +1003,8 @@ t AS (
   FROM per_cust
 )
 SELECT CAST(d AS INT) AS decile, n_total_customers, total_revenue,
-       CAST(1 AS INT) AS share_within_2pct
+       CAST(1 AS INT) AS share_within_2pct,
+       CAST(1 AS INT) AS avg_spend_monotone
 FROM (SELECT unnest(generate_series(1, 10)) AS d), t
 """
 

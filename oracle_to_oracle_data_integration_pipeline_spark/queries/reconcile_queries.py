@@ -71,6 +71,23 @@ def q_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# length-prefixed canonical part (the delimiter-injection guard —
+# must mirror operators/reconcile._row_digest exactly)
+def _lp(expr: str) -> str:
+    return f"(length({expr}) || ':' || {expr})"
+
+
+_CKD_KEY_LP = _lp("CAST(o_orderkey AS VARCHAR)")
+_CKD_ROW_LP = ", ".join(
+    _lp(e)
+    for e in [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "price_s",
+    ]
+)
+
 SQL_CHECKSUM_DIFF = f"""
 WITH src AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -85,21 +102,19 @@ tgt AS (
   FROM orders WHERE o_orderkey % {CKD_DROP_MOD} <> 0
 ),
 sd AS (
-  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+  SELECT CAST(('0x' || substr(md5({_CKD_KEY_LP}), 1, 4)) AS BIGINT)
            % {CKD_BUCKETS} AS bucket,
          count(*) AS n_rows,
          sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
-               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-               o_orderstatus, price_s)), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+               {_CKD_ROW_LP})), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
   FROM src GROUP BY 1
 ),
 td AS (
-  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+  SELECT CAST(('0x' || substr(md5({_CKD_KEY_LP}), 1, 4)) AS BIGINT)
            % {CKD_BUCKETS} AS bucket,
          count(*) AS n_rows,
          sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
-               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-               o_orderstatus, price_s)), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+               {_CKD_ROW_LP})), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
   FROM tgt GROUP BY 1
 )
 SELECT coalesce(sd.bucket, td.bucket) AS bucket,

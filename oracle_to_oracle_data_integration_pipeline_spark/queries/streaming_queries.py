@@ -32,6 +32,34 @@ from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
 _SUM_SQL = "CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)"
 
 
+def _write_ordered_stream_files(parts: list[DataFrame], stream_dir: str) -> None:
+    """Write each DataFrame as ONE parquet file whose consumption
+    order under maxFilesPerTrigger=1 is GUARANTEED to be the list
+    order. Sequential ``mode("append")`` writes are not enough: the
+    file source orders by modification time with ties broken by path,
+    and part filenames carry random UUIDs — two writes landing in the
+    same mtime tick would replay in arbitrary order, which corrupts
+    any order-sensitive harness (EWMA recursion, watermark seal-then-
+    late-echo choreography). Each batch file gets an explicitly
+    ascending mtime (1s apart, set with os.utime) AND a lexicographic
+    batch-NNNN name, so both tie-break layers agree with list order."""
+    import glob
+    import time as _time
+
+    base = _time.time() - 3600  # strictly in the past: no clock races
+    for i, part in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="o2o_ordered_batch_")
+        try:
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            assert len(src) == 1, src
+            dst = os.path.join(stream_dir, f"batch-{i:04d}.parquet")
+            shutil.move(src[0], dst)
+            os.utime(dst, (base + i, base + i))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _drain_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -478,17 +506,15 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_ewma_{uuid.uuid4().hex[:8]}"
     try:
         src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # 8 contiguous event-time ranges; file i+1 strictly later than i
+        # 8 contiguous event-time ranges; file i+1 strictly later than
+        # i, with explicit ascending mtimes + lexicographic names so
+        # the file source's replay order cannot tie-break randomly
         w = Window.orderBy("ts", "event_id")
         bucketed = src_df.withColumn("_b", F.ntile(8).over(w))
-        for i in range(1, 9):
-            (
-                bucketed.where(F.col("_b") == i)
-                .drop("_b")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(stream_dir)
-            )
+        _write_ordered_stream_files(
+            [bucketed.where(F.col("_b") == i).drop("_b") for i in range(1, 9)],
+            stream_dir,
+        )
         stream = normalize_events_ts(
             spark.readStream.schema(src_df.schema)
             .option("maxFilesPerTrigger", 1)  # latestFirst=false: oldest mtime first
@@ -565,8 +591,9 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         file1 = src_n.where(early & ~late_cond)
         file2 = src_n.where(~early)              # punctual tail: seals early windows
         file3 = src_n.where(late_cond)           # late echoes: must all drop
-        for part in (file1, file2, file3):
-            part.coalesce(1).write.mode("append").parquet(stream_dir)
+        # explicit ascending mtimes: the echoes MUST replay after the
+        # seal, or they merge instead of dropping
+        _write_ordered_stream_files([file1, file2, file3], stream_dir)
         stream = normalize_events_ts(
             spark.readStream.schema(spark.read.parquet(stream_dir).schema)
             .option("maxFilesPerTrigger", 1)  # oldest mtime first

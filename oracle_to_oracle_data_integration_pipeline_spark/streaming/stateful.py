@@ -127,6 +127,31 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
+def _ewma_fold_batch(chunks, s, n, a):
+    """Fold one micro-batch's rows for one key into EWMA state
+    (s, n): concatenate ALL Arrow chunks, sort by (ts, event_id)
+    across the whole batch slice, then run the pandas ewm(adjust=
+    False) recursion — the prior state rides as a prepended seed row,
+    which continues s' = a·x + (1−a)·s exactly (same IEEE op sequence
+    as operators/timeseries.ewma; divisor (1−a)+a == 1.0). Split out
+    of the applyInPandasWithState closure so chunk-order behavior is
+    unit-testable driver-side."""
+    import pandas as pd
+
+    if not chunks:
+        return s, n
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    vals = pdf["value"].dropna().astype("float64")
+    if vals.empty:
+        return s, n
+    if n:
+        series = pd.concat([pd.Series([s]), vals], ignore_index=True)
+    else:
+        series = vals.reset_index(drop=True)
+    out = float(series.ewm(alpha=a, adjust=False).mean().iloc[-1])
+    return out, n + int(len(vals))
+
+
 def ewma_state(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     """Streaming per-key EWMA — the ORDER-SENSITIVE recursion
     (s₀ = x₀; sₜ = α·xₜ + (1−α)·sₜ₋₁) carried across micro-batches in
@@ -138,13 +163,18 @@ def ewma_state(events: DataFrame, alpha: float = 0.2) -> DataFrame:
 
     Contract: micro-batches must arrive in event-time order per key
     (the qid harness splits the fixture into ts-range files consumed
-    oldest-first); rows WITHIN a batch are sorted by (ts, event_id)
-    before folding. Late data that violates the contract corrupts the
-    recursion — reorder upstream (watermark + sort in foreachBatch) or
-    fall back to the batch operator. The fold is the same fixed IEEE
-    double op sequence as the batch kernel, so a correctly-ordered
-    stream reproduces the batch EWMA bit-for-bit (the stream_ewma
-    qid's oracle is the batch list_reduce SQL, exact-hash-compared).
+    oldest-first); rows WITHIN a batch are concatenated across every
+    Arrow chunk and sorted by (ts, event_id) ONCE before folding — a
+    key whose batch slice spans multiple Arrow chunks (>
+    arrow.maxRecordsPerBatch rows) arrives as several frames in
+    shuffle order, so a per-chunk sort would fold across chunks out
+    of order and silently corrupt the recursion. Late data that
+    violates the cross-BATCH contract still corrupts it — reorder
+    upstream (watermark + sort in foreachBatch) or fall back to the
+    batch operator. The fold is the same fixed IEEE double op
+    sequence as the batch kernel, so a correctly-ordered stream
+    reproduces the batch EWMA bit-for-bit (the stream_ewma qid's
+    oracle is the batch list_reduce SQL, exact-hash-compared).
     """
     a = float(alpha)
 
@@ -152,14 +182,7 @@ def ewma_state(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         import pandas as pd
 
         s, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for x in pdf["value"]:
-                if pd.isna(x):
-                    continue
-                x = float(x)
-                s = x if n == 0 else a * x + (1.0 - a) * s
-                n += 1
+        s, n = _ewma_fold_batch(list(pdfs), s, n, a)
         if n:
             state.update((s, n))
             yield pd.DataFrame(

@@ -153,3 +153,44 @@ def test_validate_checksum_catches_content_drift(spark, tmp_path, capsys):
     assert rc == 1
     assert "MISMATCH" in out
     assert "event_id=2 [changed]" in out
+
+
+def test_validate_drill_without_checksum_is_an_error(capsys):
+    rc = main(["validate", "--source", "/nonexistent", "--target", "/nonexistent",
+               "--drill"])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "--drill requires --checksum" in out
+
+
+def test_validate_checksum_catches_audit_column_drift(spark, tmp_path, capsys):
+    """created_at/updated_at replicate verbatim in this pipeline, so
+    the digest must cover them: a target whose created_at was
+    re-stamped (classic apply-time bug) has to flag MISMATCH even
+    though every business column and the row counts agree."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    state = str(tmp_path / "wm")
+    os.makedirs(src)
+    _write_cdc_source(spark, src)
+    assert main(["replicate", "--source", src, "--target", tgt, "--state", state]) == 0
+
+    ev_schema = spark.read.parquet(f"{tgt}/events").schema
+    rows = [
+        (r["event_id"], r["val"],
+         r["created_at"].replace(year=2031) if r["event_id"] == 2 else r["created_at"],
+         r["updated_at"], r["is_deleted"])
+        for r in spark.read.parquet(f"{tgt}/events").collect()
+    ]
+    corrupted = spark.createDataFrame(rows, ev_schema)
+    corrupted.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev2"))
+    import shutil as _sh
+
+    _sh.rmtree(f"{tgt}/events")
+    _sh.move(str(tmp_path / "ev2"), f"{tgt}/events")
+
+    assert main(["validate", "--source", src, "--target", tgt]) == 0  # counts agree
+    rc = main(["validate", "--source", src, "--target", tgt, "--checksum", "--drill"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "event_id=2 [changed]" in out

@@ -227,6 +227,30 @@ def test_decode_media_uses_pillow_when_importable(monkeypatch):
     }
 
 
+def test_decode_media_fake_is_deterministic_even_with_pillow(monkeypatch):
+    """fake=True promises the DETERMINISTIC stub — the optional-lib
+    dispatch must be skipped entirely, or the same call would return
+    different values depending on whether Pillow happens to be
+    installed (the batch-shape qids' oracles model the stub)."""
+    import sys
+    import types
+
+    image_mod = types.SimpleNamespace(open=lambda buf: _FakePilImage())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    meta = decode_media(JPEG_MAGIC_PAYLOAD, fake=True)
+    n = len(JPEG_MAGIC_PAYLOAD)
+    assert meta == {
+        "n_bytes": n,
+        "width": n % 64 + 1,
+        "height": n % 37 + 1,
+        "fmt": "fake",
+    }
+
+
 def test_decode_media_pillow_unreadable_payload_falls_back(monkeypatch):
     """A payload Pillow rejects flows on to the stub/raise path — the
     dispatch never masks the documented contract."""

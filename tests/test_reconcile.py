@@ -216,3 +216,27 @@ def test_checksum_diff_detects_any_drift(spark, drift):
         | {(k, "target_only") for k in drift["extra"]}
     )
     assert got == want
+
+
+def test_ewma_string_keyed_series(spark):
+    """The operator is generic over the key type: the output schema
+    must follow the input key's type, not assume bigint."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("aapl", 1, 1.0), ("aapl", 2, 3.0), ("msft", 1, 2.0)],
+        "symbol string, ts int, px double",
+    )
+    rows = {r["symbol"]: (r["n_points"], r["ewma"])
+            for r in ewma(df, "symbol", "ts", "px", alpha=0.5).collect()}
+    assert rows == {"aapl": (2, 2.0), "msft": (1, 2.0)}
+
+
+def test_row_digest_is_delimiter_injection_proof(spark):
+    """('x|','y') and ('x','|y') concat identically under a bare '|'
+    join; the length prefix must keep their digests distinct so drift
+    in either row stays visible."""
+    a = spark.createDataFrame([(1, "x|", "y")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "x", "|y")], "k long, c1 string, c2 string")
+    out = table_checksum_diff(a, b, ["k"], ["c1", "c2"], n_buckets=4).collect()
+    assert any(r["digests_match"] == 0 for r in out)

@@ -141,3 +141,28 @@ def test_bloom_prefilter_numeric_keys_unchanged(spark):
     keys = spark.createDataFrame([(i,) for i in range(10)], "k int")
     rows = {r["k"] for r in bloom_prefilter(big, keys, "k", "k").collect()}
     assert set(range(10)) <= rows and len(rows) < 50
+
+
+def test_bloom_prefilter_rejects_mismatched_key_types(spark):
+    """bigint-vs-double keys stringify differently ('5' vs '5.0'), so
+    every true match would fail the bitmap — the operator must fail
+    fast instead of silently filtering everything out."""
+    import pytest as _pytest
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import bloom_prefilter
+
+    big = spark.createDataFrame([(5,), (6,)], "k long")
+    keys = spark.createDataFrame([(5.0,)], "k double")
+    with _pytest.raises(ValueError, match="canonical string"):
+        bloom_prefilter(big, keys, "k", "k")
+
+
+def test_bloom_prefilter_integral_width_mismatch_is_fine(spark):
+    """int and bigint share one canonical string form — a width
+    difference alone must not be rejected, and matches must pass."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import bloom_prefilter
+
+    big = spark.createDataFrame([(5,), (1000,)], "k long")
+    keys = spark.createDataFrame([(5,)], "k int")
+    passed = {r["k"] for r in bloom_prefilter(big, keys, "k", "k").collect()}
+    assert 5 in passed

@@ -46,3 +46,38 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         by_id.setdefault(r["event_id"], []).append(r["v"])
     assert set(by_id) == {1, 2, 3}
     assert all(len(v) == 1 for v in by_id.values()), f"duplicates survived: {by_id}"
+
+
+def test_ewma_fold_batch_chunk_order_invariant():
+    """A key's batch slice can span multiple Arrow chunks delivered in
+    shuffle order; the fold must concat+sort across ALL chunks before
+    running the recursion — per-chunk sorting would fold later
+    timestamps first and corrupt the order-sensitive state."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import _ewma_fold_batch
+
+    rows = [(i, 100 + i, float(i * 7 % 13)) for i in range(10)]
+    whole = pd.DataFrame(rows, columns=["ts", "event_id", "value"])
+    # chunk A carries the LATER half, chunk B the earlier half
+    chunks_shuffled = [whole.iloc[5:].reset_index(drop=True),
+                       whole.iloc[:5].reset_index(drop=True)]
+    s_ref, n_ref = _ewma_fold_batch([whole], None, 0, 0.2)
+    s_out, n_out = _ewma_fold_batch(chunks_shuffled, None, 0, 0.2)
+    assert (s_out, n_out) == (s_ref, n_ref)
+
+
+def test_ewma_fold_batch_continues_prior_state_exactly():
+    """Folding [x1..xn] in two calls (state carried between) must be
+    bit-identical to one call over the whole series — the cross-batch
+    recursion contract the stream_ewma qid's batch oracle depends on."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import _ewma_fold_batch
+
+    rows = [(i, i, float((i * 11) % 17) / 3.0) for i in range(20)]
+    whole = pd.DataFrame(rows, columns=["ts", "event_id", "value"])
+    s1, n1 = _ewma_fold_batch([whole.iloc[:8]], None, 0, 0.3)
+    s2, n2 = _ewma_fold_batch([whole.iloc[8:]], s1, n1, 0.3)
+    s_ref, n_ref = _ewma_fold_batch([whole], None, 0, 0.3)
+    assert (s2, n2) == (s_ref, n_ref)  # exact, no tolerance
