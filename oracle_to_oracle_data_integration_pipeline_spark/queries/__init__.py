@@ -156,6 +156,7 @@ _VERIFY_FIRST = [
     "order_index",
     "domain_cap",
     "k_anonymity",
+    "binary_ingest",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

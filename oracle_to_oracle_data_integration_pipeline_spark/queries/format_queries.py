@@ -9,6 +9,8 @@ format so both engines agree on the wire representation.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 
@@ -16,6 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+
+
+def _rt_dir(prefix: str) -> str:
+    """Round-trip scratch dir. The returned DataFrame stays LAZY over
+    these files (that is the point — the driver/bench evaluate the
+    real read plan), so the dir cannot be removed in a ``finally``;
+    register it for process-exit cleanup instead so repeated runs
+    don't accrete /tmp dirs (the sql_ddl_roundtrip leak class)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +49,7 @@ FROM orders WHERE o_orderkey % 101 = 0
 
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    out = tempfile.mkdtemp(prefix="json_rt_")
+    out = _rt_dir("json_rt_")
     df = _subset(spark, sf_dir)
     df.write.mode("overwrite").json(out)
     back = spark.read.schema(df.schema).json(out)
@@ -47,7 +60,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = _rt_dir("csv_rt_")
     df = _subset(spark, sf_dir)
     df.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(df.schema).option("header", True).csv(out)
@@ -61,7 +74,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own typed schema and min/max stripe statistics, so the read
     back gets predicate pushdown and column pruning like parquet."""
     tune(spark)
-    out = tempfile.mkdtemp(prefix="orc_rt_")
+    out = _rt_dir("orc_rt_")
     df = _subset(spark, sf_dir)
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
@@ -117,11 +130,113 @@ SELECT n_nationkey, n_name, n_regionkey, 'batch1' AS load_tag FROM nation
 """
 
 
+# -- qid: binary_ingest ------------------------------------------------
+
+BIN_INGEST_MAX_ID = 100  # fixture prep writes at most this many files
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file multimodal ingest through Spark's built-in
+    ``binaryFile`` source — the missing first step of a media
+    pipeline: a DIRECTORY OF OPAQUE FILES (not a parquet column)
+    becomes (path, length, content) rows, ids are parsed from
+    filenames, and the stdlib BMP decoder runs distributed over the
+    contents (same ``decode_media`` dispatch as the media_* qids).
+    The ``length_matches`` flag cross-checks the source's file-length
+    metadata against the decoded byte count — the read path and the
+    codec must agree byte-for-byte.
+
+    Harness prep (bounded control plane): at most BIN_INGEST_MAX_ID
+    documents are rendered to one .bmp file each, driver-side — at
+    100 TB the files already exist on object storage and ONLY the
+    binaryFile read + mapInPandas decode below runs, both fully
+    distributed. The result is materialized eagerly (≤100 rows) so
+    the scratch dir can be removed in the ``finally``."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_bmp,
+    )
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < BIN_INGEST_MAX_ID)
+        .select("doc_id", "text")
+        .collect()
+    )
+    media_dir = tempfile.mkdtemp(prefix="bin_ingest_")
+    try:
+        for r in docs:
+            b = r["text"].encode("utf-8")
+            w, h = len(b) % 31 + 1, len(b) % 17 + 1
+            with open(os.path.join(media_dir, f"{r['doc_id']:08d}.bmp"), "wb") as f:
+                f.write(encode_bmp(w, h, b))
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(media_dir)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("length").cast("int").alias("length"),
+                "content",
+            )
+        )
+
+        def decode(it):
+            from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+                decode_media,
+            )
+
+            for pdf in it:
+                rows = []
+                for doc_id, length, content in zip(
+                    pdf["doc_id"], pdf["length"], pdf["content"]
+                ):
+                    m = decode_media(bytes(content))
+                    rows.append(
+                        (doc_id, m["fmt"], m["width"], m["height"],
+                         m["n_bytes"], int(length == m["n_bytes"]))
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "fmt", "width", "height",
+                             "n_bytes", "length_matches"],
+                )
+
+        out = files.mapInPandas(
+            decode,
+            "doc_id long, fmt string, width int, height int, "
+            "n_bytes int, length_matches int",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(media_dir, ignore_errors=True)
+
+
+SQL_BINARY_INGEST = f"""
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+  WHERE doc_id < {BIN_INGEST_MAX_ID}
+),
+d AS (SELECT doc_id, n % 31 + 1 AS w, n % 17 + 1 AS h FROM p)
+SELECT doc_id, 'bmp' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
+       CAST(1 AS INT) AS length_matches
+FROM d
+"""
+
+
 QUERIES = {
     "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "binary_ingest": q_binary_ingest,
 }
 
 ORACLE_SQL = {
@@ -129,4 +244,5 @@ ORACLE_SQL = {
     "json_roundtrip": SQL_ROUNDTRIP,
     "csv_roundtrip": SQL_ROUNDTRIP,
     "orc_roundtrip": SQL_ROUNDTRIP,
+    "binary_ingest": SQL_BINARY_INGEST,
 }
