@@ -290,10 +290,13 @@ def ewma(
     """Per-key exponentially weighted moving average — the recursive
     smoother (s₀ = x₀; sₜ = α·xₜ + (1−α)·sₜ₋₁) no window frame can
     express: every prefix weight changes with t, so this is the
-    canonical custom STATEFUL kernel. Runs as Arrow-batched
-    ``applyInPandas`` per key: one hash shuffle on the key, O(1) state
-    per key inside the kernel, series ordered by (ts, tiebreak) for a
-    deterministic recursion. Returns one row per key:
+    canonical custom STATEFUL kernel. Runs as ``mapInPandas`` over
+    key-partitioned data with pandas' GROUPED ewm kernel: one hash
+    shuffle on the key, then ONE Python kernel invocation per
+    PARTITION — not per key. (The earlier ``applyInPandas`` form paid
+    a per-group pandas-frame + kernel-call overhead; at billions of
+    keys that per-key Python cost dominates, while the grouped-ewm C
+    kernel amortizes it to ~nothing.) Returns one row per key:
     (key, n_points, ewma).
 
     Cross-engine exactness: the recursion is a fixed sequence of IEEE
@@ -301,11 +304,23 @@ def ewma(
     replaying the same ordered series produces bit-identical doubles —
     DuckDB's ``list_reduce(list(v ORDER BY ts), (acc, x) -> α*x +
     (1-α)*acc)`` is the oracle twin, no rounding tolerance needed.
+    pandas' grouped ``ewm(adjust=False)`` runs the same recursion in C
+    per group: y = ((1-a)·y + a·x) / ((1-a) + a) — the divisor is
+    exactly 1.0 and IEEE addition is commutative, so it's
+    bit-identical to the explicit fold (pinned by
+    tests/test_reconcile.py::test_ewma_matches_pandas_ewm, abs=0.0).
 
-    At 100 TB: state is one double per key and batches stream through
-    Arrow; a key's full series must fit one Arrow batch group — for
-    unbounded series, feed pre-resampled buckets (``resample``) or the
-    Structured Streaming twin (applyInPandasWithState keeps s across
+    Determinism: the kernel concatenates every Arrow chunk of its
+    partition and sorts by (key, ts, tiebreak) itself — it never
+    relies on shuffle arrival order or on chunk boundaries (a key's
+    rows may span chunks; repartition guarantees they share a
+    partition).
+
+    At 100 TB: state is one double per key; memory is O(partition)
+    inside the kernel (like any sort-based operator — size
+    spark.sql.shuffle.partitions accordingly). For unbounded series,
+    feed pre-resampled buckets (``resample``) or the Structured
+    Streaming twin (applyInPandasWithState keeps s across
     micro-batches instead of re-reading history).
     """
     import pandas as pd
@@ -313,17 +328,27 @@ def ewma(
     order_cols = [ts] + ([tiebreak] if tiebreak else [])
     a = float(alpha)
 
-    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_cols)
-        # pandas ewm(adjust=False) runs the SAME recursion in C:
-        # y = ((1-a)*y + a*x) / ((1-a) + a) — the divisor is exactly
-        # 1.0 and IEEE addition is commutative, so the result is
-        # bit-identical to the explicit a*x + (1-a)*s fold (pinned by
-        # tests/test_reconcile.py::test_ewma_matches_pandas_ewm with
-        # abs=0.0) at vectorized speed.
-        s = float(pdf[value].ewm(alpha=a, adjust=False).mean().iloc[-1])
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "n_points": [len(pdf)], "ewma": [s]}
+    def kernel(it):
+        import numpy as np
+
+        chunks = [c for c in it if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([key, *order_cols], kind="mergesort")
+        g = pdf.groupby(key, sort=False)
+        sizes = g[value].size()  # group-appearance (= key-sorted) order
+        # grouped ewm preserves row order within each group block, so
+        # each group's final smoothed value sits at its block's last
+        # position — positional take, no NaN-skipping .last() semantics
+        ew = g[value].ewm(alpha=a, adjust=False).mean().to_numpy()
+        ends = sizes.to_numpy().cumsum() - 1
+        yield pd.DataFrame(
+            {
+                key: sizes.index.to_numpy(),
+                "n_points": sizes.to_numpy(),
+                "ewma": ew[ends],
+            }
         )
 
     base = df.where(F.col(value).isNotNull()).select(key, *order_cols, value)
@@ -331,4 +356,4 @@ def ewma(
     # not be forced through a bigint schema)
     key_type = df.schema[key].dataType.simpleString()
     out_schema = f"{key} {key_type}, n_points long, ewma double"
-    return base.groupBy(key).applyInPandas(kernel, schema=out_schema)
+    return base.repartition(F.col(key)).mapInPandas(kernel, schema=out_schema)

@@ -414,12 +414,17 @@ def test_checksum_diff_partial_digest_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_ewma_is_arrow_grouped_map(spark, sf_dir):
-    """The EWMA kernel must run as Arrow applyInPandas (grouped map),
-    never row-at-a-time Python."""
+def test_ewma_is_arrow_partition_kernel(spark, sf_dir):
+    """The EWMA kernel must run as ONE Arrow mapInPandas invocation
+    per key-partition (pandas grouped-ewm C kernel amortizes the
+    per-key Python cost), never per-group FlatMapGroupsInPandas and
+    never row-at-a-time Python; the key shuffle must be present so a
+    key's rows share a partition."""
     p = plan_str(spark, sf_dir, "ewma_smooth")
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
     assert "BatchEvalPython" not in p
+    assert re.search(r"Exchange hashpartitioning\(user_id", p)
 
 
 def test_cdc_op_priority_single_exchange(spark, sf_dir):
