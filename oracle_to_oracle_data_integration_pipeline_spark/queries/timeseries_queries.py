@@ -504,11 +504,13 @@ EWMA_ALPHA = 0.2
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (α=0.2) — the recursive smoother
     no window frame expresses (every prefix weight changes with t),
-    run as a per-key Arrow ``applyInPandas`` kernel
-    (operators/timeseries.py ``ewma``). The recursion is a fixed
-    sequence of IEEE double ops, so the oracle's ``list_reduce`` twin
-    reproduces it BIT-IDENTICALLY: a stateful Python kernel whose
-    output is exact-hash-compared, not bounds-gated."""
+    run as an Arrow ``mapInPandas`` kernel over key-partitioned data
+    with pandas' grouped-ewm C path — one Python invocation per
+    PARTITION, not per key (operators/timeseries.py ``ewma``). The
+    recursion is a fixed sequence of IEEE double ops, so the oracle's
+    ``list_reduce`` twin reproduces it BIT-IDENTICALLY: a stateful
+    Python kernel whose output is exact-hash-compared, not
+    bounds-gated."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import (
         ewma,
     )
