@@ -157,6 +157,8 @@ _VERIFY_FIRST = [
     "domain_cap",
     "k_anonymity",
     "binary_ingest",
+    "scalar_pandas_udf",
+    "python_udtf",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

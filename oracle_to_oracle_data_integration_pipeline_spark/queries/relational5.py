@@ -119,11 +119,96 @@ FROM embeddings
 """
 
 
+# -- qid: scalar_pandas_udf (vectorized Arrow scalar UDF surface) -----
+
+def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR half of the §2.10 UDF surface: an Arrow-vectorized
+    ``@pandas_udf`` normalizing document whitespace (collapse runs,
+    trim) and counting words — one Python invocation per Arrow batch,
+    never per row (the 10-100x lever over row-at-a-time UDFs). Logic
+    is deliberately oracle-expressible so the Arrow boundary itself is
+    what the differential compare certifies."""
+    from pyspark.sql.functions import pandas_udf
+
+    # annotation-free form: the module's `from __future__ import
+    # annotations` stringifies type hints, which the pandas_udf
+    # eval-type inference rejects; without hints the default is the
+    # scalar (Series -> Series) Arrow UDF, exactly what we want
+    norm_ws = pandas_udf(lambda s: s.str.split().str.join(" "), "string")
+    n_words = pandas_udf(lambda s: s.str.split().str.len().astype("int32"), "int")
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        norm_ws(F.col("text")).alias("clean_text"),
+        n_words(F.col("text")).alias("n_words"),
+    )
+
+
+SQL_SCALAR_PANDAS_UDF = r"""
+SELECT doc_id,
+       array_to_string(
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), ' '
+       ) AS clean_text,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+            AS INT) AS n_words
+FROM documents
+"""
+
+
+# -- qid: python_udtf (table-function surface, lateral join) ----------
+
+UDTF_MAX_ID = 200  # bounded input slice for the surface demo
+
+
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF third of the §2.10 surface: a Python user-defined
+    TABLE function (Spark 4 ``@udtf``) exploding each document into
+    (word, pos) rows through a SQL LATERAL join — the 1:N row
+    generator that scalar UDFs can't express. Arrow-optimized UDTF
+    execution is enabled when available; the input is a bounded
+    document slice (this qid certifies the surface, not bulk text
+    throughput — that's ``chunk_docs``/``token_freq`` territory)."""
+    from pyspark.sql.functions import udtf
+
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield i + 1, w
+
+    try:  # Arrow-optimized UDTF execution where the runtime supports it
+        split_words = udtf(SplitWords, returnType="pos int, word string",
+                           useArrow=True)
+    except TypeError:  # older runtime without the useArrow kwarg
+        split_words = udtf(SplitWords, returnType="pos int, word string")
+    spark.udtf.register("split_words_udtf", split_words)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < UDTF_MAX_ID
+    ).select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, s.pos, s.word
+           FROM udtf_docs d, LATERAL split_words_udtf(d.text) s"""
+    )
+
+
+SQL_PYTHON_UDTF = rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id < {UDTF_MAX_ID}
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, ws[pos] AS word
+FROM words, unnest(generate_series(1, len(ws))) AS t(pos)
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "q22_dormant_customers": q22_dormant_customers,
     "grouped_rank_pandas": q_grouped_rank_pandas,
+    "scalar_pandas_udf": q_scalar_pandas_udf,
+    "python_udtf": q_python_udtf,
 }
 
 ORACLE_SQL = {
@@ -131,4 +216,6 @@ ORACLE_SQL = {
     "q4_order_priority": SQL_Q4,
     "q22_dormant_customers": SQL_Q22,
     "grouped_rank_pandas": SQL_GROUPED_RANK,
+    "scalar_pandas_udf": SQL_SCALAR_PANDAS_UDF,
+    "python_udtf": SQL_PYTHON_UDTF,
 }

@@ -471,3 +471,19 @@ def test_k_anonymity_single_combinable_shuffle(spark, sf_dir):
     p = plan_str(spark, sf_dir, "k_anonymity")
     assert p.count("HashAggregate") >= 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_scalar_pandas_udf_is_arrow_vectorized(spark, sf_dir):
+    """The scalar UDF surface must execute as ArrowEvalPython
+    (vectorized batches), never row-at-a-time BatchEvalPython."""
+    p = plan_str(spark, sf_dir, "scalar_pandas_udf")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_python_udtf_is_arrow_optimized(spark, sf_dir):
+    """The table-function surface runs the Arrow-optimized UDTF path
+    with the bounded-slice filter pushed to the scan."""
+    p = plan_str(spark, sf_dir, "python_udtf")
+    assert "ArrowEvalPythonUDTF" in p
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in p
