@@ -53,7 +53,13 @@ SHOW = [
     ("pareto_revenue", "decile cut points from one percentile_approx pass; map-only bucket assignment, no window, no sort"),
     ("q15_top_supplier", "scalar-max subquery as a 1-row aggregate broadcast, not an unpartitioned window max"),
     ("checksum_diff", "anti-entropy level-1: per-side partial-agg bucket digests; only 64 digest rows join"),
-    ("ewma_smooth", "order-sensitive recursive kernel as Arrow grouped-map: one key shuffle, no Python row loop"),
+    ("ewma_smooth", "order-sensitive recursive kernel: one key shuffle into a per-PARTITION Arrow mapInPandas grouped-ewm call — per-key Python cost amortized away"),
+    # round-4 additions
+    ("order_index", "two-pass global permutation index: bucket-keyed rank windows + <=256-row offset prefix-sum broadcast; the corpus never single-partitions"),
+    ("domain_cap", "per-source cap with WindowGroupLimit partial top-k below the exchange: a hot domain ships at most cap rows per map task"),
+    ("k_anonymity", "one map-combinable count shuffle on the quasi-identifier tuple; violation filter runs on the aggregated class table"),
+    ("scalar_pandas_udf", "ArrowEvalPython vectorized scalar UDF: one Python call per Arrow batch"),
+    ("python_udtf", "ArrowEvalPythonUDTF lateral table function over the pruned, filter-pushed scan"),
 ]
 
 
