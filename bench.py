@@ -68,6 +68,14 @@ HEADLINE = [
     # round-4 additions: anti-entropy digest compare, stateful EWMA
     "checksum_diff",
     "ewma_smooth",
+    # round-4 wave 2: corpus-release ops, raw-file source, Python
+    # surface completions
+    "order_index",
+    "domain_cap",
+    "k_anonymity",
+    "binary_ingest",
+    "scalar_pandas_udf",
+    "python_udtf",
 ]
 
 

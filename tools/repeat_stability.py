@@ -48,6 +48,10 @@ DEFAULT_QIDS = [
     "token_freq",
     "pareto_revenue",
     "vocab_build",
+    # round-4 wave 2: per-run tempdir + mid-plan collect / temp-view +
+    # UDTF re-registration lifecycles
+    "binary_ingest",
+    "python_udtf",
 ]
 
 
