@@ -159,6 +159,7 @@ _VERIFY_FIRST = [
     "binary_ingest",
     "scalar_pandas_udf",
     "python_udtf",
+    "observe_metrics",
     # --- changed-this-round with an existing (r2) driver row ---
     "token_freq",
     # --- then stale rows: newest evidence is round 1 ---

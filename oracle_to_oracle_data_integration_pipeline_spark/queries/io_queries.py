@@ -174,12 +174,62 @@ def q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
 
+# -- qid: observe_metrics (single-pass run-report via CollectMetrics) --
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-report statistics WITHOUT a second pass: the reference
+    derives its per-run report from separate COUNT queries after the
+    merge (scripts/03_cdc_etl.py:168-169 — extra full passes, and
+    wrong under dropped soft-deletes); this pins Spark's
+    ``df.observe`` / CollectMetrics instead — accumulator-style
+    metrics collected DURING the one delta pass, free at any scale.
+    The observed (n_rows, n_deleted, sum_price) over the CDC delta
+    are returned as the result row; the oracle recomputes them as
+    ordinary aggregates, so the qid certifies that piggy-backed
+    metrics equal a dedicated aggregation pass."""
+    from pyspark.sql import Observation
+
+    tune(spark)
+    delta = cdc_orders(spark, sf_dir).where(
+        change_ts_col() > F.lit(WM).cast("timestamp")
+    )
+    obs = Observation("run_report")
+    observed = delta.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_deleted") == "Y", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(24,6)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.mode("overwrite").format("noop").save()  # the ONE pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_deleted"], m["sum_price"])],
+        "n_rows bigint, n_deleted bigint, sum_price double",
+    )
+
+
+def _sql_observe_metrics() -> str:
+    return f"""
+WITH {CDC_SRC_SQL}
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN is_deleted = 'Y' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_price
+FROM cdc_src
+WHERE greatest(coalesce(updated_at, created_at), created_at) > TIMESTAMP '{WM}'
+"""
+
+
 QUERIES = {
     "sink_append": q_sink_append,
     "watermark_store": q_watermark_store,
     "delta_count": q_delta_count,
     "pysource_changefeed": q_pysource_changefeed,
     "stream_pysource": q_stream_pysource,
+    "observe_metrics": q_observe_metrics,
 }
 
 ORACLE_SQL = {
@@ -188,4 +238,5 @@ ORACLE_SQL = {
     "pysource_changefeed": SQL_PYSOURCE,
     "stream_pysource": SQL_PYSOURCE,
     "delta_count": SQL_DELTA_COUNT,
+    "observe_metrics": _sql_observe_metrics(),
 }

@@ -483,7 +483,10 @@ def test_scalar_pandas_udf_is_arrow_vectorized(spark, sf_dir):
 
 def test_python_udtf_is_arrow_optimized(spark, sf_dir):
     """The table-function surface runs the Arrow-optimized UDTF path
-    with the bounded-slice filter pushed to the scan."""
+    with the bounded-slice filter pushed to the scan. clearCache
+    first: an earlier test may have cached the documents relation, and
+    an InMemoryTableScan carries no PushedFilters line."""
+    spark.catalog.clearCache()
     p = plan_str(spark, sf_dir, "python_udtf")
     assert "ArrowEvalPythonUDTF" in p
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in p
