@@ -15,6 +15,11 @@ REG = q.all_queries()
 
 
 def plan_str(spark, sf_dir, qid: str) -> str:
+    # hermetic gates: an earlier test may have cached a fixture
+    # relation, and an InMemoryTableScan plans with no PushedFilters/
+    # ReadSchema lines — every scan-shape assertion here would then be
+    # order-dependent
+    spark.catalog.clearCache()
     df = REG[qid](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -483,10 +488,7 @@ def test_scalar_pandas_udf_is_arrow_vectorized(spark, sf_dir):
 
 def test_python_udtf_is_arrow_optimized(spark, sf_dir):
     """The table-function surface runs the Arrow-optimized UDTF path
-    with the bounded-slice filter pushed to the scan. clearCache
-    first: an earlier test may have cached the documents relation, and
-    an InMemoryTableScan carries no PushedFilters line."""
-    spark.catalog.clearCache()
+    with the bounded-slice filter pushed to the scan."""
     p = plan_str(spark, sf_dir, "python_udtf")
     assert "ArrowEvalPythonUDTF" in p
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in p
