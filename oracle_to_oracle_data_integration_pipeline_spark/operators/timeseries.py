@@ -329,14 +329,15 @@ def ewma(
     a = float(alpha)
 
     def kernel(it):
-        import numpy as np
-
         chunks = [c for c in it if len(c)]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values([key, *order_cols], kind="mergesort")
-        g = pdf.groupby(key, sort=False)
+        # dropna=False: a NULL key forms its own group exactly as
+        # Spark's groupBy and the SQL oracle's GROUP BY treat it —
+        # pandas' default would silently drop those rows
+        g = pdf.groupby(key, sort=False, dropna=False)
         sizes = g[value].size()  # group-appearance (= key-sorted) order
         # grouped ewm preserves row order within each group block, so
         # each group's final smoothed value sits at its block's last

@@ -161,7 +161,10 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = (
         load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < BIN_INGEST_MAX_ID)
+        # NULL text can't render to a file — excluded explicitly on
+        # BOTH sides (the oracle carries the same predicate) instead
+        # of crashing the prep loop on .encode
+        .where((F.col("doc_id") < BIN_INGEST_MAX_ID) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()
     )
@@ -221,7 +224,7 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BINARY_INGEST = f"""
 WITH p AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-  WHERE doc_id < {BIN_INGEST_MAX_ID}
+  WHERE doc_id < {BIN_INGEST_MAX_ID} AND text IS NOT NULL
 ),
 d AS (SELECT doc_id, n % 31 + 1 AS w, n % 17 + 1 AS h FROM p)
 SELECT doc_id, 'bmp' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

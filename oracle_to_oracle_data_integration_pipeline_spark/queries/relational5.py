@@ -133,9 +133,16 @@ def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotation-free form: the module's `from __future__ import
     # annotations` stringifies type hints, which the pandas_udf
     # eval-type inference rejects; without hints the default is the
-    # scalar (Series -> Series) Arrow UDF, exactly what we want
-    norm_ws = pandas_udf(lambda s: s.str.split().str.join(" "), "string")
-    n_words = pandas_udf(lambda s: s.str.split().str.len().astype("int32"), "int")
+    # scalar (Series -> Series) Arrow UDF, exactly what we want.
+    # Tokenize on RE2's \s class ([\t\n\f\r ]) explicitly: pandas'
+    # bare .str.split() splits on ALL Unicode whitespace ( ,
+    # 　, ...) where the DuckDB twin's regexp \s+ is ASCII-only —
+    # findall of the complement also drops empty tokens, matching the
+    # oracle's list_filter. Nullable Int32 keeps a NULL text row as a
+    # NULL count instead of crashing the cast.
+    toks = r"[^\t\n\f\r ]+"
+    norm_ws = pandas_udf(lambda s: s.str.findall(toks).str.join(" "), "string")
+    n_words = pandas_udf(lambda s: s.str.findall(toks).str.len().astype("Int32"), "int")
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.select(
@@ -173,7 +180,12 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class SplitWords:
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split()):
+            import re
+
+            # RE2's \s class ([\t\n\f\r ]) to match the DuckDB twin;
+            # Python's bare str.split() would split on all Unicode
+            # whitespace (see scalar_pandas_udf)
+            for i, w in enumerate(re.findall(r"[^\t\n\f\r ]+", text or "")):
                 yield i + 1, w
 
     try:  # Arrow-optimized UDTF execution where the runtime supports it

@@ -240,3 +240,17 @@ def test_row_digest_is_delimiter_injection_proof(spark):
     b = spark.createDataFrame([(1, "x", "|y")], "k long, c1 string, c2 string")
     out = table_checksum_diff(a, b, ["k"], ["c1", "c2"], n_buckets=4).collect()
     assert any(r["digests_match"] == 0 for r in out)
+
+
+def test_ewma_null_key_group_retained(spark):
+    """A NULL key forms its own group — Spark groupBy and the SQL
+    oracle's GROUP BY both keep it; pandas' default dropna=True would
+    silently lose those rows inside the partition kernel."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(None, 1, 5.0), (None, 2, 7.0), (1, 1, 3.0)], "k long, ts int, v double"
+    )
+    rows = {r["k"]: (r["n_points"], round(r["ewma"], 4))
+            for r in ewma(df, "k", "ts", "v", alpha=0.2).collect()}
+    assert rows == {1: (1, 3.0), None: (2, 5.4)}
