@@ -165,6 +165,48 @@ def bucket_row_diff(
     )
 
 
+def checksum_drill(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    digest_cols: list[str],
+    n_buckets: int = 64,
+    level1: DataFrame | None = None,
+) -> DataFrame:
+    """The composed two-level anti-entropy pass: level-1 digests flag
+    drifted buckets, then :func:`bucket_row_diff` attributes rows in
+    ONLY those buckets. Exactly one scan of each side per level: the
+    level-1 result is either accepted pre-computed via ``level1``
+    (caller owns its caching/lifecycle — pass the SAME
+    keys/digest_cols/n_buckets it was built with, the function cannot
+    check) or computed here and pinned with ``.cache()`` for the
+    ≤ ``n_buckets``-row flagged-bucket collect, then unpersisted
+    before the drill plan is returned — the level-1 pass never runs
+    twice.
+
+    The ≤64-row collect is legitimate control plane: the flagged
+    bucket ids become a literal IN-list predicate in the drill plan,
+    which is what keeps the level-2 join restricted to the drifted
+    slice (and, in the all-clean case, makes it a scan of nothing).
+    """
+    owned = level1 is None
+    if owned:
+        level1 = table_checksum_diff(
+            source, target, keys, digest_cols, n_buckets=n_buckets
+        ).cache()
+    try:
+        flagged = [
+            r["bucket"]
+            for r in level1.where(F.col("digests_match") == 0).collect()
+        ]
+    finally:
+        if owned:
+            level1.unpersist()
+    return bucket_row_diff(
+        source, target, keys, digest_cols, buckets=flagged, n_buckets=n_buckets
+    )
+
+
 def resolve_op_conflicts(
     delta: DataFrame,
     keys: list[str],

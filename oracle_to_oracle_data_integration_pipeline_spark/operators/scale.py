@@ -17,6 +17,8 @@ These address the two shuffle pathologies a 100 TB deployment hits
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -267,10 +269,19 @@ def bloom_prefilter(
     # silently returns ~nothing, even though the equality join itself
     # would have coerced 5 == 5.0. Fail fast and make the caller cast
     # one side explicitly.
+    # Scale-0 decimals stringify without a fractional part ("5", not
+    # "5.0"), so decimal(p,0) keys hash identically to int/bigint keys
+    # — the guard treats them as the same family rather than raising
+    # on a pair whose canonical strings actually agree.
     integral = {"tinyint", "smallint", "int", "bigint"}
     bt = dict(big.dtypes)[big_key]
     kt = dict(keys.dtypes)[keys_key]
-    fam = lambda t: "integral" if t in integral else t  # noqa: E731
+
+    def fam(t: str) -> str:
+        if t in integral or re.fullmatch(r"decimal\(\d+,0\)", t):
+            return "integral"
+        return t
+
     if fam(bt) != fam(kt):
         raise ValueError(
             f"bloom_prefilter key types disagree ({big_key}: {bt} vs "

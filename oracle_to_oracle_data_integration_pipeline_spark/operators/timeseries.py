@@ -286,6 +286,7 @@ def ewma(
     value: str,
     alpha: float = 0.2,
     tiebreak: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average — the recursive
     smoother (s₀ = x₀; sₜ = α·xₜ + (1−α)·sₜ₋₁) no window frame can
@@ -317,8 +318,14 @@ def ewma(
     partition).
 
     At 100 TB: state is one double per key; memory is O(partition)
-    inside the kernel (like any sort-based operator — size
-    spark.sql.shuffle.partitions accordingly). For unbounded series,
+    inside the kernel (the pd.concat materializes the whole shuffle
+    partition, like any sort-based operator). ``num_partitions``
+    overrides spark.sql.shuffle.partitions for exactly this reason:
+    size it so rows_per_partition × row_width fits executor memory —
+    with skewed key frequencies, raise it until the hottest partition
+    fits (the kernel is per-partition, so more partitions = smaller
+    pandas frames at the cost of smaller C-kernel batches). For
+    unbounded series,
     feed pre-resampled buckets (``resample``) or the Structured
     Streaming twin (applyInPandasWithState keeps s across
     micro-batches instead of re-reading history).
@@ -357,4 +364,9 @@ def ewma(
     # not be forced through a bigint schema)
     key_type = df.schema[key].dataType.simpleString()
     out_schema = f"{key} {key_type}, n_points long, ewma double"
-    return base.repartition(F.col(key)).mapInPandas(kernel, schema=out_schema)
+    part = (
+        base.repartition(num_partitions, F.col(key))
+        if num_partitions
+        else base.repartition(F.col(key))
+    )
+    return part.mapInPandas(kernel, schema=out_schema)

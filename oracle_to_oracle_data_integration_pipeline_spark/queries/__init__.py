@@ -61,26 +61,142 @@ _MODULES = [
 ]
 
 # The driver's correctness gate evaluates qids in registry (dict) order
-# and stops after ~50. Rounds 1-3 verified 140/203 qids (all green; r03
-# was 50/50). This ROUND-4 window targets the 63 qids that have NEVER
-# had a driver row (every round-3 late addition plus the 8 TPC-H
-# shapes owed since round 1): first the TPC-H shapes and the two
-# SURVEY-§2-adjacent catalog/DDL qids, then every qid whose plan or
-# gate CHANGED this round (pareto_revenue / vocab_build global-window
-# rewrites, chi2 NULL guard, join_size_estimate recalibration,
-# spearman unhinted broadcast, bloom canonical-string hashing), then
-# the analytics / feature-engineering / graph / tokenizer /
-# time-series / retrieval batches; the lowest-risk compositions of
-# driver-proven machinery absorb the ~50-entry window cutoff
-# (remainder queues for round 5). Behind them: token_freq (r2-green
-# but plan-rewritten this round), then the 47 qids whose only driver
-# row is round 1, then the round-2 cohort — so no qid's newest driver
-# row ages past two rounds if the window runs wide. Every registered
-# qid is green in the local differential suite
-# (tests/test_queries_vs_duckdb.py + tools/parity_sweep.py) each
-# round regardless.
+# and stops after ~50. Rounds 1-4 verified 190/217 qids cumulatively
+# (all green; r04 was 50/50). This ROUND-5 window burns down the last
+# of the verification debt: first the 27 qids that have NEVER had a
+# driver row (13 round-3 stragglers, then the 14 round-4 additions),
+# then the 9 CDC-core qids whose newest driver evidence is round 1
+# (VERDICT r4 ask #4), then token_freq (r2 row, plan rewritten r4),
+# then the remaining r1-stale relational qids to absorb the ~50-entry
+# cutoff. 27+9+1 = 37 debt entries lead, so a full window closes the
+# gap to 217/217 cumulative driver-green. The 50 qids sampled green in
+# r04 rotate to the back. Every registered qid is green in the local
+# differential suite (tests/test_queries_vs_duckdb.py +
+# tools/parity_sweep.py) each round regardless.
 _VERIFY_FIRST = [
-    # --- never driver-sampled (63) ---
+    # --- never driver-sampled: round-3 stragglers (13) ---
+    "fuzzy_dedup",
+    "neardup_resolve",
+    "mixture_temperature",
+    "session_window_batch",
+    "sql_interface",
+    "knn_classify",
+    "fuzzy_match",
+    "cohort_retention",
+    "event_transitions",
+    "minhash_incremental",
+    "media_resize",
+    "media_frames",
+    "media_features",
+    # --- never driver-sampled: round-4 additions (14) ---
+    "checksum_diff",
+    "checksum_drill",
+    "cdc_op_priority",
+    "schema_diff",
+    "ewma_smooth",
+    "stream_ewma",
+    "stream_watermark_late",
+    "order_index",
+    "domain_cap",
+    "k_anonymity",
+    "binary_ingest",
+    "scalar_pandas_udf",
+    "python_udtf",
+    "observe_metrics",
+    # --- CDC-core, newest driver row is round 1 (9) ---
+    "change_ts",
+    "delta_filter",
+    "cdc_merge",
+    "merge_stats",
+    "watermark_max",
+    "latest_per_key",
+    "set_ops",
+    "string_funcs",
+    "date_parts",
+    # --- plan rewritten r4 on an r2 row ---
+    "token_freq",
+    # --- remaining r1-stale, then r2 cohort ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_rollup",
+    "agg_cube",
+    "distinct_agg",
+    "window_topk",
+    "window_running",
+    "join_semi",
+    "join_anti",
+    "pivot_qty",
+    "date_buckets",
+    "array_math",
+    "asof_join",
+    "range_join",
+    "percentiles",
+    "stats_moments",
+    "grouping_sets",
+    "math_funcs",
+    "unpivot",
+    "null_handling",
+    "regex_funcs",
+    "map_funcs",
+    "explode_pos",
+    "window_analytics2",
+    "correlated_subquery",
+    "having_subquery",
+    "q10_returned_customers",
+    "q14_promo_share",
+    "q19_disjunctive",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q22_dormant_customers",
+    "grouped_rank_pandas",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "json_extract",
+    "array_agg",
+    "q12_priority_class",
+    "partitioned_scan",
+    "join_outer",
+    "window_range_frame",
+    "salted_join",
+    "scan_full",
+    "project_order",
+    "order_by",
+    "catalog_tables",
+    "topo_order",
+    "empty_clone",
+    "schema_clone",
+    "sink_append",
+    "json_roundtrip",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_dedup",
+    "dedup_components",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "embed_neardup",
+    "cosine_topk_lsh",
+    "multimodal_meta",
+    "split_assign",
+    "stratified_sample",
+    "decontaminate",
+    "dedup_keep_best",
+    "ann_label_agreement",
+    "tfidf_top_term",
+    "events_funnel",
+    "ivf_topk",
+    "token_count_bpe",
+    "pii_scrub",
+    "repetition_filter",
+    "curation_pipeline",
+    # --- sampled green in r04, rotated to the back ---
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -131,128 +247,6 @@ _VERIFY_FIRST = [
     "minmax_downsample",
     "histogram_fixed",
     "window_time_range",
-    "fuzzy_dedup",
-    "neardup_resolve",
-    "mixture_temperature",
-    "session_window_batch",
-    "sql_interface",
-    "knn_classify",
-    "fuzzy_match",
-    "cohort_retention",
-    "event_transitions",
-    "minhash_incremental",
-    "media_resize",
-    "media_frames",
-    "media_features",
-    # --- new this round (reconciliation + stateful EWMA): queue
-    # behind the owed 63 so they don't displace older evidence ---
-    "checksum_diff",
-    "checksum_drill",
-    "cdc_op_priority",
-    "schema_diff",
-    "ewma_smooth",
-    "stream_ewma",
-    "stream_watermark_late",
-    "order_index",
-    "domain_cap",
-    "k_anonymity",
-    "binary_ingest",
-    "scalar_pandas_udf",
-    "python_udtf",
-    "observe_metrics",
-    # --- changed-this-round with an existing (r2) driver row ---
-    "token_freq",
-    # --- then stale rows: newest evidence is round 1 ---
-    "change_ts",
-    "delta_filter",
-    "watermark_max",
-    "latest_per_key",
-    "cdc_merge",
-    "merge_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "agg_rollup",
-    "agg_cube",
-    "distinct_agg",
-    "window_topk",
-    "window_running",
-    "join_semi",
-    "join_anti",
-    "set_ops",
-    "pivot_qty",
-    "date_buckets",
-    "string_funcs",
-    "array_math",
-    "asof_join",
-    "range_join",
-    "percentiles",
-    "stats_moments",
-    "grouping_sets",
-    "math_funcs",
-    "date_parts",
-    "unpivot",
-    "null_handling",
-    "regex_funcs",
-    "map_funcs",
-    "explode_pos",
-    "window_analytics2",
-    "correlated_subquery",
-    "having_subquery",
-    "q10_returned_customers",
-    "q14_promo_share",
-    "q19_disjunctive",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q22_dormant_customers",
-    "grouped_rank_pandas",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    # --- then the round-2 cohort ---
-    "json_extract",
-    "array_agg",
-    "q12_priority_class",
-    "partitioned_scan",
-    "join_outer",
-    "window_range_frame",
-    "salted_join",
-    "scan_full",
-    "project_order",
-    "order_by",
-    "catalog_tables",
-    "topo_order",
-    "empty_clone",
-    "schema_clone",
-    "sink_append",
-    "json_roundtrip",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "dedup_exact",
-    "ngram_jaccard",
-    "minhash_dedup",
-    "dedup_components",
-    "text_stats",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "cosine_topk",
-    "embed_neardup",
-    "cosine_topk_lsh",
-    "multimodal_meta",
-    "split_assign",
-    "stratified_sample",
-    "decontaminate",
-    "dedup_keep_best",
-    "ann_label_agreement",
-    "tfidf_top_term",
-    "events_funnel",
-    "ivf_topk",
-    "token_count_bpe",
-    "pii_scrub",
-    "repetition_filter",
-    "curation_pipeline",
 ]
 
 

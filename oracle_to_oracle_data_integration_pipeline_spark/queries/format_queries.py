@@ -143,8 +143,10 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     filenames, and the stdlib BMP decoder runs distributed over the
     contents (same ``decode_media`` dispatch as the media_* qids).
     The ``length_matches`` flag cross-checks the source's file-length
-    metadata against the decoded byte count — the read path and the
-    codec must agree byte-for-byte.
+    metadata against the size the PARSED HEADER implies
+    (54-byte header + 4-byte-aligned rows × height) — a truncated or
+    padded file flips the flag even though ``len(payload)`` would
+    trivially equal the file length.
 
     Harness prep (bounded control plane): at most BIN_INGEST_MAX_ID
     documents are rendered to one .bmp file each, driver-side — at
@@ -200,9 +202,17 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pdf["doc_id"], pdf["length"], pdf["content"]
                 ):
                     m = decode_media(bytes(content))
+                    # Header-derived expected size, NOT len(payload):
+                    # BMP rows are padded to 4 bytes, so expected =
+                    # 54 + row_size * height from the parsed dims. A
+                    # file truncated or padded after the header fails
+                    # this check; comparing against len(payload) could
+                    # not (binaryFile's length IS len(payload)).
+                    row_size = (m["width"] * 3 + 3) // 4 * 4
+                    expected = 54 + row_size * m["height"]
                     rows.append(
                         (doc_id, m["fmt"], m["width"], m["height"],
-                         m["n_bytes"], int(length == m["n_bytes"]))
+                         m["n_bytes"], int(length == expected))
                     )
                 yield pd.DataFrame(
                     rows,

@@ -136,9 +136,14 @@ def q_checksum_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the drifted keys with their drift class. At 100 TB the
     expensive keyed full-outer join touches |flagged buckets|/64 of
     each table instead of all of it — and in the common all-clean case,
-    nothing at all."""
+    nothing at all. Composition lives in
+    :func:`operators.reconcile.checksum_drill`, which caches the
+    level-1 result around its single control-plane collect (or accepts
+    a caller-cached one) so each side is scanned exactly once per
+    level; the returned drill plan scans source+target once each,
+    pinned by tests/test_plans.py::test_checksum_drill_scan_count."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
-        bucket_row_diff,
+        checksum_drill,
     )
 
     o = load(spark, sf_dir, "orders")
@@ -152,18 +157,9 @@ def q_checksum_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("o_totalprice")),
         )
     )
-    level1 = table_checksum_diff(
+    return checksum_drill(
         source, target, ["o_orderkey"],
         ["o_custkey", "o_orderstatus", "price_s"], n_buckets=CKD_BUCKETS,
-    )
-    flagged = [
-        r["bucket"]
-        for r in level1.where(F.col("digests_match") == 0).collect()
-    ]
-    return bucket_row_diff(
-        source, target, ["o_orderkey"],
-        ["o_custkey", "o_orderstatus", "price_s"],
-        buckets=flagged, n_buckets=CKD_BUCKETS,
     )
 
 

@@ -419,6 +419,18 @@ def test_checksum_diff_partial_digest_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_checksum_drill_scan_count(spark, sf_dir):
+    """The returned drill plan scans each side exactly once — source
+    and target both derive from orders here, so exactly two parquet
+    scans of orders and no more: the level-1 pass ran once (cached
+    around its ≤64-row control-plane collect inside
+    operators.reconcile.checksum_drill) and is NOT re-planned into
+    the drill."""
+    p = plan_str(spark, sf_dir, "checksum_drill")
+    assert len(re.findall(r"Scan parquet", p)) == 2, p
+    assert "CartesianProduct" not in p
+
+
 def test_ewma_is_arrow_partition_kernel(spark, sf_dir):
     """The EWMA kernel must run as ONE Arrow mapInPandas invocation
     per key-partition (pandas grouped-ewm C kernel amortizes the
@@ -491,4 +503,9 @@ def test_python_udtf_is_arrow_optimized(spark, sf_dir):
     with the bounded-slice filter pushed to the scan."""
     p = plan_str(spark, sf_dir, "python_udtf")
     assert "ArrowEvalPythonUDTF" in p
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in p
+    # Match the two pushed filters independently — filter ordering and
+    # formatting inside PushedFilters varies across Spark versions.
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed, p
+    assert re.search(r"IsNotNull\(doc_id\)", pushed.group(1))
+    assert re.search(r"LessThan\(doc_id", pushed.group(1))

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
     bucket_row_diff,
+    checksum_drill,
     resolve_op_conflicts,
     schema_diff,
     table_checksum_diff,
@@ -45,6 +46,39 @@ def test_checksum_diff_identical_tables_all_match(spark):
     out = table_checksum_diff(src, src, ["k"], ["payload"], n_buckets=16).collect()
     assert all(r["digests_match"] == 1 for r in out)
     assert all(r["n_source"] == r["n_target"] for r in out)
+
+
+def test_checksum_drill_composed_matches_manual(spark):
+    """The composed operator (owned, cached level-1) and the
+    caller-supplied-level1 path must both equal the manual
+    level1→flagged→bucket_row_diff composition."""
+    src, tgt = _pair(spark)
+    expected = {(7, "source_only"), (13, "changed"), (500, "target_only")}
+
+    owned = {
+        (r["k"], r["status"])
+        for r in checksum_drill(src, tgt, ["k"], ["payload"], n_buckets=16).collect()
+    }
+    assert owned == expected
+
+    level1 = table_checksum_diff(src, tgt, ["k"], ["payload"], n_buckets=16).cache()
+    try:
+        supplied = {
+            (r["k"], r["status"])
+            for r in checksum_drill(
+                src, tgt, ["k"], ["payload"], n_buckets=16, level1=level1
+            ).collect()
+        }
+    finally:
+        level1.unpersist()
+    assert supplied == expected
+
+
+def test_checksum_drill_clean_tables_empty(spark):
+    """All-clean level-1 ⇒ the drill scans nothing and returns no
+    rows (the common case at scale)."""
+    src, _ = _pair(spark)
+    assert checksum_drill(src, src, ["k"], ["payload"], n_buckets=16).count() == 0
 
 
 def test_bucket_row_diff_attributes_each_drift(spark):
