@@ -99,3 +99,60 @@ def test_pushdown_subquery_shape():
     opts = partition_options("t", "k", 0, 10, 4, predicate_sql="x > 1")
     assert opts["numPartitions"] == "4"
     assert opts["dbtable"].startswith("(SELECT * FROM t WHERE x > 1)")
+
+
+def test_cdc_delta_predicate_lands_in_jdbc_relation(spark, derby_url, tmp_path):
+    """The pipeline's own rewritten base-column delta predicate
+    (operators/cdc.py delta_predicate_sql — SURVEY §3/§4: the
+    reference filters a derived column AFTER a full-table JDBC read)
+    must land INSIDE the pushed JDBC subquery, and the JDBC delta must
+    row-match the parquet path running the Column twin of the same
+    predicate. This is the end-to-end proof on a real JDBC relation,
+    not just the option-dict unit test."""
+    import datetime
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+        delta_predicate,
+        delta_predicate_sql,
+    )
+
+    TS = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            # (k, created_at, updated_at): 2 rows before the watermark,
+            # 1 created-after, 1 updated-after with old created (the
+            # case the OR rewrite exists for), 1 NULL updated_at after
+            (1, TS(2024, 1, 1), None),
+            (2, TS(2024, 1, 2), TS(2024, 1, 3)),
+            (3, TS(2024, 2, 1), None),
+            (4, TS(2024, 1, 1), TS(2024, 2, 2)),
+            (5, TS(2024, 2, 5), None),
+        ],
+        "k long, created_at timestamp, updated_at timestamp",
+    )
+    JdbcSink(derby_url, properties=DRIVER).write(df, "cdc_src", mode="overwrite")
+    wm = "2024-01-15 00:00:00"
+
+    # Spark's JDBC writer created quoted lowercase identifiers; render
+    # the predicate against those (Oracle would take bare/upper names).
+    # Derby takes TIMESTAMP('...') function form, not the ANSI literal
+    # Oracle takes — delta_predicate_sql passes a pre-rendered literal
+    # through untouched (the dialect hook).
+    psql = delta_predicate_sql(
+        f"TIMESTAMP('{wm}')", created='"created_at"', updated='"updated_at"'
+    )
+    src = JdbcSource(spark, derby_url, properties=DRIVER)
+    remote = src.load_where("cdc_src", None, predicate_sql=psql)
+
+    plan = remote._jdf.queryExecution().executedPlan().toString()
+    assert "spark_pushdown" in plan, plan           # subquery is the relation
+    assert '"created_at" > TIMESTAMP' in plan, plan  # predicate inside it
+    assert '"updated_at" > TIMESTAMP' in plan, plan
+
+    parquet_path = str(tmp_path / "cdc_src_parquet")
+    df.write.parquet(parquet_path)
+    local = spark.read.parquet(parquet_path).filter(delta_predicate(wm))
+
+    got = sorted(r["k"] for r in remote.collect())
+    want = sorted(r["k"] for r in local.collect())
+    assert got == want == [3, 4, 5]

@@ -338,3 +338,24 @@ def test_resize_media_fake_path_via_spark(spark):
     )
     rows = resize_media(df, target_w=8, target_h=8, fake=True).collect()
     assert rows[0]["n_bytes_out"] == 64  # fake invariant: min(len, w*h)
+
+
+def test_decode_media_real_pillow_jpeg_and_gif():
+    """REAL-Pillow arm of the dispatch matrix (runs only where Pillow
+    is installed — this container skips): a JPEG and a GIF rendered by
+    Pillow itself must decode to their true dimensions through
+    decode_media's optional-lib path, exercising the actual library
+    rather than the monkeypatched stand-in above. Together with
+    test_decode_media_without_pillow_keeps_stub_contract, exactly one
+    of the two arms runs in any environment and both are covered by
+    the matrix."""
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    for fmt, size in (("JPEG", (31, 17)), ("GIF", (9, 13))):
+        buf = io.BytesIO()
+        pil.new("RGB", size, color=(200, 10, 10)).save(buf, format=fmt)
+        meta = decode_media(buf.getvalue(), fake=False)
+        assert (meta["width"], meta["height"]) == size
+        assert meta["fmt"] == fmt.lower()
+        assert meta["n_bytes"] == len(buf.getvalue())
