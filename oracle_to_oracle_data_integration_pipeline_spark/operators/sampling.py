@@ -76,3 +76,45 @@ def stratified_topk(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    key_round: int = 12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, inclusion
+    probability proportional to weight — the Efraimidis–Spirakis
+    exponential-sort scheme as pure column algebra: each row draws
+    e = −ln(u)/w (an Exp(w) variate from a deterministic md5 uniform),
+    and the k SMALLEST exponentials are the sample. One global top-k
+    (TakeOrderedAndProject — per-partition heaps, k rows per partition
+    cross the wire, never a global sort), replayable across reruns and
+    engines because u comes from md5, not rand().
+
+    Determinism across engines: ln() is libm-dependent at the last
+    ulp, so the key is rounded half-up at ``key_round`` decimals (the
+    floor idiom) BEFORE ranking and ties break on the id — both
+    engines then rank identical (key, id) tuples. The uniform is
+    (h52 + 0.5)/16^13: strictly inside (0,1), so ln never sees 0.
+
+    Weights must be > 0; rows with NULL or non-positive weight are
+    excluded (they have no defined inclusion probability).
+    SQL twin per row:
+    ``floor(-ln((h52 + 0.5)/16^13) / w * 1e12 + 0.5) / 1e12``.
+    """
+    w = F.col(weight_col).cast("double")
+    h52 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h52 + F.lit(0.5)) / F.lit(float(16**13))
+    scale = float(10**key_round)
+    key = F.floor(-F.log(u) / w * scale + F.lit(0.5)) / scale
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

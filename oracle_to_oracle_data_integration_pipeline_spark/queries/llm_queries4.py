@@ -367,8 +367,46 @@ FROM documents
 """
 
 
+# -- qid: weighted_sample ----------------------------------------------
+
+WS_K = 64
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional corpus sampling: k docs drawn WITHOUT
+    replacement with inclusion probability ∝ n_chars — the standard
+    "sample tokens, not documents" correction when sizing a data
+    mixture (a uniform doc sample over-represents short docs). The
+    Efraimidis–Spirakis exponential keys make it one global top-k
+    (per-partition heaps; k rows per partition cross the wire) with
+    md5-replayable draws (operators/sampling.weighted_sample_topk).
+    """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, "n_chars", WS_K, id_col="doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         floor(
+           -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 0.5) / CAST(power(16, 13) AS DOUBLE))
+           / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS sample_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, sample_key
+FROM k ORDER BY sample_key, doc_id LIMIT {WS_K}
+"""
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
+    "weighted_sample": q_weighted_sample,
     "domain_cap": q_domain_cap,
     "order_index": q_order_index,
     "minhash_incremental": q_minhash_incremental,
@@ -381,6 +419,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "order_index": SQL_ORDER_INDEX,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,

@@ -10,6 +10,8 @@ to a temp dir, reads back with a year filter, and the plan test pins
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -30,6 +32,7 @@ def partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     if key in _PART_DIR_CACHE:
         return _PART_DIR_CACHE[key]
     out = tempfile.mkdtemp(prefix="orders_by_year_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
     _PART_DIR_CACHE[key] = out
@@ -279,8 +282,82 @@ FROM z GROUP BY bucket
 SQL_ZORDER_CLUSTER = _zorder_sql()
 
 
+# -- qid: bucketed_join -----------------------------------------------
+
+_BKT_CACHE: dict[tuple[int, str], bool] = {}
+BKT_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Write orders and lineitem as BUCKETED tables (8 buckets on the
+    order key each), once per (session, sf_dir). Bucketing is the
+    ahead-of-time co-location contract: both tables' files are already
+    hash-partitioned by the join key ON DISK, so every future join on
+    that key starts from compatible partitioning and the exchange
+    disappears — at 100 TB this converts the recurring fact-to-fact
+    shuffle (the single most expensive stage of a star-join pipeline)
+    into a one-time write-side cost, amortized over every downstream
+    run. Tables live in temp LOCATIONs (nothing persists in
+    spark-warehouse) under this session's in-memory catalog."""
+    key = (id(spark), sf_dir)
+    if key in _BKT_CACHE:
+        return
+    for tbl, src, col in (
+        ("o2o_bkt_orders", "orders", "o_orderkey"),
+        ("o2o_bkt_lineitem", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = tempfile.mkdtemp(prefix=f"{tbl}_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        (
+            load(spark, sf_dir, src)
+            .write.mode("overwrite")
+            .bucketBy(BKT_BUCKETS, col)
+            .sortBy(col)
+            .option("path", loc)
+            .saveAsTable(tbl)
+        )
+    _BKT_CACHE[key] = True
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange fact-to-fact join off bucketed layouts: orders ⋈
+    lineitem on the order key with BOTH sides bucketed by it — NO
+    Exchange feeds the SortMergeJoin (each of the 8 bucket pairs joins
+    independently); the ONLY exchange in the plan is the compact
+    re-aggregation on o_orderpriority, a different key (pinned by
+    tests/test_plans.py::test_bucketed_join_no_join_exchange). The
+    merge hint keeps the small fixture off the broadcast path so the
+    plan under test is the one a 100 TB fact pair would get."""
+    tune(spark)
+    _bucketed_tables(spark, sf_dir)
+    o = spark.table("o2o_bkt_orders")
+    l = spark.table("o2o_bkt_lineitem")
+    j = o.hint("merge").join(
+        l, o["o_orderkey"] == l["l_orderkey"], "inner"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 2)
+         AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "partitioned_scan": q_partitioned_scan,
+    "bucketed_join": q_bucketed_join,
     "join_outer": q_join_outer,
     "window_range_frame": q_window_range_frame,
     "window_time_range": q_window_time_range,
@@ -291,6 +368,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "partitioned_scan": SQL_PARTITIONED_SCAN,
+    "bucketed_join": SQL_BUCKETED_JOIN,
     "join_outer": SQL_JOIN_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
     "window_time_range": SQL_WINDOW_TIME_RANGE,

@@ -509,3 +509,30 @@ def test_python_udtf_is_arrow_optimized(spark, sf_dir):
     assert pushed, p
     assert re.search(r"IsNotNull\(doc_id\)", pushed.group(1))
     assert re.search(r"LessThan\(doc_id", pushed.group(1))
+
+
+def test_weighted_sample_is_partial_topk(spark, sf_dir):
+    """The Efraimidis–Spirakis sample is one global top-k over the
+    exponential keys: TakeOrderedAndProject (k rows per partition
+    cross the wire), never a global Sort of the scored corpus, and
+    the key expression is pure column algebra — no Python eval."""
+    p = plan_str(spark, sf_dir, "weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p
+    assert "EvalPython" not in p
+
+
+def test_bucketed_join_no_join_exchange(spark, sf_dir):
+    """Both scans must read the bucketed layout (Bucketed: true) and
+    the SortMergeJoin must consume them WITHOUT any exchange — the
+    only Exchange hashpartitioning allowed is the downstream
+    re-aggregation on o_orderpriority (a different key). At 100 TB
+    the absent exchange IS the operator: the fact-to-fact shuffle is
+    prepaid at write time."""
+    p = plan_str(spark, sf_dir, "bucketed_join")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # the one exchange is the agg key, never the join key
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+        assert "o_orderpriority" in frag and "orderkey" not in frag, frag
