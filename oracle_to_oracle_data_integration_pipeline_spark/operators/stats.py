@@ -494,3 +494,63 @@ def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
     return agg.select(
         "n", F.when(den > 0, pround(num / den, 6)).alias("spearman")
     )
+
+
+def embed_gram(emb: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Distributed Gram matrix XᵀX of the embedding column (upper
+    triangle): the one-pass statistic behind PCA whitening, covariance
+    drift checks, and IVF/OPQ codebook training over a vector corpus.
+
+    100 TB shape: ``mapInPandas`` computes a per-partition PARTIAL
+    Gram with a vectorized numpy kernel — one Python call per batch,
+    dim·(dim+1)/2 output rows per partition regardless of row count —
+    then one combinable shuffle of those tiny partials sums cell-wise.
+    No explode: a per-pair explode would multiply the corpus by
+    dim²/2 rows (4096× at dim=64) before aggregating; here the blowup
+    never leaves the numpy kernel. The plan gate pins "no Generate
+    node".
+
+    Determinism: each per-row product x_i·x_j (exact in float64 for
+    float32 inputs) is quantized half-up to 9 dp as an int64 —
+    ``floor(p·1e9 + 0.5)`` — so partial sums are EXACT integers and
+    any partition layout or partial-agg tree produces identical bits.
+    int64 headroom: |x|≤1-ish fixtures give ≤~1e9 per term, so ~9e9
+    rows per cell before overflow; at larger scale raise the schema to
+    DECIMAL or drop ``scale`` a digit.
+
+    Output: i, j (0-based, i ≤ j), gram_q9 (exact integer, units of
+    1e-9), gram (double, gram_q9/1e9 — deterministic IEEE division).
+    SQL twin: lateral range-join over (i, j) pairs with the identical
+    floor quantization.
+    """
+    scale = 1e9
+
+    def _partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            seen = True
+            for i in range(dim):
+                prod = x[:, i : i + 1] * x[:, i:]
+                acc[i, i:] += (
+                    np.floor(prod * scale + 0.5).astype(np.int64).sum(axis=0)
+                )
+        if not seen:
+            return
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "pq": acc[iu]}
+        )
+
+    parts = emb.select(vec_col).mapInPandas(_partial, schema="i int, j int, pq long")
+    g = parts.groupBy("i", "j").agg(F.sum("pq").alias("gram_q9"))
+    return g.select(
+        "i", "j", "gram_q9",
+        (F.col("gram_q9").cast("double") / F.lit(scale)).alias("gram"),
+    )

@@ -351,3 +351,26 @@ def bpe_apply(
             F.sum("nt").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Canonical text normalization as one JVM-side expression chain:
+    lowercase → punctuation (anything outside [a-z0-9 space]) → space
+    → digit runs masked to the single token "0" → whitespace runs
+    collapsed → trim. The standard pre-dedup canonicalizer: exact-hash
+    dedup over the normalized form catches case/punct/number variants
+    of the same boilerplate.
+
+    ASCII character classes only ([^a-z0-9 ], [0-9]+, " +") — Java
+    regex (Spark) and RE2 (DuckDB) interpret these identically; \\s
+    and Unicode classes deliberately avoided (the engines' \\s sets
+    differ by \\x0b, the BPE_ISH_PATTERN lesson above).
+    SQL twin: trim(regexp_replace(regexp_replace(regexp_replace(
+    lower(x), '[^a-z0-9 ]', ' ', 'g'), '[0-9]+', '0', 'g'),
+    ' +', ' ', 'g')).
+    """
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, "[0-9]+", "0")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)

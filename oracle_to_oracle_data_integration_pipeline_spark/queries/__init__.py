@@ -22,6 +22,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     quality_queries,
     reconcile_queries,
     retrieval_queries,
+    retrieval_queries2,
     timeseries_queries,
     relational,
     relational2,
@@ -52,6 +53,7 @@ _MODULES = [
     quality_queries,
     reconcile_queries,
     retrieval_queries,
+    retrieval_queries2,
     timeseries_queries,
     clustering_queries,
     graph_queries,
@@ -103,6 +105,15 @@ _VERIFY_FIRST = [
     "scalar_pandas_udf",
     "python_udtf",
     "observe_metrics",
+    # --- never driver-sampled: round-5 additions (8) ---
+    "weighted_sample",
+    "bucketed_join",
+    "inverted_index",
+    "rank_fusion",
+    "oov_rate",
+    "bigram_lm_score",
+    "text_normalize",
+    "embed_gram",
     # --- CDC-core, newest driver row is round 1 (9) ---
     "change_ts",
     "delta_filter",

@@ -536,3 +536,61 @@ def test_bucketed_join_no_join_exchange(spark, sf_dir):
     # the one exchange is the agg key, never the join key
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
         assert "o_orderpriority" in frag and "orderkey" not in frag, frag
+
+
+def test_inverted_index_window_group_limit(spark, sf_dir):
+    """The per-term postings head (rn <= 8) must compile to
+    WindowGroupLimit — partial top-N per partition BEFORE the term
+    shuffle — so a stopword's full postings list never crosses the
+    wire; the collect_list then aggregates at most 8 rows per term."""
+    p = plan_str(spark, sf_dir, "inverted_index")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rank_fusion_pool_truncation(spark, sf_dir):
+    """Both source rankings must truncate via TakeOrderedAndProject
+    (per-partition partial top-k) before any window touches them; the
+    fusion join and rank windows then see <=50 rows."""
+    p = plan_str(spark, sf_dir, "rank_fusion")
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in p
+
+
+def test_oov_rate_vocab_broadcast(spark, sf_dir):
+    """The vocabulary membership probe must broadcast the top-V vocab
+    over the exploded token stream (map-only probe) — the corpus side
+    never shuffles for the join; vocabulary selection itself is a
+    TakeOrderedAndProject, never a global sort."""
+    p = plan_str(spark, sf_dir, "oov_rate")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bigram_lm_broadcast_contexts(spark, sf_dir):
+    """Left-context counts (vocabulary-sized) and the V scalar must
+    broadcast; only the bigram-keyed join may shuffle the occurrence
+    stream."""
+    p = plan_str(spark, sf_dir, "bigram_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_text_normalize_map_only(spark, sf_dir):
+    """The normalizer is a pure projection: zero exchanges, zero
+    Python — one whole-stage-codegen map over the scan."""
+    p = plan_str(spark, sf_dir, "text_normalize")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    # "*(1) Project" is executedPlan toString's whole-stage-codegen marker
+    assert "*(1) Project" in p
+
+
+def test_embed_gram_no_generate(spark, sf_dir):
+    """The Gram matrix must come from the mapInPandas partial kernel +
+    one cell-keyed reduce — never a per-pair explode (Generate), which
+    would multiply the corpus 2080x before aggregating."""
+    p = plan_str(spark, sf_dir, "embed_gram")
+    assert "MapInPandas" in p
+    assert "Generate" not in p

@@ -45,6 +45,7 @@ WHITELIST = {
     "spearman_corr": "cumulative count over value-frequency tables: |distinct| rows",
     "order_index": "offset prefix-sum over the bucket HISTOGRAM: <=256 rows "
     "(the corpus rank window itself is keyed by __bucket__)",
+    "rank_fusion": "rank windows run AFTER limit(pool=50)/limit(k=10): <=50 rows",
 }
 
 
