@@ -168,10 +168,19 @@ def bigram_nll(
 
     Shape: the raw bigram stream compacts to per-(doc, bigram-type)
     counts in ONE map-combinable shuffle; c(w₁w₂) and c(w₁·) are then
-    derived from that vocabulary²-bounded counts table (its exchange
-    is reused, never a second corpus scan+explode) and broadcast back,
-    so the corpus is exploded exactly once for bigrams plus once for
-    the 1-row vocabulary-size scalar.
+    derived from that counts table (its exchange is reused, never a
+    second corpus scan+explode), so the corpus is exploded exactly
+    once for bigrams plus once for the 1-row vocabulary-size scalar.
+
+    Join strategy at scale: c(w₁·) is VOCABULARY-sized, so it gets an
+    explicit broadcast hint. c(w₁w₂) is bigram-TYPE-sized — billions
+    of rows on a web corpus, NOT broadcastable — so that join is left
+    unhinted: AQE broadcasts it when it measures small and falls back
+    to a skew-aware shuffled join when it doesn't. Deriving c12 as a
+    ``Window.partitionBy(bg)`` sum was rejected: WindowExec
+    materializes each key's partition, and a stopword bigram ("of
+    the") puts a corpus-fraction in one partition; the groupBy is
+    map-side combinable and therefore skew-safe.
 
     Per-occurrence nll is quantized ``floor(x·1e12 + 0.5)`` to a
     BIGINT (so n_bg occurrences contribute exactly n_bg·q — integer
@@ -197,7 +206,7 @@ def bigram_nll(
         F.countDistinct("tok").alias("v_size")
     )
     occ = (
-        pair.join(F.broadcast(c12), "bg")
+        pair.join(c12, "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(v))

@@ -570,11 +570,25 @@ def test_oov_rate_vocab_broadcast(spark, sf_dir):
 
 def test_bigram_lm_broadcast_contexts(spark, sf_dir):
     """Left-context counts (vocabulary-sized) and the V scalar must
-    broadcast; only the bigram-keyed join may shuffle the occurrence
-    stream."""
+    broadcast; the bigram-type join is deliberately UNhinted (AQE
+    picks broadcast vs skew-aware shuffle at runtime — bigram types
+    are not broadcastable on a web corpus), so the only hard
+    requirements are the c1/V broadcasts and no cartesian blowup.
+
+    The pair/c12/c1 subtrees all derive from ONE (doc_id, bg) count —
+    the initial plan prints the subtree thrice, but AQE stage reuse
+    must collapse them at runtime (c12 reuses pair's exchange, c1
+    reuses c12's), so the corpus is exploded for bigrams exactly once.
+    Asserted on the FINAL adaptive plan after execution."""
     p = plan_str(spark, sf_dir, "bigram_lm_score")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    spark.catalog.clearCache()
+    df = REG["bigram_lm_score"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2, final[:2000]
 
 
 def test_text_normalize_map_only(spark, sf_dir):
