@@ -457,3 +457,78 @@ def mixture_temperature(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Byte-budget shard assignment: lay the corpus out in the
+    deterministic md5-shuffled order (same order as
+    ``global_order_index``) and assign each doc to the shard where its
+    first byte lands, shards being consecutive ``budget``-byte windows
+    of the cumulative size — the planning step behind "write the
+    training set as ~N-byte files in shuffled order". Semantically
+    ``shard = (sum of size over all docs strictly before me) DIV
+    budget`` — but a global cumulative-sum window would
+    single-partition 100 TB, so this reuses the two-pass order-index
+    machinery with SUM(size) in place of COUNT:
+
+    1. bucket by the MONOTONIC md5-prefix range split (monotonicity
+       makes per-bucket order concatenate into the global order);
+    2. per-bucket byte totals → exclusive prefix sum over the ≤
+       ``buckets``-row histogram (window_audit-whitelisted) →
+       broadcast offsets;
+    3. bucket-keyed exclusive cumsum window + offset = exact global
+       ``cum_before``; shard id and the doc's offset inside its shard
+       are pure integer arithmetic from there (no float division —
+       exact past 2^53).
+
+    Rows with NULL or non-positive size are excluded (a doc with no
+    bytes has no shard). Output: id, size (as doc_bytes), cum_before,
+    shard, offset_in_shard — all BIGINT.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    d = df.filter(F.col(size_col).isNotNull() & (F.col(size_col) > 0)).select(
+        F.col(id_col), F.col(size_col).cast("bigint").alias("__sz__")
+    )
+    key = F.md5(F.col(id_col).cast("string"))
+    prefix16 = F.conv(F.substring("__key__", 1, 4), 16, 10).cast("bigint")
+    b = d.withColumn("__key__", key).withColumn(
+        "__bucket__",
+        F.floor((prefix16 * buckets) / F.lit(65536)).cast("int"),
+    )
+    wb = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("__bucket__")
+        .agg(F.sum("__sz__").alias("__b__"))
+        .select(
+            "__bucket__",
+            F.coalesce(F.sum("__b__").over(wb), F.lit(0)).cast("bigint").alias("__off__"),
+        )
+    )
+    win = (
+        Window.partitionBy("__bucket__")
+        .orderBy("__key__", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.col("__off__") + F.coalesce(F.sum("__sz__").over(win), F.lit(0))
+    return (
+        b.join(F.broadcast(offsets), "__bucket__")
+        .withColumn("cum_before", cum.cast("bigint"))
+        .select(
+            id_col,
+            F.col("__sz__").alias("doc_bytes"),
+            "cum_before",
+            F.expr(f"CAST(cum_before DIV {int(budget)} AS BIGINT)").alias("shard"),
+            F.expr(f"CAST(cum_before % {int(budget)} AS BIGINT)").alias(
+                "offset_in_shard"
+            ),
+        )
+    )

@@ -284,3 +284,60 @@ def schema_diff(spark, source: DataFrame, target: DataFrame) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def offset_gap_audit(
+    feed: DataFrame,
+    seq_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Change-feed sequence-integrity audit: given a feed whose rows
+    carry a monotonically-assigned sequence number (Oracle SCN,
+    Debezium LSN/offset, Kafka partition offset), report per partition
+    — and for the feed as a whole via ROLLUP — whether the captured
+    range is complete: n_events, n_distinct, seq_min, seq_max, the
+    duplicate count (n_events − n_distinct, replays/at-least-once
+    redelivery) and the gap count (span − n_distinct, dropped or
+    not-yet-arrived changes). ``is_contiguous`` = no dupes AND no
+    gaps — the green light for advancing a watermark past seq_max.
+    The reference trusts Oracle to hand it a complete delta
+    (scripts/03_cdc_etl.py reads by last_updated > watermark); a
+    log-based feed has no such guarantee, so completeness must be
+    audited before the merge, not assumed.
+
+    Scale: pure combinable aggregation — COUNT/MIN/MAX partially
+    aggregate map-side and COUNT(DISTINCT seq) expands to a two-level
+    exact distinct (key-grouped pre-dedup, then re-agg); no window, no
+    join, nothing driver-side. The ROLLUP total row makes the audit
+    one pass instead of per-partition + global twice.
+
+    Output: partition value (NULL = whole-feed rollup row), n_events,
+    n_distinct, seq_min, seq_max, n_dupes, n_gaps, is_contiguous.
+    """
+    g = feed.select(
+        (F.col(partition_col) if partition_col else F.lit(None)).alias("part"),
+        F.col(seq_col).cast("bigint").alias("__seq__"),
+    )
+    agg = g.rollup("part") if partition_col else g.groupBy()
+    span = F.col("seq_max") - F.col("seq_min") + F.lit(1)
+    out = agg.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("__seq__").alias("n_distinct"),
+        F.min("__seq__").alias("seq_min"),
+        F.max("__seq__").alias("seq_max"),
+    )
+    if not partition_col:
+        out = out.withColumn("part", F.lit(None).cast("string"))
+    return out.select(
+        "part",
+        "n_events",
+        "n_distinct",
+        "seq_min",
+        "seq_max",
+        (F.col("n_events") - F.col("n_distinct")).cast("bigint").alias("n_dupes"),
+        (span - F.col("n_distinct")).cast("bigint").alias("n_gaps"),
+        (
+            (F.col("n_events") == F.col("n_distinct"))
+            & (span == F.col("n_distinct"))
+        ).alias("is_contiguous"),
+    )

@@ -374,3 +374,55 @@ def normalize_text_col(col: Column) -> Column:
     x = F.regexp_replace(x, "[0-9]+", "0")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
+
+
+TRACKING_PARAM_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=", "mc_cid=", "mc_eid=")
+
+
+def normalize_url_col(col: Column) -> Column:
+    """Canonical URL normalization as one JVM-side expression chain —
+    the dedup key for web-crawl corpora, where the same page arrives
+    as ``HTTPS://WWW.Site.com/a?utm_source=feed&id=1#frag`` and
+    ``https://site.com/a?id=1``:
+
+    - scheme and host lowercased (case-insensitive per RFC 3986);
+      path and query values left as-is (case-significant);
+    - a single leading ``www.`` stripped from the host;
+    - the fragment dropped;
+    - tracking parameters dropped (``utm_*``, ``ref``, ``fbclid``,
+      ``gclid``, ``mc_cid``, ``mc_eid`` — the industry-standard
+      strip list), remaining params sorted bytewise so parameter
+      order never splits a dedup group;
+    - the ``?`` dropped entirely when no parameters survive.
+
+    Malformed input (no ``scheme://``) normalizes to NULL rather than
+    a half-parsed string — callers can quarantine on it. Pure
+    regexp_extract/split/array algebra (whole-stage codegen, map-only);
+    ASCII regex classes only, identical under Java regex and RE2, so
+    the DuckDB twin is token-for-token (see queries/retrieval_queries2
+    SQL_URL_NORMALIZE).
+    """
+    no_frag = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    def _is_tracking(x: Column) -> Column:
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a | b,
+            [x.startswith(p) for p in TRACKING_PARAM_PREFIXES],
+        )
+
+    kept = F.filter(F.split(query, "&"), lambda x: (x != F.lit("")) & ~_is_tracking(x))
+    q = F.array_join(F.array_sort(kept), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", rebuilt).otherwise(F.lit(None).cast("string"))

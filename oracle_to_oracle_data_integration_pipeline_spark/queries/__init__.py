@@ -114,6 +114,9 @@ _VERIFY_FIRST = [
     "bigram_lm_score",
     "text_normalize",
     "embed_gram",
+    "shard_plan",
+    "url_normalize",
+    "offset_gap_audit",
     # --- CDC-core, newest driver row is round 1 (9) ---
     "change_ts",
     "delta_filter",

@@ -404,11 +404,46 @@ FROM k ORDER BY sample_key, doc_id LIMIT {WS_K}
 """
 
 
+# -- qid: shard_plan ---------------------------------------------------
+
+SP_BUDGET = 16_000
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard assignment in the md5-shuffled corpus order:
+    each doc lands in the shard where its first byte falls, shards
+    being consecutive 16 kB windows of the cumulative size.
+    Semantically a global cumulative-sum window, computed as the
+    two-pass bucket-histogram form (operators/curation.shard_plan) so
+    no window ever sees more than max(|bucket|, 256) rows."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import shard_plan
+
+    return shard_plan(load(spark, sf_dir, "documents"), budget=SP_BUDGET, buckets=256)
+
+
+SQL_SHARD_PLAN = f"""
+WITH o AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_bytes,
+         CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, doc_bytes, cum_before,
+       CAST(cum_before // {SP_BUDGET} AS BIGINT) AS shard,
+       CAST(cum_before % {SP_BUDGET} AS BIGINT) AS offset_in_shard
+FROM o
+"""
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
     "weighted_sample": q_weighted_sample,
     "domain_cap": q_domain_cap,
     "order_index": q_order_index,
+    "shard_plan": q_shard_plan,
     "minhash_incremental": q_minhash_incremental,
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
@@ -422,6 +457,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "order_index": SQL_ORDER_INDEX,
+    "shard_plan": SQL_SHARD_PLAN,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -281,11 +281,46 @@ FROM src s FULL OUTER JOIN tgt t ON s.column_name = t.column_name
 """
 
 
+# -- qid: offset_gap_audit ---------------------------------------------
+
+def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit of the events feed treated as a change
+    log: event_id is the capture sequence, event_type the feed
+    partition. Per partition and for the whole feed (ROLLUP row):
+    duplicate count, gap count, and the is_contiguous green light for
+    advancing a watermark (operators/reconcile.offset_gap_audit). Per
+    partition the sequence is sparse (gaps expected, flag false); the
+    rollup row over the full feed is the live contiguity check —
+    either outcome is exercised."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import offset_gap_audit
+
+    e = load(spark, sf_dir, "events")
+    return offset_gap_audit(e, seq_col="event_id", partition_col="event_type")
+
+
+SQL_OFFSET_GAP_AUDIT = """
+SELECT event_type AS part,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct,
+       min(event_id) AS seq_min,
+       max(event_id) AS seq_max,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes,
+       CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+            AS BIGINT) AS n_gaps,
+       (count(*) = count(DISTINCT event_id)
+        AND max(event_id) - min(event_id) + 1 = count(DISTINCT event_id))
+         AS is_contiguous
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+
 QUERIES = {
     "checksum_diff": q_checksum_diff,
     "checksum_drill": q_checksum_drill,
     "cdc_op_priority": q_cdc_op_priority,
     "schema_diff": q_schema_diff,
+    "offset_gap_audit": q_offset_gap_audit,
 }
 
 ORACLE_SQL = {
@@ -293,4 +328,5 @@ ORACLE_SQL = {
     "checksum_drill": SQL_CHECKSUM_DRILL,
     "cdc_op_priority": SQL_CDC_OP_PRIORITY,
     "schema_diff": SQL_SCHEMA_DIFF,
+    "offset_gap_audit": SQL_OFFSET_GAP_AUDIT,
 }

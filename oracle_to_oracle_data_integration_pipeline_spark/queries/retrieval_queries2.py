@@ -281,6 +281,89 @@ FROM p GROUP BY i, j
 """
 
 
+# -- qid: url_normalize ------------------------------------------------
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministically constructed
+    crawl-style URL column (scheme/www/host case, tracking params, a
+    fragment, and a malformed arm all exercised — every normalization
+    rule is live, and the malformed arm proves the NULL-quarantine
+    path). Map-only whole-stage-codegen regex/array algebra
+    (operators/text.normalize_url_col)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import normalize_url_col
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.when(
+        did % 7 == 0, F.concat(F.lit("doc:"), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.when(did % 3 == 0, F.lit("HTTPS"))
+            .when(did % 3 == 1, F.lit("http"))
+            .otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.upper("source"),
+            F.lit(".Example.COM/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            did.cast("string"),
+            F.lit("?utm_source=feed&z="),
+            F.col("lang"),
+            F.lit("&id="),
+            did.cast("string"),
+            F.when(did % 2 == 0, F.lit("&ref=rss")).otherwise(F.lit("")),
+            F.lit("#sec"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        normalize_url_col(raw).alias("norm_url"),
+    )
+
+
+_RAW_URL = """CASE WHEN doc_id % 7 = 0 THEN 'doc:' || CAST(doc_id AS VARCHAR)
+  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+             WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END)
+    || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+    || upper(source) || '.Example.COM/' || lang || '/doc/'
+    || CAST(doc_id AS VARCHAR) || '?utm_source=feed&z=' || lang
+    || '&id=' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '&ref=rss' ELSE '' END) || '#sec'
+  END"""
+
+SQL_URL_NORMALIZE = f"""
+WITH r AS (SELECT doc_id, {_RAW_URL} AS raw_url FROM documents),
+s1 AS (SELECT doc_id, raw_url,
+              regexp_replace(raw_url, '#.*$', '') AS no_frag FROM r),
+s2 AS (
+  SELECT doc_id, raw_url, no_frag,
+         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           '^www\\.', '') AS host,
+         regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(no_frag, '\\?([^#]*)', 1) AS query
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, raw_url, scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           x -> x <> '' AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+                OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+                OR starts_with(x, 'mc_cid=') OR starts_with(x, 'mc_eid=')))), '&') AS q
+  FROM s2
+)
+SELECT doc_id, raw_url,
+       CASE WHEN scheme <> ''
+            THEN scheme || '://' || host || path
+                 || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+            ELSE NULL END AS norm_url
+FROM s3
+"""
+
+
 QUERIES = {
     "inverted_index": q_inverted_index,
     "rank_fusion": q_rank_fusion,
@@ -288,6 +371,7 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "text_normalize": q_text_normalize,
     "embed_gram": q_embed_gram,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLE_SQL = {
@@ -297,4 +381,5 @@ ORACLE_SQL = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "embed_gram": SQL_EMBED_GRAM,
+    "url_normalize": SQL_URL_NORMALIZE,
 }

@@ -608,3 +608,39 @@ def test_embed_gram_no_generate(spark, sf_dir):
     p = plan_str(spark, sf_dir, "embed_gram")
     assert "MapInPandas" in p
     assert "Generate" not in p
+
+
+def test_shard_plan_two_pass_no_corpus_global_window(spark, sf_dir):
+    """Shard assignment must be the two-pass cumulative-sum form: the
+    corpus cumsum window is KEYED by the md5-prefix bucket, the bucket
+    byte-histogram's prefix-sum is the only single-partition exchange
+    (<= 256 rows), and the offsets join back by broadcast — never a
+    single-partition running-sum window over the corpus itself."""
+    p = plan_str(spark, sf_dir, "shard_plan")
+    assert re.search(r"windowspecdefinition\(__bucket__", p)
+    assert p.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_url_normalize_map_only(spark, sf_dir):
+    """URL canonicalization is a pure projection: zero exchanges, zero
+    Python. No whole-stage-codegen assertion: the higher-order
+    ArrayFilter/ArraySort lambdas are CodegenFallback, so the node
+    plans as an interpreted Project — still a single JVM-side map over
+    the scan, just not fused."""
+    p = plan_str(spark, sf_dir, "url_normalize")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert p.lstrip().startswith("Project")
+
+
+def test_offset_gap_audit_pure_aggregation(spark, sf_dir):
+    """The sequence audit must be combinable aggregation only: the
+    ROLLUP total compiles to Expand + partial/final HashAggregate —
+    no window, no join, nothing to skew."""
+    p = plan_str(spark, sf_dir, "offset_gap_audit")
+    assert "Expand" in p
+    assert "HashAggregate" in p
+    assert "Window" not in p
+    assert "Join" not in p

@@ -46,6 +46,8 @@ WHITELIST = {
     "order_index": "offset prefix-sum over the bucket HISTOGRAM: <=256 rows "
     "(the corpus rank window itself is keyed by __bucket__)",
     "rank_fusion": "rank windows run AFTER limit(pool=50)/limit(k=10): <=50 rows",
+    "shard_plan": "offset prefix-sum over the bucket byte HISTOGRAM: <=256 rows "
+    "(the corpus cumsum window itself is keyed by __bucket__)",
 }
 
 
