@@ -176,32 +176,26 @@ def checksum_drill(
     """The composed two-level anti-entropy pass: level-1 digests flag
     drifted buckets, then :func:`bucket_row_diff` attributes rows in
     ONLY those buckets. Exactly one scan of each side per level: the
-    level-1 result is either accepted pre-computed via ``level1``
-    (caller owns its caching/lifecycle — pass the SAME
+    level-1 result is consumed by exactly one action (the
+    ≤ ``n_buckets``-row flagged-bucket collect) — no cache is needed
+    because nothing ever evaluates it a second time. Callers that DO
+    reuse a level-1 result elsewhere pass it pre-computed via
+    ``level1`` and own its lifecycle (pass the SAME
     keys/digest_cols/n_buckets it was built with, the function cannot
-    check) or computed here and pinned with ``.cache()`` for the
-    ≤ ``n_buckets``-row flagged-bucket collect, then unpersisted
-    before the drill plan is returned — the level-1 pass never runs
-    twice.
+    check).
 
     The ≤64-row collect is legitimate control plane: the flagged
     bucket ids become a literal IN-list predicate in the drill plan,
     which is what keeps the level-2 join restricted to the drifted
     slice (and, in the all-clean case, makes it a scan of nothing).
     """
-    owned = level1 is None
-    if owned:
+    if level1 is None:
         level1 = table_checksum_diff(
             source, target, keys, digest_cols, n_buckets=n_buckets
-        ).cache()
-    try:
-        flagged = [
-            r["bucket"]
-            for r in level1.where(F.col("digests_match") == 0).collect()
-        ]
-    finally:
-        if owned:
-            level1.unpersist()
+        )
+    flagged = [
+        r["bucket"] for r in level1.where(F.col("digests_match") == 0).collect()
+    ]
     return bucket_row_diff(
         source, target, keys, digest_cols, buckets=flagged, n_buckets=n_buckets
     )
@@ -295,11 +289,17 @@ def offset_gap_audit(
     carry a monotonically-assigned sequence number (Oracle SCN,
     Debezium LSN/offset, Kafka partition offset), report per partition
     — and for the feed as a whole via ROLLUP — whether the captured
-    range is complete: n_events, n_distinct, seq_min, seq_max, the
-    duplicate count (n_events − n_distinct, replays/at-least-once
-    redelivery) and the gap count (span − n_distinct, dropped or
-    not-yet-arrived changes). ``is_contiguous`` = no dupes AND no
-    gaps — the green light for advancing a watermark past seq_max.
+    range is complete: n_events, n_null_seq (rows whose offset is
+    NULL: unauditable, counted separately so they never masquerade as
+    duplicates), n_distinct, seq_min, seq_max, the duplicate count
+    (non-NULL events − n_distinct, replays/at-least-once redelivery)
+    and the gap count (span − n_distinct, dropped or not-yet-arrived
+    changes; NULL when the group has no auditable sequence at all).
+    ``is_contiguous`` = no NULL offsets AND no dupes AND no gaps —
+    the green light for advancing a watermark past seq_max. The
+    ``is_total`` flag (GROUPING()) distinguishes the rollup total from
+    a genuine NULL partition value — without it the two rows are
+    indistinguishable to a consumer keying on the partition column.
     The reference trusts Oracle to hand it a complete delta
     (scripts/03_cdc_etl.py reads by last_updated > watermark); a
     log-based feed has no such guarantee, so completeness must be
@@ -311,33 +311,52 @@ def offset_gap_audit(
     join, nothing driver-side. The ROLLUP total row makes the audit
     one pass instead of per-partition + global twice.
 
-    Output: partition value (NULL = whole-feed rollup row), n_events,
-    n_distinct, seq_min, seq_max, n_dupes, n_gaps, is_contiguous.
+    Output: part (partition value; NULL on the total row), is_total
+    (1 = rollup total), n_events, n_null_seq, n_distinct, seq_min,
+    seq_max, n_dupes, n_gaps, is_contiguous.
     """
     g = feed.select(
         (F.col(partition_col) if partition_col else F.lit(None)).alias("part"),
         F.col(seq_col).cast("bigint").alias("__seq__"),
     )
-    agg = g.rollup("part") if partition_col else g.groupBy()
-    span = F.col("seq_max") - F.col("seq_min") + F.lit(1)
-    out = agg.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("__seq__").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_seq"),
         F.countDistinct("__seq__").alias("n_distinct"),
         F.min("__seq__").alias("seq_min"),
         F.max("__seq__").alias("seq_max"),
-    )
-    if not partition_col:
-        out = out.withColumn("part", F.lit(None).cast("string"))
+    ]
+    if partition_col:
+        # grouping() is only legal inside the agg list — it reads the
+        # grouping-set bitmask the rollup emits per output row
+        out = g.rollup("part").agg(
+            F.grouping("part").cast("int").alias("is_total"), *aggs
+        )
+    else:
+        out = (
+            g.groupBy()
+            .agg(*aggs)
+            .select(F.lit(None).cast("string").alias("part"), "*")
+            .withColumn("is_total", F.lit(1))
+        )
+    span = F.col("seq_max") - F.col("seq_min") + F.lit(1)
     return out.select(
         "part",
+        "is_total",
         "n_events",
+        "n_null_seq",
         "n_distinct",
         "seq_min",
         "seq_max",
-        (F.col("n_events") - F.col("n_distinct")).cast("bigint").alias("n_dupes"),
+        (F.col("n_events") - F.col("n_null_seq") - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_dupes"),
         (span - F.col("n_distinct")).cast("bigint").alias("n_gaps"),
         (
-            (F.col("n_events") == F.col("n_distinct"))
+            (F.col("n_null_seq") == 0)
+            & (F.col("n_events") == F.col("n_distinct"))
             & (span == F.col("n_distinct"))
         ).alias("is_contiguous"),
     )

@@ -105,11 +105,10 @@ def weighted_sample_topk(
     SQL twin per row:
     ``floor(-ln((h52 + 0.5)/16^13) / w * 1e12 + 0.5) / 1e12``.
     """
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import md5_h52
+
     w = F.col(weight_col).cast("double")
-    h52 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
-    ).cast("double")
-    u = (h52 + F.lit(0.5)) / F.lit(float(16**13))
+    u = (md5_h52(F.col(id_col)) + F.lit(0.5)) / F.lit(float(16**13))
     scale = float(10**key_round)
     key = F.floor(-F.log(u) / w * scale + F.lit(0.5)) / scale
     return (

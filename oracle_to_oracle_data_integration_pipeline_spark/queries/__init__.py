@@ -64,17 +64,20 @@ _MODULES = [
 
 # The driver's correctness gate evaluates qids in registry (dict) order
 # and stops after ~50. Rounds 1-4 verified 190/217 qids cumulatively
-# (all green; r04 was 50/50). This ROUND-5 window burns down the last
-# of the verification debt: first the 27 qids that have NEVER had a
-# driver row (13 round-3 stragglers, then the 14 round-4 additions),
-# then the 9 CDC-core qids whose newest driver evidence is round 1
-# (VERDICT r4 ask #4), then token_freq (r2 row, plan rewritten r4),
-# then the remaining r1-stale relational qids to absorb the ~50-entry
-# cutoff. 27+9+1 = 37 debt entries lead, so a full window closes the
-# gap to 217/217 cumulative driver-green. The 50 qids sampled green in
-# r04 rotate to the back. Every registered qid is green in the local
-# differential suite (tests/test_queries_vs_duckdb.py +
-# tools/parity_sweep.py) each round regardless.
+# (all green; r04 was 50/50); round 5 grew the registry to 228. This
+# ROUND-5 window burns down never-sampled debt in age order: first the
+# 27 qids that predate round 5 and have NEVER had a driver row (13
+# round-3 stragglers, then the 14 round-4 additions), then the 11
+# round-5 additions (also never sampled — new work queues BEHIND the
+# owed backlog), then the 9 CDC-core qids whose newest driver evidence
+# is round 1 (VERDICT r4 ask #4), then token_freq (r2 row, plan
+# rewritten r4), then r1-stale relational qids to absorb the cutoff.
+# 27+11 = 38 never-sampled entries lead; a full ~50 window covers them
+# plus most of the CDC-core refresh, leaving the cumulative gap at
+# whatever the cutoff doesn't reach (tracked next round). The 50 qids
+# sampled green in r04 rotate to the back. Every registered qid is
+# green in the local differential suite (tests/test_queries_vs_duckdb
+# .py + tools/parity_sweep.py) each round regardless.
 _VERIFY_FIRST = [
     # --- never driver-sampled: round-3 stragglers (13) ---
     "fuzzy_dedup",
@@ -105,7 +108,7 @@ _VERIFY_FIRST = [
     "scalar_pandas_udf",
     "python_udtf",
     "observe_metrics",
-    # --- never driver-sampled: round-5 additions (8) ---
+    # --- never driver-sampled: round-5 additions (11) ---
     "weighted_sample",
     "bucketed_join",
     "inverted_index",

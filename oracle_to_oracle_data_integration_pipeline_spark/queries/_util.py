@@ -98,17 +98,27 @@ def epoch_seconds(col: Column) -> Column:
     return F.unix_timestamp(col)
 
 
+def md5_h52(key: Column) -> Column:
+    """The raw 52-bit integer (as double — exact: 52 bits fit the
+    mantissa) from the first 13 hex chars of md5 of the key's string
+    form — the single source of the engine-portability-critical hash
+    idiom (13 chars, conv base 16, 16^13 range). Every derived uniform
+    must build on THIS column so the Spark expression and the SQL twin
+    can never drift. SQL twin:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
+
+
 def md5_frac52(key: Column) -> Column:
-    """Engine-portable uniform fraction in (0, 1): the first 52 bits
-    (13 hex chars) of md5 of the key's string form, divided by 16^13.
+    """Engine-portable uniform fraction in [0, 1): ``md5_h52 / 16^13``.
     Companions: ``sampling.hash_bucket_col`` (16-bit buckets) and
     ``curation._ppm_col`` (32-bit ppm) wrap the same idiom at other
-    widths. SQL twin:
-    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
-    / CAST(power(16, 13) AS DOUBLE)``.
+    widths; ``sampling.weighted_sample_topk`` uses the half-offset
+    variant ``(md5_h52 + 0.5) / 16^13`` to stay strictly inside (0,1).
+    SQL twin: the ``md5_h52`` twin ``/ CAST(power(16, 13) AS DOUBLE)``.
     """
-    h52 = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
-    return h52 / F.lit(float(16**13))
+    return md5_h52(key) / F.lit(float(16**13))
 
 
 def dsum(col: Column, round_to: int = 2) -> Column:

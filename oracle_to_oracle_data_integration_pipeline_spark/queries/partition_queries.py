@@ -11,6 +11,7 @@ to a temp dir, reads back with a year filter, and the plan test pins
 from __future__ import annotations
 
 import atexit
+import hashlib
 import shutil
 import tempfile
 
@@ -288,7 +289,7 @@ _BKT_CACHE: dict[tuple[int, str], bool] = {}
 BKT_BUCKETS = 8
 
 
-def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and lineitem as BUCKETED tables (8 buckets on the
     order key each), once per (session, sf_dir). Bucketing is the
     ahead-of-time co-location contract: both tables' files are already
@@ -298,13 +299,21 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     shuffle (the single most expensive stage of a star-join pipeline)
     into a one-time write-side cost, amortized over every downstream
     run. Tables live in temp LOCATIONs (nothing persists in
-    spark-warehouse) under this session's in-memory catalog."""
+    spark-warehouse) under this session's in-memory catalog.
+
+    The table NAMES carry an sf_dir-derived suffix so the cache key
+    and the catalog content can never disagree: with fixed names, a
+    second sf_dir would overwrite the tables while the first sf_dir's
+    cache entry still said "built" — and silently serve the wrong
+    dataset. Returns the (orders, lineitem) table names."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"o2o_bkt_orders_{suffix}", f"o2o_bkt_lineitem_{suffix}")
     key = (id(spark), sf_dir)
     if key in _BKT_CACHE:
-        return
+        return names
     for tbl, src, col in (
-        ("o2o_bkt_orders", "orders", "o_orderkey"),
-        ("o2o_bkt_lineitem", "lineitem", "l_orderkey"),
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         loc = tempfile.mkdtemp(prefix=f"{tbl}_")
@@ -318,6 +327,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
             .saveAsTable(tbl)
         )
     _BKT_CACHE[key] = True
+    return names
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,9 +340,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge hint keeps the small fixture off the broadcast path so the
     plan under test is the one a 100 TB fact pair would get."""
     tune(spark)
-    _bucketed_tables(spark, sf_dir)
-    o = spark.table("o2o_bkt_orders")
-    l = spark.table("o2o_bkt_lineitem")
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    l = spark.table(t_lineitem)
     j = o.hint("merge").join(
         l, o["o_orderkey"] == l["l_orderkey"], "inner"
     )
@@ -348,7 +358,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BUCKETED_JOIN = """
 SELECT o_orderpriority,
        count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(24,6))), 2) AS DOUBLE)
          AS sum_price
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

@@ -300,14 +300,17 @@ def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_OFFSET_GAP_AUDIT = """
 SELECT event_type AS part,
+       CAST(GROUPING(event_type) AS INT) AS is_total,
        count(*) AS n_events,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null_seq,
        count(DISTINCT event_id) AS n_distinct,
        min(event_id) AS seq_min,
        max(event_id) AS seq_max,
-       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes,
+       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS n_dupes,
        CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
             AS BIGINT) AS n_gaps,
-       (count(*) = count(DISTINCT event_id)
+       (count(*) = count(event_id)
+        AND count(*) = count(DISTINCT event_id)
         AND max(event_id) - min(event_id) + 1 = count(DISTINCT event_id))
          AS is_contiguous
 FROM events

@@ -114,9 +114,13 @@ def delta_available(spark: SparkSession) -> bool:
 
 @dataclass
 class DeltaMergeStats:
-    """Attribution read back from the Delta commit's operationMetrics
-    (the transaction log is the ground truth — unlike the reference's
-    table-count deltas, concurrent writers can't skew it)."""
+    """Attribution for one merge commit. Primary source: the metrics
+    DataFrame Delta's SQL MERGE returns for its OWN commit (race-free
+    by construction — unlike the reference's table-count deltas, which
+    any concurrent writer skews). History-based fallback for older
+    Delta pins to the first post-merge MERGE version, which a
+    concurrent MERGE in the same window could still own — best
+    effort, documented at the read site."""
 
     updated: int
     inserted: int
@@ -178,6 +182,12 @@ class DeltaMergeSink:
             n = self.read(table).count()
             return DeltaMergeStats(updated=0, inserted=n)
 
+        pre = (
+            self.spark.sql(f"DESCRIBE HISTORY delta.`{self.path(table)}` LIMIT 1")
+            .select("version")
+            .first()
+        )
+        pre_version = int(pre[0]) if pre is not None else -1
         view = f"_merge_src_{table}"
         delta_df.createOrReplaceTempView(view)
         try:
@@ -188,16 +198,33 @@ class DeltaMergeSink:
                 delta_df.columns,
                 deleted_col=deleted_col,
             )
-            self.spark.sql(sql)
+            res = self.spark.sql(sql)
         finally:
             self.spark.catalog.dropTempView(view)
+        # Attribution must be pinned to THIS merge's commit, not the
+        # head of the log — under concurrent writers the latest history
+        # entry can be someone else's commit. Delta's SQL MERGE returns
+        # its own metrics as the command output (num_updated_rows /
+        # num_inserted_rows), which is race-free; use it when present.
+        if "num_updated_rows" in res.columns:
+            row = res.first()
+            return DeltaMergeStats(
+                updated=int(row["num_updated_rows"] or 0),
+                inserted=int(row["num_inserted_rows"] or 0),
+            )
+        # Fallback (older Delta): the FIRST MERGE commit after the
+        # pre-merge version is ours unless a concurrent MERGE landed in
+        # the same window — best effort, and strictly tighter than
+        # head-of-log.
         hist = (
-            self.spark.sql(f"DESCRIBE HISTORY delta.`{self.path(table)}` LIMIT 1")
+            self.spark.sql(f"DESCRIBE HISTORY delta.`{self.path(table)}`")
+            .where(f"version > {pre_version} AND operation = 'MERGE'")
+            .orderBy("version")
             .select("operationMetrics")
-            .first()[0]
-            or {}
+            .first()
         )
+        metrics = (hist[0] if hist is not None else None) or {}
         return DeltaMergeStats(
-            updated=int(hist.get("numTargetRowsUpdated", 0)),
-            inserted=int(hist.get("numTargetRowsInserted", 0)),
+            updated=int(metrics.get("numTargetRowsUpdated", 0)),
+            inserted=int(metrics.get("numTargetRowsInserted", 0)),
         )

@@ -78,13 +78,37 @@ def test_offset_gap_audit_dupes_gaps_and_rollup(spark):
     # p1: 1,2,2,3 -> 1 dupe, 0 gaps; p2: 10,13 -> 0 dupes, 2 gaps
     rows = [("p1", 1), ("p1", 2), ("p1", 2), ("p1", 3), ("p2", 10), ("p2", 13)]
     df = spark.createDataFrame(rows, "part_key string, seq long")
-    out = {r.part: r for r in offset_gap_audit(df, "seq", "part_key").collect()}
-    assert out["p1"].n_dupes == 1 and out["p1"].n_gaps == 0
-    assert not out["p1"].is_contiguous  # dupes break contiguity too
-    assert out["p2"].n_dupes == 0 and out["p2"].n_gaps == 2
-    total = out[None]  # rollup row spans seq 1..13
+    out = {
+        (r.part, r.is_total): r
+        for r in offset_gap_audit(df, "seq", "part_key").collect()
+    }
+    p1, p2 = out[("p1", 0)], out[("p2", 0)]
+    assert p1.n_dupes == 1 and p1.n_gaps == 0
+    assert not p1.is_contiguous  # dupes break contiguity too
+    assert p2.n_dupes == 0 and p2.n_gaps == 2
+    total = out[(None, 1)]  # rollup row spans seq 1..13
     assert total.n_events == 6 and total.n_distinct == 5
     assert total.n_gaps == (13 - 1 + 1) - 5
+
+
+def test_offset_gap_audit_null_seq_and_null_partition(spark):
+    # NULL offsets must surface as n_null_seq, NOT as duplicates; a
+    # genuine NULL partition value must stay distinguishable from the
+    # rollup total via is_total
+    rows = [("p1", 1), ("p1", None), ("p1", 2), (None, 5)]
+    df = spark.createDataFrame(rows, "part_key string, seq long")
+    out = {
+        (r.part, r.is_total): r
+        for r in offset_gap_audit(df, "seq", "part_key").collect()
+    }
+    p1 = out[("p1", 0)]
+    assert p1.n_null_seq == 1 and p1.n_dupes == 0 and p1.n_gaps == 0
+    assert not p1.is_contiguous  # a NULL offset is unauditable, not green
+    null_group = out[(None, 0)]
+    assert null_group.n_events == 1 and null_group.seq_min == 5
+    total = out[(None, 1)]
+    assert total.n_events == 4 and total.n_null_seq == 1
+    assert len(out) == 3  # p1 group, NULL group, rollup total — all distinct keys
 
 
 def test_offset_gap_audit_contiguous_feed(spark):
@@ -92,5 +116,6 @@ def test_offset_gap_audit_contiguous_feed(spark):
     rows = offset_gap_audit(df, "seq").collect()
     assert len(rows) == 1
     r = rows[0]
+    assert r.is_total == 1 and r.part is None
     assert r.is_contiguous and r.n_dupes == 0 and r.n_gaps == 0
     assert r.seq_min == 0 and r.seq_max == 99
