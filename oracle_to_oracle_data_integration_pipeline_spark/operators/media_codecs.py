@@ -6,12 +6,17 @@ need no imaging/audio libraries:
   header parse + pixel-raster round-trip via ``struct``.
 - **WAV** (RIFF PCM): fmt-chunk parse — channels, sample rate, bit
   depth, frame count, duration.
+- **PNG** (non-interlaced 8-bit RGB): chunk walk, IDAT zlib inflate,
+  all five scanline filters — stdlib zlib only.
+- **MP4** (ISO BMFF): box-level parse — mvhd timescale/duration, trak
+  dimensions, handler types, 64-bit largesize; validated sizes.
 
-Compressed formats (JPEG/PNG/MP4/...) still require PIL/av and remain
-stubbed in ``multimodal.decode_media`` — but the dispatch, the Spark
-plumbing, and these two decoders are the real path, so the engine's
-media surface is "real kernel for uncompressed formats, documented
-stub for codec-library formats".
+Codec-library formats (JPEG/GIF/TIFF/WebP raster decode; h264/aac
+FRAME decode inside MP4) still require PIL/av and remain stubbed in
+``multimodal.decode_media`` — but the dispatch, the Spark plumbing,
+and these decoders are the real path, so the engine's media surface is
+"real kernel for container/uncompressed formats, documented stub for
+codec-payload decode".
 
 Everything is deterministic byte arithmetic, which is what lets the
 media qids carry exact DuckDB oracles: the oracle recomputes the
@@ -307,3 +312,165 @@ def resize_nearest(pixels: bytes, w: int, h: int, tw: int, th: int) -> bytes:
             i = (sy * w + sx) * 3
             out += pixels[i : i + 3]
     return bytes(out)
+
+
+# ---------------------------------------------------------------- MP4
+# ISO BMFF (MP4) at the BOX level — pure stdlib. Frame decode requires
+# codec libraries (h264/aac) and stays behind the documented stub; the
+# container structure itself — the part every media pipeline reads
+# first for routing, dedup-by-duration, and corpus stats — is plain
+# length-prefixed box arithmetic, exactly like BMP/WAV headers.
+
+_MP4_TIMESCALE = 1000  # 1 tick = 1 ms; duration fields are then ms
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full_box(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
+
+
+def _tkhd(track_id: int, duration: int, width: int, height: int) -> bytes:
+    body = struct.pack(
+        ">IIII", 0, 0, track_id, 0
+    ) + struct.pack(">I", duration) + b"\x00" * 8 + struct.pack(
+        ">hhhh", 0, 0, 0x0100 if width == 0 else 0, 0
+    ) + _IDENTITY_MATRIX + struct.pack(">II", width << 16, height << 16)
+    return _full_box(b"tkhd", 0, 7, body)
+
+
+_IDENTITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _trak(track_id: int, duration: int, width: int, height: int, handler: bytes) -> bytes:
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + handler + b"\x00" * 12 + b"Handler\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr)
+    return _box(b"trak", _tkhd(track_id, duration, width, height) + mdia)
+
+
+def encode_mp4(
+    duration_ms: int,
+    width: int,
+    height: int,
+    audio: bool = False,
+    mdat: bytes = b"",
+) -> bytes:
+    """Minimal structurally-valid ISO BMFF file: ftyp + moov (mvhd +
+    one video trak, optionally one audio trak) + mdat carrying
+    ``mdat``. Timescale is fixed at 1000 so durations are milliseconds.
+    Every box length is a fixed function of the track count — the
+    total size is ``base(audio) + len(mdat)``, which is what lets the
+    decode qid's oracle recompute n_bytes in SQL."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration_ms)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + _IDENTITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 3 if audio else 2),  # next_track_id
+    )
+    traks = _trak(1, duration_ms, width, height, b"vide")
+    if audio:
+        traks += _trak(2, duration_ms, 0, 0, b"soun")
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in buf[start:end],
+    validating size fields (8-byte minimum, 64-bit largesize via
+    size==1, size==0 = to-end) — a wrong size is a parse error, not a
+    silent misread."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", buf, off)[0]
+        tag = buf[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("mp4: truncated largesize")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"mp4: bad box size {size} for {tag!r}")
+        yield tag, body, off + size
+        off += size
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Parse the box structure of an ISO BMFF payload: mvhd timescale
+    and duration, per-trak tkhd dimensions and hdlr handler types.
+    Handles version-0 (32-bit) and version-1 (64-bit) mvhd/tkhd times
+    and 64-bit largesize boxes. Returns n_bytes, timescale,
+    duration_ms, n_tracks, width/height of the FIRST video track (0 if
+    none), and the comma-joined handler list in file order."""
+    timescale = duration = None
+    n_tracks = 0
+    width = height = 0
+    handlers: list[str] = []
+    for tag, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, c0, c1 in _walk_boxes(payload, b0, b1):
+            if t2 == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    timescale = struct.unpack_from(">I", payload, c0 + 20)[0]
+                    duration = struct.unpack_from(">Q", payload, c0 + 24)[0]
+                else:
+                    timescale = struct.unpack_from(">I", payload, c0 + 12)[0]
+                    duration = struct.unpack_from(">I", payload, c0 + 16)[0]
+            elif t2 == b"trak":
+                n_tracks += 1
+                t_w = t_h = 0
+                t_handler = ""
+                for t3, d0, d1 in _walk_boxes(payload, c0, c1):
+                    if t3 == b"tkhd":
+                        # width/height are the LAST 8 bytes (16.16
+                        # fixed point) in both tkhd versions
+                        t_w = struct.unpack_from(">I", payload, d1 - 8)[0] >> 16
+                        t_h = struct.unpack_from(">I", payload, d1 - 4)[0] >> 16
+                    elif t3 == b"mdia":
+                        for t4, e0, e1 in _walk_boxes(payload, d0, d1):
+                            if t4 == b"hdlr":
+                                t_handler = payload[e0 + 8 : e0 + 12].decode(
+                                    "ascii", "replace"
+                                )
+                handlers.append(t_handler)
+                if t_handler == "vide" and width == 0:
+                    width, height = t_w, t_h
+    if timescale is None:
+        raise ValueError("mp4: no moov/mvhd box")
+    return {
+        "n_bytes": len(payload),
+        "timescale": timescale,
+        "duration_ms": (
+            duration if timescale == _MP4_TIMESCALE
+            else int(duration * 1000 // max(timescale, 1))
+        ),
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "handlers": ",".join(handlers),
+    }

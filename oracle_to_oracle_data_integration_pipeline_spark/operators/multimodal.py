@@ -12,8 +12,11 @@ qids and their DuckDB oracles). Codec-library formats (JPEG/GIF/TIFF/
 WebP) go through an OPTIONAL-DEPENDENCY dispatch: when Pillow is
 importable ``decode_media`` decodes them for real; otherwise (this
 container) it raises ``NotImplementedError`` unless ``fake=True`` (the
-deterministic fake used by the batch-shape qids). Video (MP4) remains
-a documented stub pending av/ffmpeg. Either way the Spark plumbing
+deterministic fake used by the batch-shape qids). Video (MP4) is REAL
+at the CONTAINER level — ISO BMFF box walk, mvhd duration, trak
+dimensions, handler types (``media_codecs.decode_mp4``, the
+``media_decode_mp4`` qid) — while FRAME decode stays a documented stub
+pending av/ffmpeg codecs. Either way the Spark plumbing
 (batch shape, schema, partitioning) is identical — the dispatch is
 entirely inside the per-payload kernel.
 
@@ -70,6 +73,7 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
     from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
         _PNG_SIG,
         decode_bmp,
+        decode_mp4,
         decode_png,
         decode_wav,
     )
@@ -98,6 +102,14 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         # chunk walk + IDAT inflate + 5-filter scanline reconstruction
         m = decode_png(payload)
         return {"n_bytes": m["n_bytes"], "width": m["width"], "height": m["height"], "fmt": "png"}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO BMFF (MP4): REAL box-level parse — mvhd duration, trak
+        # dimensions, handler types (media_codecs.decode_mp4; box sizes
+        # are validated, so a truncated file raises rather than
+        # misreads). FRAME decode needs h264/aac codecs and remains the
+        # documented stub below.
+        m = decode_mp4(payload)
+        return {"n_bytes": m["n_bytes"], "width": m["width"], "height": m["height"], "fmt": "mp4"}
     # codec-library formats (JPEG/GIF/TIFF/WebP/...): real decode when
     # Pillow is importable, else the documented stub. The stdlib paths
     # above stay authoritative for BMP/WAV/PNG regardless (they are

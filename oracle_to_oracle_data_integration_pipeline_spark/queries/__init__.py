@@ -120,6 +120,7 @@ _VERIFY_FIRST = [
     "shard_plan",
     "url_normalize",
     "offset_gap_audit",
+    "media_decode_mp4",
     # --- CDC-core, newest driver row is round 1 (9) ---
     "change_ts",
     "delta_filter",

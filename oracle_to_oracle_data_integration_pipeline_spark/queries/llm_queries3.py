@@ -595,11 +595,110 @@ FROM o
 """
 
 
+# -- qid: media_decode_mp4 (REAL container parse, no stub) ------------
+
+# MP4 fixture geometry: dims/audio-arm derived from the byte length;
+# the oracle interpolates the same constants. The no-payload file
+# sizes are pure functions of the track count, computed ONCE from the
+# encoder itself so the oracle's n_bytes cannot drift from the codec.
+MP4_W_MOD, MP4_H_MOD = 37, 21
+
+
+def _mp4_base(audio: bool) -> int:
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import encode_mp4
+
+    return len(encode_mp4(1, 1, 1, audio, b""))
+
+
+_MP4_BASE_V = _mp4_base(False)
+_MP4_BASE_AV = _mp4_base(True)
+
+
+def q_media_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: each document's bytes become the
+    mdat payload of a structurally valid ISO BMFF file (duration = the
+    byte count in ms, dims from length moduli, every third doc gains
+    an audio track), then the payload is parsed back through the
+    ``decode_media``-adjacent box walk (media_codecs.decode_mp4 —
+    validated box sizes, mvhd/tkhd/hdlr parse, pure stdlib). FRAME
+    decode remains the documented codec stub; this is the container
+    surface a routing/dedup/corpus-stats pass actually reads."""
+    import pandas as pd
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                n = len(b)
+                payload = encode_mp4(
+                    duration_ms=n,
+                    width=n % MP4_W_MOD + 1,
+                    height=n % MP4_H_MOD + 1,
+                    audio=(n % 3 == 0),
+                    mdat=b,
+                )
+                m = decode_mp4(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        "mp4",
+                        m["width"],
+                        m["height"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        m["handlers"],
+                        m["n_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "duration_ms", "n_tracks", "handlers", "n_bytes",
+                ],
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id long, fmt string, width int, height int, "
+        "duration_ms long, n_tracks int, handlers string, n_bytes int",
+    )
+
+
+SQL_MEDIA_DECODE_MP4 = f"""
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, 'mp4' AS fmt,
+       CAST(n % {MP4_W_MOD} + 1 AS INT) AS width,
+       CAST(n % {MP4_H_MOD} + 1 AS INT) AS height,
+       CAST(n AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+       CASE WHEN n % 3 = 0 THEN 'vide,soun' ELSE 'vide' END AS handlers,
+       CAST(CASE WHEN n % 3 = 0 THEN {_MP4_BASE_AV} ELSE {_MP4_BASE_V} END
+            + n AS INT) AS n_bytes
+FROM p
+"""
+SQL_MEDIA_DECODE_MP4 = SQL_MEDIA_DECODE_MP4.format(
+    MP4_W_MOD=MP4_W_MOD,
+    MP4_H_MOD=MP4_H_MOD,
+    _MP4_BASE_AV=_MP4_BASE_AV,
+    _MP4_BASE_V=_MP4_BASE_V,
+)
+
+
 QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_mp4": q_media_decode_mp4,
     "media_decode_png": q_media_decode_png,
     "media_resize_real": q_media_resize_real,
     "media_frames_real": q_media_frames_real,
@@ -615,6 +714,7 @@ ORACLE_SQL = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_features": SQL_MEDIA_FEATURES,
     "media_decode_bmp": SQL_MEDIA_DECODE_BMP,
+    "media_decode_mp4": SQL_MEDIA_DECODE_MP4,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "media_frames_real": SQL_MEDIA_FRAMES_REAL,

@@ -359,3 +359,84 @@ def test_decode_media_real_pillow_jpeg_and_gif():
         assert (meta["width"], meta["height"]) == size
         assert meta["fmt"] == fmt.lower()
         assert meta["n_bytes"] == len(buf.getvalue())
+
+
+# ------------------------------------------------------------- MP4
+
+
+def test_mp4_roundtrip_video_only():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    b = encode_mp4(90_000, 1920, 1080, audio=False, mdat=b"\x00" * 100)
+    m = decode_mp4(b)
+    assert m["duration_ms"] == 90_000 and m["timescale"] == 1000
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_tracks"] == 1 and m["handlers"] == "vide"
+    assert m["n_bytes"] == len(b)
+
+
+def test_mp4_roundtrip_with_audio_track():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    m = decode_mp4(encode_mp4(5, 31, 17, audio=True))
+    assert m["n_tracks"] == 2 and m["handlers"] == "vide,soun"
+    # dimensions come from the FIRST video track, not the 0x0 audio one
+    assert (m["width"], m["height"]) == (31, 17)
+
+
+def test_mp4_truncation_raises_not_misreads():
+    import pytest
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    b = encode_mp4(10, 4, 4)
+    with pytest.raises(ValueError):
+        decode_mp4(b[: len(b) // 2])  # box size exceeds remaining bytes
+    with pytest.raises(ValueError):
+        decode_mp4(b"\x00\x00\x00\x08mdat")  # no moov at all
+
+
+def test_mp4_largesize_and_v1_mvhd():
+    """decode must handle the 64-bit forms real muxers emit for >4 GiB
+    files: size==1 + largesize box headers, and version-1 mvhd with
+    64-bit creation/modification/duration fields."""
+    import struct
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        decode_mp4,
+    )
+
+    mvhd_v1_body = (
+        struct.pack(">B", 1) + b"\x00\x00\x00"  # version 1, flags
+        + struct.pack(">QQIQ", 0, 0, 90_000, 270_000)  # 64-bit times, ts, dur
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_v1_body)) + b"mvhd" + mvhd_v1_body
+    # moov wrapped with size==1 + 64-bit largesize
+    moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    m = decode_mp4(ftyp + moov)
+    assert m["timescale"] == 90_000
+    assert m["duration_ms"] == 270_000 * 1000 // 90_000
+    assert m["n_tracks"] == 0 and m["width"] == 0
+
+
+def test_decode_media_dispatches_mp4():
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
+        encode_mp4,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    m = decode_media(encode_mp4(1000, 64, 36, mdat=b"x"))
+    assert m["fmt"] == "mp4" and (m["width"], m["height"]) == (64, 36)

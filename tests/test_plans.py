@@ -644,3 +644,12 @@ def test_offset_gap_audit_pure_aggregation(spark, sf_dir):
     assert "HashAggregate" in p
     assert "Window" not in p
     assert "Join" not in p
+
+
+def test_media_decode_mp4_is_arrow_batched(spark, sf_dir):
+    """The MP4 container parse runs in the Arrow mapInPandas kernel —
+    map-only, no shuffle, never row-at-a-time Python."""
+    p = plan_str(spark, sf_dir, "media_decode_mp4")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
