@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -370,4 +370,63 @@ def join_size_sampled(
     )
     return joined.agg(
         (F.count(F.lit(1)) * F.lit(rate_inv * rate_inv)).cast("long").alias("est_size")
+    )
+
+
+def grouped_topk_salted(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe per-group top-k: the two-phase decomposition of
+    ``row_number() <= k`` for PATHOLOGICALLY hot groups. A single
+    rank-k window keyed by the group concentrates every row of a hot
+    group on one task before discarding all but k — at 100 TB a
+    boilerplate-dominated group (one language, one domain) turns that
+    task into the straggler. Top-k is decomposable, so:
+
+    1. phase 1 ranks within (group, salt) — ``n_salts`` deterministic
+       md5 sub-partitions — keeping k rows per salt; the hot group's
+       rows spread over ``n_salts`` tasks and each emits at most k;
+    2. phase 2 ranks the ≤ k·n_salts survivors per group — a window
+       over a provably bounded input (the bound every global-window
+       whitelist entry in this repo states).
+
+    Both phases compile to WindowGroupLimit (partial top-k per
+    partition BEFORE each shuffle — pinned by the plan gate), so even
+    phase 1's shuffle moves at most k rows per (salt, partition). The
+    salt is md5-deterministic (``sampling.hash_bucket_col`` idiom), so
+    reruns and the SQL twin see identical sub-partitions — though the
+    RESULT is salt-invariant by construction, which the unit test
+    property-checks across n_salts ∈ {1, 3, 16}.
+
+    Ordering: ``order_col`` DESC, ties broken by ``id_col`` ASC —
+    total, so the top-k set and ranks are unique and exactly equal to
+    the direct single-window form (the oracle twin).
+
+    Output: input columns + ``group_rank`` (1..k, 1 = best in group).
+    """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError("k and n_salts must be positive")
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.sampling import hash_bucket_col
+
+    salt = hash_bucket_col(F.col(id_col), n_salts)
+    w1 = Window.partitionBy(group_col, "__salt__").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        df.withColumn("__salt__", salt)
+        .withColumn("__r1__", F.row_number().over(w1))
+        .filter(F.col("__r1__") <= k)
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("group_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("group_rank") <= k)
+        .drop("__salt__", "__r1__")
     )

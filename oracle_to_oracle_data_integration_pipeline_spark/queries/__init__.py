@@ -121,6 +121,7 @@ _VERIFY_FIRST = [
     "url_normalize",
     "offset_gap_audit",
     "media_decode_mp4",
+    "grouped_topk",
     # --- CDC-core, newest driver row is round 1 (9) ---
     "change_ts",
     "delta_filter",

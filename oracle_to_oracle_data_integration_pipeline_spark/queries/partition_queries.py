@@ -365,9 +365,46 @@ GROUP BY o_orderpriority
 """
 
 
+# -- qid: grouped_topk -------------------------------------------------
+
+GT_K = 5
+GT_SALTS = 8
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-group top-k: top-5 documents by n_chars per lang
+    via the two-phase salted decomposition (operators/scale.
+    grouped_topk_salted). lang is the engine's hottest grouping key
+    (a handful of values over the whole corpus) — exactly the shape
+    where a single rank window straggles at scale. The result is
+    salt-invariant and equals the direct single-window form, which is
+    what the oracle computes."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import grouped_topk_salted
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return grouped_topk_salted(
+        d, group_col="lang", order_col="n_chars", k=GT_K,
+        id_col="doc_id", n_salts=GT_SALTS,
+    )
+
+
+SQL_GROUPED_TOPK = f"""
+SELECT doc_id, lang, n_chars, CAST(rnk AS INT) AS group_rank
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {GT_K}
+"""
+
+
 QUERIES = {
     "partitioned_scan": q_partitioned_scan,
     "bucketed_join": q_bucketed_join,
+    "grouped_topk": q_grouped_topk,
     "join_outer": q_join_outer,
     "window_range_frame": q_window_range_frame,
     "window_time_range": q_window_time_range,
@@ -379,6 +416,7 @@ QUERIES = {
 ORACLE_SQL = {
     "partitioned_scan": SQL_PARTITIONED_SCAN,
     "bucketed_join": SQL_BUCKETED_JOIN,
+    "grouped_topk": SQL_GROUPED_TOPK,
     "join_outer": SQL_JOIN_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
     "window_time_range": SQL_WINDOW_TIME_RANGE,

@@ -653,3 +653,13 @@ def test_media_decode_mp4_is_arrow_batched(spark, sf_dir):
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_grouped_topk_two_phase_window_group_limit(spark, sf_dir):
+    """Both rank phases must compile to WindowGroupLimit (partial top-k
+    per partition BEFORE each shuffle): phase 1 keyed by (group, salt),
+    phase 2 keyed by group over the <= k*n_salts survivors. Two keyed
+    windows, zero unpartitioned ones."""
+    p = plan_str(spark, sf_dir, "grouped_topk")
+    assert p.count("WindowGroupLimit") >= 2, p.count("WindowGroupLimit")
+    assert "CartesianProduct" not in p

@@ -119,3 +119,30 @@ def test_offset_gap_audit_contiguous_feed(spark):
     assert r.is_total == 1 and r.part is None
     assert r.is_contiguous and r.n_dupes == 0 and r.n_gaps == 0
     assert r.seq_min == 0 and r.seq_max == 99
+
+
+def test_grouped_topk_salted_equals_direct_and_salt_invariant(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        grouped_topk_salted,
+    )
+
+    rows = [(i, "hot" if i % 10 else "cold", (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("doc_id"))
+    direct = {
+        (r.grp, r.rnk): r.doc_id
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    for n_salts in (1, 3, 16):
+        got = {
+            (r.grp, r.group_rank): r.doc_id
+            for r in grouped_topk_salted(
+                df, "grp", "score", 5, "doc_id", n_salts=n_salts
+            ).collect()
+        }
+        assert got == direct, n_salts
