@@ -64,17 +64,17 @@ _MODULES = [
 
 # The driver's correctness gate evaluates qids in registry (dict) order
 # and stops after ~50. Rounds 1-4 verified 190/217 qids cumulatively
-# (all green; r04 was 50/50); round 5 grew the registry to 228. This
+# (all green; r04 was 50/50); round 5 grew the registry to 230+. This
 # ROUND-5 window burns down never-sampled debt in age order: first the
 # 27 qids that predate round 5 and have NEVER had a driver row (13
-# round-3 stragglers, then the 14 round-4 additions), then the 11
+# round-3 stragglers, then the 14 round-4 additions), then the 13
 # round-5 additions (also never sampled — new work queues BEHIND the
 # owed backlog), then the 9 CDC-core qids whose newest driver evidence
 # is round 1 (VERDICT r4 ask #4), then token_freq (r2 row, plan
-# rewritten r4), then r1-stale relational qids to absorb the cutoff.
-# 27+11 = 38 never-sampled entries lead; a full ~50 window covers them
-# plus most of the CDC-core refresh, leaving the cumulative gap at
-# whatever the cutoff doesn't reach (tracked next round). The 50 qids
+# rewritten r4): 27+13+9+1 = 50, exactly one driver window. Round-5
+# qids added AFTER the queue was sized go behind token_freq so they
+# never displace owed evidence; then r1-stale relational qids absorb
+# any remaining cutoff slack (tracked next round). The 50 qids
 # sampled green in r04 rotate to the back. Every registered qid is
 # green in the local differential suite (tests/test_queries_vs_duckdb
 # .py + tools/parity_sweep.py) each round regardless.
@@ -134,6 +134,9 @@ _VERIFY_FIRST = [
     "date_parts",
     # --- plan rewritten r4 on an r2 row ---
     "token_freq",
+    # --- round-5 additions made after the queue was sized (behind
+    # every owed row so they never displace it) ---
+    "schema_union",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

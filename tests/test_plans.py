@@ -663,3 +663,17 @@ def test_grouped_topk_two_phase_window_group_limit(spark, sf_dir):
     p = plan_str(spark, sf_dir, "grouped_topk")
     assert p.count("WindowGroupLimit") >= 2, p.count("WindowGroupLimit")
     assert "CartesianProduct" not in p
+
+
+def test_schema_union_narrow_and_pruned(spark, sf_dir):
+    """Snapshot union under schema drift must stay NARROW: the union
+    itself adds no exchange (each snapshot's files map straight
+    through) — only the final rollup aggregation and its ORDER BY
+    shuffle. And column pruning must survive the union: the v1 branch
+    never reads the columns its schema predates."""
+    p = plan_str(spark, sf_dir, "schema_union")
+    assert "Union" in p
+    assert p.count("Exchange") == 2, p.count("Exchange")  # agg + sort only
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any("source" not in s and "n_chars" not in s for s in schemas), schemas
+    assert any("source" in s and "n_chars" in s for s in schemas), schemas
