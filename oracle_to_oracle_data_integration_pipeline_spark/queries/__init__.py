@@ -137,6 +137,7 @@ _VERIFY_FIRST = [
     # --- round-5 additions made after the queue was sized (behind
     # every owed row so they never displace it) ---
     "schema_union",
+    "quality_classifier",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

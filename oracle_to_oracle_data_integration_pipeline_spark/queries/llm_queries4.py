@@ -438,8 +438,94 @@ FROM o
 """
 
 
+# -- qid: quality_classifier (LR quality filter, 3 GD steps) ----------
+
+_QC_POS = ["src0", "src1", "src2", "src3", "src4"]
+_QC_ITERS = 3
+_QC_LR = 0.1
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3/LLaMA curation
+    pillar): fit a logistic-regression source classifier by 3
+    distributed full-batch GD steps (operators/classifier.py — one
+    combinable nano-quantized aggregation per step, weights
+    driver-literalized like the k-means centroids), then report the
+    fitted weights and the training cross-entropy. The DuckDB twin
+    unrolls the identical 3 iterations, so the differential compare
+    certifies the whole iterative fit bit-for-bit."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.classifier import (
+        FEATURES,
+        doc_features,
+        logreg_fit,
+        logreg_log_loss,
+    )
+
+    feats = doc_features(load(spark, sf_dir, "documents"), _QC_POS)
+    w, _n = logreg_fit(feats, n_iter=_QC_ITERS, lr=_QC_LR)
+    loss = logreg_log_loss(feats, w)
+    rows = [(name, float(wj)) for name, wj in zip(FEATURES, w)]
+    rows.append(("log_loss", loss))
+    return spark.createDataFrame(rows, "feature string, value double")
+
+
+def _qc_oracle_sql(n_iter: int = _QC_ITERS, lr: float = _QC_LR) -> str:
+    """Unrolled GD twin. Each iteration: nano-quantized gradient sums
+    over the feature CTE at the PREVIOUS iteration's weights (scalar
+    cross join), then the same floor-9 weight update."""
+    pos = ", ".join(f"'{s}'" for s in _QC_POS)
+    feats = f"""f AS (
+  SELECT CASE WHEN source IN ({pos}) THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         ln(n_chars + 1) - 6.0 AS x1,
+         CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE) / n_chars AS x2,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / n_chars AS x3
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0
+)"""
+    ctes = [feats]
+    # iteration 0 weights are literal zeros
+    w_exprs = ["0.0", "0.0", "0.0", "0.0"]
+    for t in range(1, n_iter + 1):
+        z = " + ".join(f"({w_exprs[j]}) * x{j}" for j in range(4)) if t == 1 else \
+            " + ".join(f"w.w{j} * x{j}" for j in range(4))
+        src = "f" if t == 1 else f"f, w{t - 1} w"
+        sums = ",\n         ".join(
+            f"sum(CAST(floor((1.0/(1.0+exp(-({z}))) - y) * x{j} * 1e9 + 0.5) AS BIGINT)) AS s{j}"
+            for j in range(4)
+        )
+        ctes.append(f"g{t} AS (\n  SELECT count(*) AS n,\n         {sums}\n  FROM {src}\n)")
+        prev = ["0.0"] * 4 if t == 1 else [f"w.w{j}" for j in range(4)]
+        upds = ",\n         ".join(
+            f"floor(({prev[j]} - {lr!r} * (g.s{j} / 1e9) / g.n) * 1e9 + 0.5) / 1e9 AS w{j}"
+            for j in range(4)
+        )
+        wsrc = f"g{t} g" if t == 1 else f"g{t} g, w{t - 1} w"
+        ctes.append(f"w{t} AS (\n  SELECT {upds}\n  FROM {wsrc}\n)")
+    zf = " + ".join(f"w.w{j} * x{j}" for j in range(4))
+    ctes.append(f"""p AS (
+  SELECT y, 1.0/(1.0+exp(-({zf}))) AS pr FROM f, w{n_iter} w
+)""")
+    ctes.append("""loss AS (
+  SELECT floor(sum(CAST(floor(-(y * ln(pr) + (1.0 - y) * ln(1.0 - pr)) * 1e9 + 0.5) AS BIGINT)) / 1e9 / count(*) * 1e6 + 0.5) / 1e6 AS v
+  FROM p
+)""")
+    names = ["bias", "log_len_c", "vowel_ratio", "space_ratio"]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT '{names[j]}' AS feature, w{j} AS value FROM w{n_iter}"
+        for j in range(4)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + sel +
+        "\nUNION ALL\nSELECT 'log_loss' AS feature, v AS value FROM loss"
+    )
+
+
+SQL_QUALITY_CLASSIFIER = _qc_oracle_sql()
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
+    "quality_classifier": q_quality_classifier,
     "weighted_sample": q_weighted_sample,
     "domain_cap": q_domain_cap,
     "order_index": q_order_index,
@@ -453,6 +539,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
