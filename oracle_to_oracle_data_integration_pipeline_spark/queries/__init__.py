@@ -31,6 +31,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational5,
     relational6,
     partition_queries,
+    sql4_queries,
     streaming_queries,
 )
 
@@ -43,6 +44,7 @@ _MODULES = [
     relational5,
     relational6,
     partition_queries,
+    sql4_queries,
     catalog_queries,
     io_queries,
     format_queries,
@@ -138,6 +140,10 @@ _VERIFY_FIRST = [
     # every owed row so they never displace it) ---
     "schema_union",
     "quality_classifier",
+    "recursive_cte",
+    "variant_shred",
+    "xml_roundtrip",
+    "listagg_order",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -677,3 +677,42 @@ def test_schema_union_narrow_and_pruned(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert any("source" not in s and "n_chars" not in s for s in schemas), schemas
     assert any("source" in s and "n_chars" in s for s in schemas), schemas
+
+
+def test_recursive_cte_is_union_loop(spark, sf_dir):
+    """The recursion compiles to Spark's iterative UnionLoop operator
+    (one distributed join per level, O(depth) jobs) — not an unrolled
+    self-join chain or a driver loop."""
+    p = plan_str(spark, sf_dir, "recursive_cte")
+    assert "UnionLoop" in p
+    assert "CartesianProduct" not in p
+
+
+def test_variant_shred_stays_jvm_columnar(spark, sf_dir):
+    """VARIANT shredding never leaves the JVM: no Python evaluation of
+    any flavor, and only the aggregate's own exchange + ordering —
+    parse_json/variant_get are ordinary codegen expressions."""
+    p = plan_str(spark, sf_dir, "variant_shred")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p, node
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "variant_get" in p
+
+
+def test_xml_roundtrip_reads_distributed_xml(spark, sf_dir):
+    """The readback plans as a real distributed XML file scan with the
+    supplied (not inferred) schema."""
+    p = plan_str(spark, sf_dir, "xml_roundtrip")
+    assert re.search(r"FileScan xml", p), p.splitlines()[:5]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "o_orderkey" in m.group(1)
+
+
+def test_listagg_order_partial_aggregation(spark, sf_dir):
+    """listagg WITHIN GROUP plans as a sort-based/object hash
+    aggregate keyed by nation — grouped (never a global single-task
+    collect), one exchange for the agg plus the presentation sort."""
+    p = plan_str(spark, sf_dir, "listagg_order")
+    assert "listagg" in p.lower()
+    assert p.count("Exchange") <= 3
+    assert "CartesianProduct" not in p
