@@ -32,6 +32,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries import (
     relational6,
     partition_queries,
     sql4_queries,
+    ml_queries,
     streaming_queries,
 )
 
@@ -45,6 +46,7 @@ _MODULES = [
     relational6,
     partition_queries,
     sql4_queries,
+    ml_queries,
     catalog_queries,
     io_queries,
     format_queries,
@@ -144,6 +146,11 @@ _VERIFY_FIRST = [
     "variant_shred",
     "xml_roundtrip",
     "listagg_order",
+    "naive_bayes",
+    "cusum_changepoint",
+    "assoc_rules",
+    "corpus_card",
+    "kl_divergence",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -716,3 +716,69 @@ def test_listagg_order_partial_aggregation(spark, sf_dir):
     assert "listagg" in p.lower()
     assert p.count("Exchange") <= 3
     assert "CartesianProduct" not in p
+
+
+def _final_plan(spark, sf_dir, qid: str) -> str:
+    """Execute and return the FINAL adaptive plan (AQE stage-reuse
+    assertions are only meaningful after execution)."""
+    spark.catalog.clearCache()
+    df = REG[qid](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_naive_bayes_counts_tokens_once(spark, sf_dir):
+    """Every model statistic (per-class totals, vocabulary size, the
+    likelihood table) derives from ONE (class, token) counts table;
+    the identical cnt_tc subtrees must collapse via AQE stage reuse so
+    the train corpus is tokenized exactly once. Class metadata is
+    broadcast, never shuffled; no cartesian anywhere."""
+    p = plan_str(spark, sf_dir, "naive_bayes")
+    assert "CartesianProduct" not in p
+    final = _final_plan(spark, sf_dir, "naive_bayes")
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2, final[:2000]
+
+
+def test_cusum_changepoint_single_exchange(spark, sf_dir):
+    """All four windows (row number, prefix sum, per-key count/total)
+    and the argmax rank share the ONE per-user exchange — the whole
+    detection is a single shuffle over a single scan."""
+    p = plan_str(spark, sf_dir, "cusum_changepoint")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:2000]
+    assert len(re.findall(r"FileScan parquet", p)) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_assoc_rules_no_fact_self_join(spark, sf_dir):
+    """Pairs come from a codegen array lambda over the per-basket item
+    set (Generate), never a self-join of the fact table; item counts
+    broadcast to the rule join; the three basket subtrees collapse via
+    AQE stage reuse."""
+    p = plan_str(spark, sf_dir, "assoc_rules")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    final = _final_plan(spark, sf_dir, "assoc_rules")
+    assert final.count("ReusedExchange") >= 2, final[:2000]
+
+
+def test_corpus_card_single_scan_grouping_sets(spark, sf_dir):
+    """The release card is ONE scan of documents expanded ×3 by
+    GROUPING SETS — never three scans unioned."""
+    p = plan_str(spark, sf_dir, "corpus_card")
+    assert len(re.findall(r"FileScan parquet", p)) == 1, p[:2000]
+    assert "Expand" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kl_divergence_closed_form_absent_mass(spark, sf_dir):
+    """Global token counts, vocabulary size, and per-source totals are
+    all rollups of the single (source, token) cell table (AQE reuse
+    collapses the identical subtrees); the absent-token mass is closed
+    form — no source×vocabulary expansion, no cartesian."""
+    p = plan_str(spark, sf_dir, "kl_divergence")
+    assert "CartesianProduct" not in p
+    final = _final_plan(spark, sf_dir, "kl_divergence")
+    assert final.count("ReusedExchange") >= 2, final[:2000]
