@@ -151,6 +151,8 @@ _VERIFY_FIRST = [
     "assoc_rules",
     "corpus_card",
     "kl_divergence",
+    "mann_whitney",
+    "ivm_join",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -602,12 +602,111 @@ FROM fin
 """
 
 
+# -- qid: mann_whitney -------------------------------------------------
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann-Whitney U test: does the 'click' value
+    distribution differ from 'error'? The nonparametric two-sample
+    test (rank-based — no normality assumption), the robust sibling
+    of ab_test_lift's t-test.
+
+    Exactness: average ranks are halves, so everything is carried at
+    2× scale — 2·r̄ = 2·rank + ties − 1 is an integer, R₁ and U₁ stay
+    exact BIGINTs, and the tie-correction term Σ(t³−t) falls out of a
+    per-row sum of (t²−1) — no second pass over distinct values. Only
+    the final z-score divides into doubles (pround).
+
+    One exchange end to end: rank() and the tie count share the same
+    (user, ORDER BY value) window sort — the tie count is the
+    RANGE-frame peer count, not a second partitioning — and the final
+    groupBy(user) rides the same hash partitioning."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("user_id", "event_type", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("value")
+    peers = Window.partitionBy("user_id").orderBy("value").rangeBetween(0, 0)
+    r = (
+        e.withColumn("rk", F.rank().over(w))
+        .withColumn("t", F.count(F.lit(1)).over(peers))
+        .withColumn("avg2", 2 * F.col("rk") + F.col("t") - 1)
+    )
+    agg = r.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("avg2")).otherwise(0)
+        ).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie_sum"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    mu_x2 = (F.col("n1") * F.col("n2")).cast("double")
+    var = (
+        F.col("n1").cast("double") * F.col("n2").cast("double") / F.lit(12.0)
+        * ((n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1)))
+    )
+    z = pround((u1_x2.cast("double") - mu_x2) / (F.lit(2.0) * F.sqrt(var)))
+    return (
+        agg.filter((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0))
+        .select(
+            "user_id",
+            "n1",
+            "n2",
+            u1_x2.alias("u1_x2"),
+            z.alias("z"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+        )
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH e AS (
+  SELECT user_id, event_type, value
+  FROM events WHERE event_type IN ('click', 'error')
+),
+r AS (
+  SELECT user_id, event_type,
+         rank() OVER (PARTITION BY user_id ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY user_id ORDER BY value
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS t
+  FROM e
+),
+a AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 2 * rk + t - 1 ELSE 0 END) AS BIGINT) AS r1_x2,
+         CAST(sum(t * t - 1) AS BIGINT) AS tie_sum
+  FROM r GROUP BY user_id
+),
+s AS (
+  SELECT user_id, n1, n2,
+         r1_x2 - n1 * (n1 + 1) AS u1_x2,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+           * ((CAST(n1 + n2 AS DOUBLE) + 1)
+              - CAST(tie_sum AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1))) AS var
+  FROM a
+)
+SELECT user_id, n1, n2, CAST(u1_x2 AS BIGINT) AS u1_x2,
+       floor((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt(var)) * 1e6 + 0.5) / 1e6 AS z,
+       CASE WHEN abs(floor((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt(var)) * 1e6 + 0.5) / 1e6) > 1.96 THEN 1 ELSE 0 END AS significant
+FROM s
+WHERE n1 > 0 AND n2 > 0 AND var > 0
+"""
+
+
 QUERIES = {
     "naive_bayes": q_naive_bayes,
     "cusum_changepoint": q_cusum_changepoint,
     "assoc_rules": q_assoc_rules,
     "corpus_card": q_corpus_card,
     "kl_divergence": q_kl_divergence,
+    "mann_whitney": q_mann_whitney,
 }
 
 ORACLE_SQL = {
@@ -616,4 +715,5 @@ ORACLE_SQL = {
     "assoc_rules": SQL_ASSOC_RULES,
     "corpus_card": SQL_CORPUS_CARD,
     "kl_divergence": SQL_KL_DIVERGENCE,
+    "mann_whitney": SQL_MANN_WHITNEY,
 }

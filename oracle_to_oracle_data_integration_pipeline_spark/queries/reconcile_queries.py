@@ -318,12 +318,80 @@ GROUP BY ROLLUP (event_type)
 """
 
 
+# -- qid: ivm_join -----------------------------------------------------
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the algebra that
+    keeps a materialized orders⋈customer view current from CDC deltas
+    WITHOUT re-joining the full tables:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    The natural next step past the reference's single-table MERGE
+    (scripts/03_cdc_etl.py replicates base tables; downstream joined
+    views would be fully rebuilt) — this is the standard delta-join
+    rule (Blakeley et al.) those rebuilds should become.
+
+    Deltas are simulated deterministically (orders with
+    o_orderkey % 97 = 0, customers with c_custkey % 89 = 0 arrive as
+    inserts; the rest is the old state). The qid RUNS the three delta
+    joins + base union and aggregates the maintained view; the DuckDB
+    oracle computes the NAIVE FULL REBUILD — hash equality IS the
+    proof that incremental maintenance converges to the rebuild.
+
+    Scale shape: the delta joins touch |Δ| fact rows, not |A| — with
+    the dimension broadcast (as here) each is map-side. In production
+    V_old is the stored view (one scan), not re-derived; the harness
+    re-derives it because qids are stateless. n_delta counts the rows
+    that arrived through a delta path — the write amplification the
+    maintenance pays."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    old_o = o.filter(F.col("o_orderkey") % 97 != 0)
+    d_o = o.filter(F.col("o_orderkey") % 97 == 0)
+    old_c = c.filter(F.col("c_custkey") % 89 != 0)
+    d_c = c.filter(F.col("c_custkey") % 89 == 0)
+
+    def j(lhs, rhs, tag):
+        return lhs.join(F.broadcast(rhs), lhs.o_custkey == rhs.c_custkey).select(
+            "o_totalprice", "c_mktsegment", F.lit(tag).alias("is_delta")
+        )
+
+    v_new = (
+        j(old_o, old_c, 0)          # V_old: the stored base view
+        .unionByName(j(d_o, old_c, 1))   # ΔA ⋈ B_old
+        .unionByName(j(old_o, d_c, 1))   # A_old ⋈ ΔB
+        .unionByName(j(d_o, d_c, 1))     # ΔA ⋈ ΔB
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum
+
+    return v_new.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_delta").alias("n_delta"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+SQL_IVM_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 97 = 0 OR c_custkey % 89 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "checksum_diff": q_checksum_diff,
     "checksum_drill": q_checksum_drill,
     "cdc_op_priority": q_cdc_op_priority,
     "schema_diff": q_schema_diff,
     "offset_gap_audit": q_offset_gap_audit,
+    "ivm_join": q_ivm_join,
 }
 
 ORACLE_SQL = {
@@ -332,4 +400,5 @@ ORACLE_SQL = {
     "cdc_op_priority": SQL_CDC_OP_PRIORITY,
     "schema_diff": SQL_SCHEMA_DIFF,
     "offset_gap_audit": SQL_OFFSET_GAP_AUDIT,
+    "ivm_join": SQL_IVM_JOIN,
 }

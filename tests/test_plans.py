@@ -782,3 +782,26 @@ def test_kl_divergence_closed_form_absent_mass(spark, sf_dir):
     assert "CartesianProduct" not in p
     final = _final_plan(spark, sf_dir, "kl_divergence")
     assert final.count("ReusedExchange") >= 2, final[:2000]
+
+
+def test_mann_whitney_single_exchange(spark, sf_dir):
+    """rank() and the tie count share one (user, ORDER BY value)
+    window sort — the tie count is the RANGE-frame peer count, never
+    a second partitioning — and the final groupBy rides the same hash
+    partitioning: one exchange, one scan, one Window node."""
+    p = plan_str(spark, sf_dir, "mann_whitney")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:2000]
+    assert len(re.findall(r"FileScan parquet", p)) == 1
+    assert p.count("Window") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_ivm_join_all_delta_joins_broadcast(spark, sf_dir):
+    """All four maintenance joins (base + three delta terms) broadcast
+    the dimension side — the delta terms touch |delta| fact rows, not
+    |A|; the only exchange is the final re-aggregation."""
+    p = plan_str(spark, sf_dir, "ivm_join")
+    assert p.count("BroadcastHashJoin") == 4, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
