@@ -430,3 +430,58 @@ def grouped_topk_salted(
         .filter(F.col("group_rank") <= k)
         .drop("__salt__", "__r1__")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    bucket: Column,
+    out_col: str = "value_rank",
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Exact global rank BY VALUE without a global window — the
+    value-ordered sibling of ``curation.global_order_index`` (which
+    ranks by a hashed permutation). Semantically identical to
+    ``row_number() OVER (ORDER BY order_col, id_col)`` but distributed:
+
+    1. ``bucket`` maps each row to a driver-scale cell; it MUST be a
+       monotonic non-decreasing function of ``order_col`` (equal
+       values land in one bucket, larger values never in a smaller
+       bucket) — that is the correctness condition, exactly as the
+       monotonic md5-prefix split is for global_order_index. Typical
+       choices: the value itself for bounded ints (days, counts),
+       ``floor(log10(v)·K)`` for positive skewed doubles.
+    2. per-bucket counts prefix-sum into offsets — a window over
+       ≤``max_buckets`` histogram rows (driver scale, the stated
+       bound);
+    3. rows rank within their bucket in parallel (window keyed by
+       bucket, ordered by (order_col, id_col)) and add the broadcast
+       offset.
+
+    Because the bucket is monotonic in the sort value and the
+    within-bucket order is total, offset + local rank IS the global
+    row_number — at any bucket count. Used by ``gini_concentration``
+    and ``rfm_segments`` instead of the single-partition global sort
+    a naive rank would plan at 100 TB.
+
+    Output: input columns + (out_col BIGINT) in [1, N].
+    """
+    b = df.withColumn("__bucket__", bucket.cast("bigint"))
+    wb = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("__bucket__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(
+            "__bucket__",
+            F.coalesce(F.sum("__n__").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("__off__"),
+        )
+    )
+    win = Window.partitionBy("__bucket__").orderBy(order_col, id_col)
+    return (
+        b.join(F.broadcast(offsets), "__bucket__")
+        .withColumn(out_col, (F.col("__off__") + F.row_number().over(win)).cast("bigint"))
+        .drop("__bucket__", "__off__")
+    )

@@ -7,6 +7,7 @@ DuckDB oracle twin. This is the engine's correctness surface
 from __future__ import annotations
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries import (
+    analytics2_queries,
     analytics_queries,
     catalog_queries,
     clustering_queries,
@@ -47,6 +48,7 @@ _MODULES = [
     partition_queries,
     sql4_queries,
     ml_queries,
+    analytics2_queries,
     catalog_queries,
     io_queries,
     format_queries,
@@ -153,6 +155,13 @@ _VERIFY_FIRST = [
     "kl_divergence",
     "mann_whitney",
     "ivm_join",
+    "skyline_frontier",
+    "benford_audit",
+    "gini_concentration",
+    "acf_lags",
+    "seasonal_decompose",
+    "survival_km",
+    "concurrency_peak",
     # --- remaining r1-stale, then r2 cohort ---
     "q1_pricing_summary",
     "q3_shipping_priority",

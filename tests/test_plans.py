@@ -805,3 +805,101 @@ def test_ivm_join_all_delta_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_skyline_two_phase_bounded_merge(spark, sf_dir):
+    """The distributed skyline pre-filters each partition to its local
+    staircase (a __pid__-keyed window) before the bounded global merge
+    window; one scan, no join, no cartesian."""
+    p = plan_str(spark, sf_dir, "skyline_frontier")
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Window") == 2  # local (pid-keyed) + global merge
+    # phase-1 window is keyed by the partition-id column
+    assert re.search(r"windowspecdefinition\(__pid__#\d+,", p), p[:2500]
+    assert "CartesianProduct" not in p
+    # scan pruned to the two columns the frontier needs
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "p_retailprice",
+        "p_size",
+    }, p[:1500]
+
+
+def test_benford_single_pass_at_runtime(spark, sf_dir):
+    """The digit histogram's exchange is reused for the grand total —
+    one scan of orders at runtime, everything map-side combinable, no
+    window anywhere."""
+    p = plan_str(spark, sf_dir, "benford_audit")
+    assert p.count("Window") == 0
+    final = _final_plan(spark, sf_dir, "benford_audit")
+    assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
+def test_gini_rank_is_distributed(spark, sf_dir):
+    """The Gini rank comes from operators/scale.distributed_rank: the
+    corpus-side window is keyed by __bucket__ (never a bare global
+    ORDER BY over customers), the offsets broadcast back, and the
+    per-customer revenue exchange is reused across the two branches at
+    runtime."""
+    p = plan_str(spark, sf_dir, "gini_concentration")
+    assert p.count("BroadcastHashJoin") == 1  # offsets join
+    assert "SortMergeJoin" not in p
+    # exactly one unpartitioned window: the <=~400-row histogram
+    # prefix-sum (whitelisted); the rank window is __bucket__-keyed
+    unpart = [
+        ln
+        for ln in p.splitlines()
+        if "windowspecdefinition(" in ln
+        and re.search(r"windowspecdefinition\((?:[^,]+ (?:ASC|DESC) NULLS|specifiedwindowframe)", ln.strip())
+    ]
+    assert len(unpart) == 1, p[:3000]
+    final = _final_plan(spark, sf_dir, "gini_concentration")
+    assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
+def test_acf_single_exchange(spark, sf_dir):
+    """All three lags share ONE (user, ORDER BY ts, event_id) window
+    sort, the stack unpivot is a pure projection, and the moment-sum
+    groupBy rides the window's user_id partitioning: one exchange, one
+    scan, one Window node end to end."""
+    p = plan_str(spark, sf_dir, "acf_lags")
+    assert p.count("FileScan parquet") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:2000]
+    assert p.count("Window") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_seasonal_decompose_daily_reduction_first(spark, sf_dir):
+    """The raw scan reduces to one row per day before any window (the
+    windows run over the bounded daily aggregate), and the 7-row
+    seasonal index joins back as a broadcast."""
+    p = plan_str(spark, sf_dir, "seasonal_decompose")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    # daily groupBy shuffle precedes both windows in the plan tree:
+    # the Window operators consume the aggregated side only
+    assert p.count("Window") == 2
+    final = _final_plan(spark, sf_dir, "seasonal_decompose")
+    assert final.count("ReusedExchange") >= 1, final[:2000]
+
+
+def test_survival_km_two_pass_shape(spark, sf_dir):
+    """Two scans by nature (the corpus cutoff is a global MAX the
+    per-user pass depends on — the checksum_drill level-1/level-2
+    shape); the user total falls out of the duration histogram, never
+    a third pass, and every window runs over that histogram."""
+    p = plan_str(spark, sf_dir, "survival_km")
+    assert p.count("FileScan parquet") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_concurrency_peak_single_pass_keyed_sweep(spark, sf_dir):
+    """The sweep line is one scan end to end: bounded day-clip explode,
+    ONE (event_type, day)-keyed window (never a per-type global
+    replay), and the interval count rides the same aggregation via the
+    first-piece marker instead of a second scan."""
+    p = plan_str(spark, sf_dir, "concurrency_peak")
+    assert p.count("FileScan parquet") == 1, p[:2000]
+    assert p.count("Window") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "CartesianProduct" not in p

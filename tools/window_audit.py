@@ -48,6 +48,16 @@ WHITELIST = {
     "rank_fusion": "rank windows run AFTER limit(pool=50)/limit(k=10): <=50 rows",
     "shard_plan": "offset prefix-sum over the bucket byte HISTOGRAM: <=256 rows "
     "(the corpus cumsum window itself is keyed by __bucket__)",
+    "skyline_frontier": "global merge window runs over the UNION OF LOCAL "
+    "FRONTIERS (each partition pre-filtered to its monotone staircase by a "
+    "__pid__-keyed window); worst case O(n) like every skyline algorithm",
+    "gini_concentration": "offset prefix-sum over the log-bucket HISTOGRAM: "
+    "<=~400 live cells (the rank window itself is keyed by __bucket__, "
+    "operators/scale.distributed_rank)",
+    "seasonal_decompose": "MA/count windows run over the DAILY AGGREGATE: "
+    "<=|days| rows",
+    "survival_km": "risk-set/survival windows run over the DURATION "
+    "HISTOGRAM: <=|distinct day-spans| rows",
 }
 
 
