@@ -1,0 +1,367 @@
+"""Master-data-management qids — the multi-source generalization of
+the reference's one-source CDC merge (`/root/reference/scripts/
+03_cdc_etl.py` replicates ONE Oracle schema into ONE target):
+
+- ``survivorship_merge`` — golden-record construction: N source
+  systems disagree per column; survivorship picks each column's value
+  by source priority with null fallthrough (the MDM step every
+  multi-system integration needs the day a second source appears).
+- ``late_dim_insert`` — late-arriving dimension handling: facts whose
+  dimension key has not replicated yet get an inferred placeholder
+  member instead of being dropped or failing the FK (the standard
+  warehouse answer to CDC streams that deliver facts before dims).
+- ``rfm_segments`` — recency/frequency/monetary scoring by exact
+  distributed rank (``operators.scale.distributed_rank`` — never a
+  global ORDER BY window), the classic customer-value segmentation.
+
+Determinism: survivorship keys are unique per (entity, source), so
+max_by can never tie; the RFM quantile bucket is the explicit
+``floor((rank−1)·k/n)`` formula in BOTH engines (SQL NTILE distributes
+remainders differently — documented, not used); money sums ride the
+DECIMAL path (`_util.dsum`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+    distributed_rank,
+)
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+    dsum,
+    load,
+)
+
+
+# -- qid: survivorship_merge ------------------------------------------------
+
+def _two_systems(c: DataFrame) -> DataFrame:
+    """Deterministic two-system simulation of the customer master:
+    system A (priority 2, fresher feed) is missing every third entity
+    and some attributes; system B (priority 1, legacy) is complete but
+    stale/holey on others. All drift is custkey-mod arithmetic so the
+    oracle reproduces it exactly."""
+    k = F.col("c_custkey")
+    sys_a = (
+        c.where(k % 3 != 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("priority"),
+            F.col("c_name").alias("name"),
+            F.when(k % 11 != 0, F.col("c_nationkey")).alias("nationkey"),
+            F.when(k % 5 == 0, F.col("c_acctbal") + 10.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(k % 13 != 0, F.col("c_mktsegment")).alias("mktsegment"),
+        )
+    )
+    sys_b = c.select(
+        "c_custkey",
+        F.lit(1).alias("priority"),
+        F.when(k % 4 == 0, F.concat(F.lit("OLD_"), F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(k % 7 != 0, F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return sys_a.unionByName(sys_b)
+
+
+def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over a two-system customer master:
+    per entity and per column, the surviving value is the NON-NULL
+    value from the highest-priority source (a null in the priority
+    source falls through to the next — column-level, not row-level,
+    which is what distinguishes survivorship from latest-per-key).
+
+    Mechanics: ``max_by(col, key)`` with key = priority when the value
+    is non-null, −1 when null. Keys are unique per (entity, source),
+    so the argmax can never tie (Spark's max_by tie order is
+    undefined; uniqueness is the determinism contract, same as
+    DuckDB's arg_max). ``n_conflicts`` counts columns where the
+    sources genuinely disagree (both non-null, different) — the MDM
+    stewardship metric.
+
+    Scale: ONE hash shuffle on the entity key over the unioned
+    feeds; every max_by partially aggregates map-side. No window, no
+    join, no collect.
+    """
+    both = _two_systems(load(spark, sf_dir, "customer"))
+
+    def survive(col: str):
+        key = F.when(F.col(col).isNotNull(), F.col("priority")).otherwise(
+            F.lit(-1)
+        )
+        return F.max_by(F.col(col), key).alias(f"g_{col}")
+
+    return both.groupBy("c_custkey").agg(
+        survive("name"),
+        survive("nationkey"),
+        survive("acctbal"),
+        survive("mktsegment"),
+        F.count(F.lit(1)).alias("n_sources"),
+        (
+            (F.countDistinct("name") > 1).cast("int")
+            + (F.countDistinct("nationkey") > 1).cast("int")
+            + (F.countDistinct("acctbal") > 1).cast("int")
+            + (F.countDistinct("mktsegment") > 1).cast("int")
+        ).alias("n_conflicts"),
+    )
+
+
+SQL_SURVIVORSHIP_MERGE = """
+WITH sys_a AS (
+  SELECT c_custkey, 2 AS priority, c_name AS name,
+         CASE WHEN c_custkey % 11 <> 0 THEN c_nationkey END AS nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END AS mktsegment
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+sys_b AS (
+  SELECT c_custkey, 1 AS priority,
+         CASE WHEN c_custkey % 4 = 0 THEN 'OLD_' || c_name
+              ELSE c_name END AS name,
+         c_nationkey AS nationkey,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS acctbal,
+         c_mktsegment AS mktsegment
+  FROM customer
+),
+both_sys AS (SELECT * FROM sys_a UNION ALL SELECT * FROM sys_b)
+SELECT c_custkey,
+       arg_max(name, CASE WHEN name IS NOT NULL THEN priority ELSE -1 END)
+         AS g_name,
+       arg_max(nationkey,
+               CASE WHEN nationkey IS NOT NULL THEN priority ELSE -1 END)
+         AS g_nationkey,
+       arg_max(acctbal,
+               CASE WHEN acctbal IS NOT NULL THEN priority ELSE -1 END)
+         AS g_acctbal,
+       arg_max(mktsegment,
+               CASE WHEN mktsegment IS NOT NULL THEN priority ELSE -1 END)
+         AS g_mktsegment,
+       count(*) AS n_sources,
+       CAST(CASE WHEN count(DISTINCT name) > 1 THEN 1 ELSE 0 END
+          + CASE WHEN count(DISTINCT nationkey) > 1 THEN 1 ELSE 0 END
+          + CASE WHEN count(DISTINCT acctbal) > 1 THEN 1 ELSE 0 END
+          + CASE WHEN count(DISTINCT mktsegment) > 1 THEN 1 ELSE 0 END
+         AS INT) AS n_conflicts
+FROM both_sys GROUP BY c_custkey
+"""
+
+
+# -- qid: late_dim_insert ------------------------------------------------
+
+def q_late_dim_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: the customer dimension is
+    missing every seventh key (its CDC feed lags the order feed —
+    exactly what happens when the reference's per-table watermarks
+    advance at different rates); the fact pipeline must neither drop
+    those orders nor fail the FK. The warehouse answer: LEFT join,
+    route unmatched keys to an inferred 'UNKNOWN' member, report per
+    segment with the inferred population visible.
+
+    Scale: facts pre-aggregate per custkey (combinable — the shuffle
+    carries one row per customer, not per order) BEFORE touching the
+    dimension; the dim join is then keyed customer-vs-customer (here
+    broadcast; at 100 TB a co-partitioned shuffle join), and the final
+    segment rollup is a 5-row aggregate.
+    """
+    facts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("_rev"),
+        )
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = facts.join(
+        F.broadcast(dim), facts.o_custkey == dim.c_custkey, "left"
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.col("c_custkey").isNull().cast("int").alias("_inferred"),
+            "n_orders",
+            "_rev",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_inferred").cast("bigint").alias("n_inferred"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_LATE_DIM_INSERT = """
+WITH facts AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inferred,
+       CAST(sum(f.n_orders) AS BIGINT) AS n_orders,
+       CAST(round(sum(f.rev), 2) AS DOUBLE) AS revenue
+FROM facts f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+GROUP BY 1
+"""
+
+
+# -- qid: rfm_segments ------------------------------------------------------
+
+RFM_TILES = 5
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order vs the corpus max date), frequency (order count) and
+    monetary (exact revenue) each score 1..{RFM_TILES} by quantile
+    rank, then a rule table labels the segment — the classic
+    customer-value model, built scale-first.
+
+    All three ranks come from ``operators.scale.distributed_rank``
+    (monotonic-bucket two-pass exact global rank — recency and
+    frequency bucket by their own bounded integer value, monetary by
+    floor(log10·100)); a bare row_number() over 10⁸ customers would
+    single-partition the table. The quantile bucket is the explicit
+    floor((rank−1)·k/n) formula in both engines — SQL NTILE's
+    remainder rule differs (n=8,k=5: NTILE gives 2,2,2,1,1; this
+    gives 2,2,1,2,1), so the oracle twin uses the same formula, never
+    NTILE. Recency scores INVERT (small recency = recent = 5).
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = o.agg(F.max("o_orderdate").alias("max_date"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("max_date"), F.to_date("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = distributed_rank(
+        per, "recency_days", "o_custkey", F.col("recency_days"), out_col="_rr"
+    )
+    f_ = distributed_rank(
+        r, "frequency", "o_custkey", F.col("frequency"), out_col="_fr"
+    )
+    m = distributed_rank(
+        f_,
+        "monetary",
+        "o_custkey",
+        F.floor(F.log10("monetary") * 100),
+        out_col="_mr",
+    )
+    n = m.crossJoin(
+        F.broadcast(per.agg(F.count(F.lit(1)).alias("_n")))
+    )
+
+    def tile(rank_col: str):
+        return (
+            F.floor(
+                (F.col(rank_col) - 1).cast("double")
+                * F.lit(float(RFM_TILES))
+                / F.col("_n").cast("double")
+            )
+            + 1
+        ).cast("int")
+
+    scored = n.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(RFM_TILES + 1) - tile("_rr")).cast("int").alias("r_score"),
+        tile("_fr").alias("f_score"),
+        tile("_mr").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH cutoff AS (SELECT max(o_orderdate) AS max_date FROM orders),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   CAST((SELECT max_date FROM cutoff) AS DATE)) AS recency_days,
+         count(*) AS frequency,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+         row_number() OVER (ORDER BY frequency, o_custkey) AS fr,
+         row_number() OVER (ORDER BY monetary, o_custkey) AS mr,
+         count(*) OVER () AS n
+  FROM per
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST({RFM_TILES + 1} - (floor(CAST(rr - 1 AS DOUBLE) * {RFM_TILES}.0
+                                       / CAST(n AS DOUBLE)) + 1) AS INT) AS r_score,
+         CAST(floor(CAST(fr - 1 AS DOUBLE) * {RFM_TILES}.0
+                    / CAST(n AS DOUBLE)) + 1 AS INT) AS f_score,
+         CAST(floor(CAST(mr - 1 AS DOUBLE) * {RFM_TILES}.0
+                    / CAST(n AS DOUBLE)) + 1 AS INT) AS m_score
+  FROM rk
+)
+SELECT *,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+QUERIES = {
+    "survivorship_merge": q_survivorship_merge,
+    "late_dim_insert": q_late_dim_insert,
+    "rfm_segments": q_rfm_segments,
+}
+
+ORACLE_SQL = {
+    "survivorship_merge": SQL_SURVIVORSHIP_MERGE,
+    "late_dim_insert": SQL_LATE_DIM_INSERT,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+}

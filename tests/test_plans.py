@@ -903,3 +903,48 @@ def test_concurrency_peak_single_pass_keyed_sweep(spark, sf_dir):
     assert p.count("Window") == 1
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
     assert "CartesianProduct" not in p
+
+
+def test_survivorship_single_shuffle_no_window(spark, sf_dir):
+    """Golden-record survivorship is pure keyed aggregation: max_by
+    per column with unique (entity, source) keys — one entity-key
+    shuffle (plus the two-phase distinct expand for the conflict
+    count), no window, no join, map-side partials throughout."""
+    p = plan_str(spark, sf_dir, "survivorship_merge")
+    assert p.count("Window") == 0
+    assert p.count("Join") == 0, p[:2000]
+    assert "CartesianProduct" not in p
+    # max_by over string columns carries a struct buffer, so Spark
+    # plans SortAggregate (per-partition sort, no extra shuffle) —
+    # partial + final still required
+    aggs = p.count("HashAggregate") + p.count("SortAggregate") + p.count(
+        "ObjectHashAggregate"
+    )
+    assert aggs >= 2, p[:2000]
+
+
+def test_late_dim_facts_preaggregate_before_join(spark, sf_dir):
+    """Facts reduce to one row per customer BEFORE the dimension join
+    (the join input carries |customers| rows, not |orders|), and the
+    dim side broadcasts."""
+    p = plan_str(spark, sf_dir, "late_dim_insert")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    # the aggregate must sit BELOW the join in the plan tree: the
+    # first HashAggregate line is indented deeper than the join line
+    lines = p.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln)
+    agg_below = any("HashAggregate" in ln for ln in lines[join_at:])
+    assert agg_below, p[:2500]
+
+
+def test_rfm_ranks_are_distributed_and_reused(spark, sf_dir):
+    """All three RFM ranks come from distributed_rank (bucket-keyed
+    windows; the only unpartitioned windows are the three whitelisted
+    histogram prefix-sums) and AQE stage reuse pins the per-customer
+    aggregate to ONE evaluation at runtime."""
+    p = plan_str(spark, sf_dir, "rfm_segments")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    final = _final_plan(spark, sf_dir, "rfm_segments")
+    assert final.count("ReusedExchange") >= 3, final[:2000]

@@ -58,6 +58,9 @@ WHITELIST = {
     "<=|days| rows",
     "survival_km": "risk-set/survival windows run over the DURATION "
     "HISTOGRAM: <=|distinct day-spans| rows",
+    "rfm_segments": "three offset prefix-sums over per-measure value "
+    "HISTOGRAMS (days/count/log-cents buckets, driver scale); each rank "
+    "window itself is keyed by __bucket__ (operators/scale.distributed_rank)",
 }
 
 
