@@ -166,3 +166,60 @@ def test_bloom_prefilter_integral_width_mismatch_is_fine(spark):
     keys = spark.createDataFrame([(5,)], "k int")
     passed = {r["k"] for r in bloom_prefilter(big, keys, "k", "k").collect()}
     assert 5 in passed
+
+
+def test_distributed_rank_equals_global_row_number(spark):
+    """The two-pass rank must equal row_number() OVER (ORDER BY v, id)
+    exactly, for EVERY monotonic bucket function — the identity bucket,
+    a coarse value bucket, a log bucket, and the degenerate single
+    bucket (which collapses to the naive global window)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        distributed_rank,
+    )
+
+    rows = [(i, float(((i * 37) % 101) + 1)) for i in range(500)]
+    # duplicate values across different ids exercise the tiebreak
+    rows += [(1000 + i, rows[i][1]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+
+    from pyspark.sql import Window
+
+    truth = {
+        (r["id"]): r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    buckets = {
+        "identity": F.col("v").cast("bigint"),
+        "coarse": F.floor(F.col("v") / 10),
+        "log": F.floor(F.log10(F.col("v")) * 100),
+        "single": F.lit(0),
+    }
+    for name, b in buckets.items():
+        got = {
+            r["id"]: r["value_rank"]
+            for r in distributed_rank(df, "v", "id", b).collect()
+        }
+        assert got == truth, f"bucket={name}"
+
+
+def test_distributed_rank_window_is_bucket_keyed(spark):
+    """The corpus-side window must be keyed by __bucket__ — the only
+    unpartitioned window is the histogram prefix-sum."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
+        distributed_rank,
+    )
+
+    df = spark.createDataFrame([(i, float(i % 37)) for i in range(200)], "id long, v double")
+    out = distributed_rank(df, "v", "id", F.floor(F.col("v")))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    keyed = _re.findall(r"windowspecdefinition\(__bucket__#\d+L?,", p)
+    assert len(keyed) == 1, p[:2000]
+    assert "BroadcastHashJoin" in p  # offsets join back broadcast
