@@ -948,3 +948,50 @@ def test_rfm_ranks_are_distributed_and_reused(spark, sf_dir):
     assert "CartesianProduct" not in p
     final = _final_plan(spark, sf_dir, "rfm_segments")
     assert final.count("ReusedExchange") >= 3, final[:2000]
+
+
+def test_jl_projection_map_only_no_python(spark, sf_dir):
+    """The 64→16 projection is pure codegen (transform/aggregate HOFs
+    over a folded literal matrix): zero hash exchanges before the
+    bounded pair join (broadcast), no explode, no Python eval — the
+    shape that projects 100 TB of embeddings in one map pass."""
+    p = plan_str(spark, sf_dir, "jl_projection")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0, p[:2000]
+    assert "EvalPython" not in p and "Generate" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_bootstrap_ci_mapside_collapse(spark, sf_dir):
+    """The ×B replica explode must collapse map-side: partial + final
+    aggregation around ONE exchange (the wire carries ≤B rows per
+    partition at any scale), no Python, no window."""
+    p = plan_str(spark, sf_dir, "bootstrap_ci")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:2000]
+    assert p.count("HashAggregate") >= 2  # partial + final on replica key
+    assert p.count("Generate") == 1  # the replica explode
+    assert "EvalPython" not in p and p.count("Window") == 0
+
+
+def test_fk_integrity_keyed_audit(spark, sf_dir):
+    """Each FK edge pre-aggregates the child per key before a keyed
+    full-outer join (SMJ — full outer cannot broadcast); never a
+    row-level fact join, never a cartesian."""
+    p = plan_str(spark, sf_dir, "fk_integrity")
+    assert p.count("SortMergeJoin FullOuter") == 3 or p.count("SortMergeJoin") == 3
+    assert "CartesianProduct" not in p
+    assert p.count("Window") == 0
+
+
+def test_attribution_touch_keyed_range_join(spark, sf_dir):
+    """The conversions⋈touches join is keyed on user_id with the
+    lookback as a post-join range filter — an equi-join, never a
+    cartesian/BNL; per-conversion min/max structs collapse pairs in
+    partial aggregation."""
+    p = plan_str(spark, sf_dir, "attribution_touch")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    joins = p.count("BroadcastHashJoin") + p.count("SortMergeJoin") + p.count(
+        "ShuffledHashJoin"
+    )
+    assert joins == 1, p[:2000]
+    assert p.count("HashAggregate") >= 2
