@@ -223,6 +223,106 @@ WHERE greatest(coalesce(updated_at, created_at), created_at) > TIMESTAMP '{WM}'
 """
 
 
+# -- qid: snapshot_merge ------------------------------------------------
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional CDC merge through the manifest snapshot store
+    (sources/snapshots.py — the table-format mechanism: immutable
+    version dirs, manifest, one atomic pointer swap): commit a base
+    version of orders, merge a CDC-shaped delta copy-on-write, read
+    the LATEST snapshot back and fold it to a per-status audit, with
+    the committed version and retained history as literal columns —
+    proving commit/merge/read AND the version lineage.
+
+    Parity: the merged rows are exactly `merge_soft_delete`'s (the
+    reference's Oracle MERGE semantics, scripts/03_cdc_etl.py:145-161)
+    but published atomically — the last production-parity gap of the
+    directory-swap sink, closed without requiring delta-spark (the
+    DeltaMergeSink adapter covers deployments that have it).
+
+    Harness shape: tempdir per run, result materialized eagerly so the
+    store can be cleaned up (the sql_ddl_roundtrip pattern); the merge
+    itself is the distributed full-outer plan, never driver-side."""
+    import shutil
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    tune(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("is_deleted", F.lit("N"))
+    # keys ÷3∧÷5 are matched updates/soft-deletes; ÷15 are unseen keys
+    # (inserts when 'N', gate-dropped tombstones when 'Y') — every
+    # merge arm exercised
+    base = o.where(F.col("o_orderkey") % 5 != 0)
+    delta = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("is_deleted"),
+    )
+    root = tempfile.mkdtemp(prefix="snapstore_")
+    try:
+        store = SnapshotStore(spark, root)
+        store.commit(base, "orders")
+        version, _ = store.merge(delta, "orders", ["o_orderkey"])
+        n_versions = len(store.history("orders"))
+        audit = (
+            store.read("orders")
+            .groupBy("o_orderstatus", "is_deleted")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(24,6)")), 2
+                )
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .withColumn("committed_version", F.lit(version))
+            .withColumn("n_versions", F.lit(n_versions))
+        )
+        rows = audit.collect()
+        return spark.createDataFrame(rows, schema=audit.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# the merge algebra in SQL: delta rows replace matched base rows
+# (including soft deletes, which stay visible with is_deleted='Y');
+# unmatched NON-tombstone delta rows insert; unmatched tombstones drop
+SQL_SNAPSHOT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'N' AS is_deleted
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+delta AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+         CASE WHEN o_orderkey % 9 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, b.is_deleted
+  FROM base b LEFT JOIN delta d USING (o_orderkey) WHERE d.o_orderkey IS NULL
+  UNION ALL
+  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.is_deleted
+  FROM delta d JOIN base b USING (o_orderkey)
+  UNION ALL
+  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.is_deleted
+  FROM delta d LEFT JOIN base b USING (o_orderkey)
+  WHERE b.o_orderkey IS NULL AND d.is_deleted = 'N'
+)
+SELECT o_orderstatus, is_deleted, count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS sum_price,
+       1 AS committed_version, 2 AS n_versions
+FROM merged GROUP BY o_orderstatus, is_deleted
+"""
+
+
 QUERIES = {
     "sink_append": q_sink_append,
     "watermark_store": q_watermark_store,
@@ -230,6 +330,7 @@ QUERIES = {
     "pysource_changefeed": q_pysource_changefeed,
     "stream_pysource": q_stream_pysource,
     "observe_metrics": q_observe_metrics,
+    "snapshot_merge": q_snapshot_merge,
 }
 
 ORACLE_SQL = {
@@ -239,4 +340,5 @@ ORACLE_SQL = {
     "stream_pysource": SQL_PYSOURCE,
     "delta_count": SQL_DELTA_COUNT,
     "observe_metrics": _sql_observe_metrics(),
+    "snapshot_merge": SQL_SNAPSHOT_MERGE,
 }

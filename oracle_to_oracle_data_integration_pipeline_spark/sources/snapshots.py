@@ -1,0 +1,177 @@
+"""Manifest-based snapshot store — minimal table-format semantics
+(atomic commit, snapshot isolation, time travel) on plain parquet.
+
+The reference's production merge is atomic inside Oracle
+(`/root/reference/scripts/03_cdc_etl.py:145-161` MERGE). The engine's
+directory-swap target store (`sources/parquet.py` + `sources/
+locking.py`) is single-writer-correct but a reader racing the
+two-rename swap can observe ENOENT, and there is no history. This
+store closes both gaps the way real table formats (Delta/Iceberg) do,
+reduced to the essential mechanism:
+
+- **data is immutable**: every commit writes a NEW version directory
+  (``data/v{N}/``); nothing live is ever rewritten or deleted.
+- **a commit is one atomic pointer swap**: the manifest
+  (``_manifests/{N}.json``, listing the version's data path and
+  lineage) is written first, then ``_latest`` is replaced via
+  write-temp + ``os.replace`` — POSIX-atomic, so every reader sees
+  either the old or the new version, never a partial state.
+- **readers are pinned**: a reader resolves ``_latest`` (or an
+  explicit version) to a manifest ONCE and scans immutable files; a
+  concurrent commit cannot change what it reads mid-query — snapshot
+  isolation without any reader lock.
+- **time travel**: any retained version is readable by number.
+- **vacuum** deletes version directories older than the retention
+  point — the only destructive operation, and the reason readers of
+  vacuumed-away versions fail loudly (manifest gone) instead of
+  silently reading mixed state.
+
+Writers serialize through the same advisory lock as the swap store
+(single-writer per table — the property flock can actually provide);
+version numbers are dense integers so a lost-update (two writers
+committing the same next-version) is structurally impossible under
+the lock.
+
+At 100 TB the mechanism is identical — manifests stay O(1) here by
+listing a directory rather than every file; a production format lists
+files + column stats to get scan pruning, which Spark re-derives from
+parquet footers here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle_to_oracle_data_integration_pipeline_spark.sources.locking import table_write_lock
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- layout -----------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), "_manifests", f"{version}.json")
+
+    def _latest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_latest")
+
+    # -- read side ----------------------------------------------------
+    def latest_version(self, table: str) -> int | None:
+        try:
+            with open(self._latest_path(table)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, table: str, version: int) -> dict:
+        with open(self._manifest_path(table, version)) as f:
+            return json.load(f)
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a pinned snapshot: latest by default, any retained
+        version by number (time travel). The manifest is resolved once
+        here — a commit racing this read cannot change the files the
+        returned DataFrame scans."""
+        if version is None:
+            version = self.latest_version(table)
+            if version is None:
+                raise FileNotFoundError(f"no committed version for table {table!r}")
+        m = self.manifest(table, version)
+        return self.spark.read.parquet(m["data_path"])
+
+    def history(self, table: str) -> list[dict]:
+        mdir = os.path.join(self._tdir(table), "_manifests")
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(mdir), key=lambda n: int(n.split(".")[0])):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    # -- write side ---------------------------------------------------
+    def commit(self, df: DataFrame, table: str, operation: str = "overwrite") -> int:
+        """Write ``df`` as the next version and atomically publish it.
+        Returns the committed version number."""
+        with table_write_lock(self._tdir(table)):
+            return self._commit_locked(df, table, operation)
+
+    def _commit_locked(self, df: DataFrame, table: str, operation: str) -> int:
+        prev = self.latest_version(table)
+        version = 0 if prev is None else prev + 1
+        tdir = self._tdir(table)
+        data_path = os.path.join(tdir, "data", f"v{version}")
+        os.makedirs(os.path.join(tdir, "_manifests"), exist_ok=True)
+        # 1. immutable data for the new version
+        df.write.mode("errorifexists").parquet(data_path)
+        # 2. manifest (readable only once fully written — written to a
+        #    temp name then renamed, same discipline as the pointer)
+        m = {
+            "table": table,
+            "version": version,
+            "parent": prev,
+            "operation": operation,
+            "data_path": data_path,
+        }
+        mpath = self._manifest_path(table, version)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, mpath)
+        # 3. THE commit: one atomic pointer swap
+        ltmp = self._latest_path(table) + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(version))
+        os.replace(ltmp, self._latest_path(table))
+        return version
+
+    def merge(
+        self,
+        delta: DataFrame,
+        table: str,
+        keys: list[str],
+        strategy: str = "shuffle",
+    ):
+        """Copy-on-write MERGE: read the current snapshot, apply the
+        engine's soft-delete merge semantics (operators/cdc.py —
+        identical rows to the reference's Oracle MERGE, pinned by
+        tests), commit the result as a new version. Readers of the old
+        version are unaffected; the commit point is the pointer swap.
+        Returns (version, MergeResult stats)."""
+        from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+            merge_soft_delete,
+        )
+
+        with table_write_lock(self._tdir(table)):
+            target = self.read(table)
+            res = merge_soft_delete(target, delta, keys, strategy=strategy)
+            version = self._commit_locked(res.df, table, operation="merge")
+            return version, res.stats()
+
+    def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (data +
+        manifest). Returns the removed version numbers. The only
+        destructive operation in the store — time travel reaches
+        exactly the versions vacuum has retained."""
+        with table_write_lock(self._tdir(table)):
+            latest = self.latest_version(table)
+            if latest is None:
+                return []
+            removed = []
+            for m in self.history(table):
+                v = m["version"]
+                if v <= latest - keep_last:
+                    shutil.rmtree(m["data_path"], ignore_errors=True)
+                    os.remove(self._manifest_path(table, v))
+                    removed.append(v)
+            return removed

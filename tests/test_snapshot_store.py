@@ -1,0 +1,150 @@
+"""SnapshotStore: atomic commit, snapshot isolation, time travel,
+copy-on-write merge parity, vacuum retention."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import SnapshotStore
+
+TS = datetime.datetime
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+        T.StructField("is_deleted", T.StringType(), False),
+    ]
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_commit_read_roundtrip_and_versions(spark, store):
+    t1 = TS(2024, 1, 1)
+    v0 = store.commit(_rows(spark, [(1, "a", t1, None, "N")]), "t")
+    v1 = store.commit(_rows(spark, [(1, "a2", t1, None, "N"), (2, "b", t1, None, "N")]), "t")
+    assert (v0, v1) == (0, 1)
+    assert store.latest_version("t") == 1
+    assert {r["val"] for r in store.read("t").collect()} == {"a2", "b"}
+    # time travel reaches the old version unchanged
+    assert {r["val"] for r in store.read("t", version=0).collect()} == {"a"}
+    hist = store.history("t")
+    assert [m["version"] for m in hist] == [0, 1]
+    assert hist[1]["parent"] == 0
+
+
+def test_reader_pinned_across_commit(spark, store):
+    """Snapshot isolation: a DataFrame resolved before a commit keeps
+    reading the OLD version's files after the commit lands."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "old", t1, None, "N")]), "t")
+    pinned = store.read("t")
+    store.commit(_rows(spark, [(1, "new", t1, None, "N")]), "t")
+    assert [r["val"] for r in pinned.collect()] == ["old"]
+    assert [r["val"] for r in store.read("t").collect()] == ["new"]
+
+
+def test_merge_matches_merge_soft_delete(spark, store):
+    """Copy-on-write merge through the store == the DataFrame-level
+    merge semantics (same rows, same attribution), with the old
+    version still readable."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import merge_soft_delete
+
+    T1, T2 = TS(2024, 1, 1), TS(2024, 1, 2)
+    target = [(1, "a", T1, None, "N"), (2, "b", T1, None, "N"), (3, "c", T1, None, "N")]
+    delta = [
+        (1, "a2", T1, T2, "N"),   # update
+        (3, "c", T1, T2, "Y"),    # soft delete existing
+        (5, "e", T2, None, "N"),  # insert
+        (98, "x", T2, T2, "Y"),   # dropped delete (tombstone gate)
+    ]
+    store.commit(_rows(spark, target), "t")
+    version, stats = store.merge(_rows(spark, delta), "t", ["id"])
+    assert version == 1
+    got = {r["id"]: (r["val"], r["is_deleted"]) for r in store.read("t").collect()}
+    expect = merge_soft_delete(_rows(spark, target), _rows(spark, delta), ["id"])
+    want = {r["id"]: (r["val"], r["is_deleted"]) for r in expect.df.collect()}
+    assert got == want == {1: ("a2", "N"), 2: ("b", "N"), 3: ("c", "Y"), 5: ("e", "N")}
+    es = expect.stats()
+    assert (stats.updated, stats.inserted, stats.dropped_deletes) == (
+        es.updated,
+        es.inserted,
+        es.dropped_deletes,
+    )
+    # pre-merge state intact for audit/rollback
+    assert {r["id"] for r in store.read("t", version=0).collect()} == {1, 2, 3}
+
+
+def test_commit_is_pointer_swap_only(spark, store):
+    """The publish step is one os.replace of _latest: after a commit,
+    the pointer is a bare version number and the manifest fully
+    describes the snapshot (no partially-visible state to read)."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "a", t1, None, "N")]), "t")
+    latest_file = os.path.join(store.root, "t", "_latest")
+    assert open(latest_file).read() == "0"
+    m = json.load(open(os.path.join(store.root, "t", "_manifests", "0.json")))
+    assert m["operation"] == "overwrite" and m["parent"] is None
+    assert os.path.isdir(m["data_path"])
+    # no temp files left behind
+    leftovers = [p for p in os.listdir(os.path.join(store.root, "t")) if p.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_vacuum_retains_and_fails_loudly(spark, store):
+    t1 = TS(2024, 1, 1)
+    for i in range(4):
+        store.commit(_rows(spark, [(1, f"v{i}", t1, None, "N")]), "t")
+    removed = store.vacuum("t", keep_last=2)
+    assert removed == [0, 1]
+    # retained versions still read
+    assert [r["val"] for r in store.read("t", version=2).collect()] == ["v2"]
+    assert [r["val"] for r in store.read("t", version=3).collect()] == ["v3"]
+    # vacuumed-away versions fail loudly, never read mixed state
+    with pytest.raises(FileNotFoundError):
+        store.read("t", version=0)
+
+
+def test_read_empty_table_raises(spark, store):
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        store.read("nope")
+
+
+def test_fixture_scale_merge(spark, store, sf_dir):
+    """End-to-end on the fixture: orders slice committed, CDC-shaped
+    delta merged, row counts line up with the delta algebra."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("is_deleted", F.lit("N"))
+    )
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    delta = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "is_deleted",
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("Y")).otherwise(F.lit("N")),
+    )
+    store.commit(base, "orders")
+    version, stats = store.merge(delta, "orders", ["o_orderkey"])
+    n_base = base.count()
+    n_ins = delta.where(F.col("is_deleted") == "N").count()
+    got = store.read("orders")
+    # inserts (non-tombstone new keys) land; tombstones for unseen keys drop
+    assert got.count() == n_base + n_ins
+    assert stats.inserted == n_ins
+    assert stats.dropped_deletes == delta.count() - n_ins
