@@ -323,6 +323,46 @@ FROM merged GROUP BY o_orderstatus, is_deleted
 """
 
 
+# -- qid: pysink_audit ---------------------------------------------------
+
+def q_pysink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource surface closed FULL CIRCLE: the synthetic
+    CDC feed is read through the Python SOURCE (partition-planned
+    batch reader) and written through the Python SINK
+    (sources/pydatasource.py audit_sink — the two-phase-commit JSONL
+    writer: tasks stage, the driver publishes exactly the surviving
+    commit messages via one atomic manifest replace), then read back
+    MANIFEST-ONLY. The oracle regenerates the identical feed in SQL,
+    so the hash compare certifies both halves: the source planned and
+    produced exactly the declared rows, and the sink published all of
+    them exactly once (a dropped stage file or double-published
+    attempt would flip row counts)."""
+    import shutil
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import (
+        read_audit,
+        register,
+        register_sink,
+    )
+
+    tune(spark)
+    register(spark)
+    register_sink(spark)
+    out = tempfile.mkdtemp(prefix="pysink_")
+    try:
+        feed = (
+            spark.read.format("cdc_feed")
+            .option("n_rows", 1000).option("n_keys", 100).option("n_parts", 4)
+            .load()
+        )
+        feed.write.format("audit_sink").option("path", out).mode("append").save()
+        back = read_audit(spark, out, "op string, id long, val string, ts timestamp")
+        rows = back.collect()
+        return spark.createDataFrame(rows, schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 QUERIES = {
     "sink_append": q_sink_append,
     "watermark_store": q_watermark_store,
@@ -331,6 +371,7 @@ QUERIES = {
     "stream_pysource": q_stream_pysource,
     "observe_metrics": q_observe_metrics,
     "snapshot_merge": q_snapshot_merge,
+    "pysink_audit": q_pysink_audit,
 }
 
 ORACLE_SQL = {
@@ -341,4 +382,5 @@ ORACLE_SQL = {
     "delta_count": SQL_DELTA_COUNT,
     "observe_metrics": _sql_observe_metrics(),
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
+    "pysink_audit": SQL_PYSOURCE,
 }

@@ -118,3 +118,150 @@ class ChangeFeedDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(ChangeFeedDataSource)
+
+
+# -- Python DataSource WRITER: two-phase-commit audit sink --------------
+#
+# The write half of the §2.10 Python DataSource surface: a JSONL audit
+# sink with the full two-phase commit contract —
+#   1. every task STAGES its partition to `<path>/_staged/part-<pid>-
+#      <attempt>.jsonl` and returns the filename in its commit message;
+#   2. the driver's commit() publishes EXACTLY the staged files named
+#      in the surviving commit messages (one per partition — a retried
+#      task's losing attempt stays in _staged, never published) by
+#      hard-linking them into the data dir and writing `_manifest.json`
+#      atomically (write-temp + os.replace, the snapshots.py rule);
+#   3. abort() removes the staged files so failed writes leave nothing.
+# Readers (`read_audit`) list the MANIFEST, never the directory — an
+# orphaned stage file or a concurrent half-finished write is invisible,
+# the same reader-isolation argument as sources/snapshots.py.
+#
+# The streaming variant commits one manifest per micro-batch
+# (`_manifest-<epoch>.json`), giving idempotent exactly-once publication
+# per batchId on top of the engine's replayable-offset sources.
+
+import json as _json
+import os as _os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    n_rows: int
+
+
+def _stage_partition(path: str, iterator) -> _FileCommit:
+    """Task-side: stage this partition's rows as one JSONL file, named
+    by (partitionId, taskAttemptId) so racing attempts can never
+    collide and the winner is whichever message reaches commit()."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    staged = _os.path.join(path, "_staged")
+    _os.makedirs(staged, exist_ok=True)
+    fname = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
+    n = 0
+    with open(_os.path.join(staged, fname), "w") as f:
+        for row in iterator:
+            f.write(_json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    return _FileCommit(file=fname, n_rows=n)
+
+
+def _publish(path: str, messages, manifest_name: str) -> None:
+    """Driver-side commit: link the winning staged files into the data
+    dir, then one atomic manifest replace. Idempotent per manifest
+    name (re-publishing the same batch rewrites the same manifest)."""
+    data = _os.path.join(path, "data")
+    _os.makedirs(data, exist_ok=True)
+    files, total = [], 0
+    for m in messages:
+        if m is None:
+            continue
+        src = _os.path.join(path, "_staged", m.file)
+        dst = _os.path.join(data, m.file)
+        if not _os.path.exists(dst):
+            _os.link(src, dst)
+        files.append(_os.path.join("data", m.file))
+        total += m.n_rows
+    tmp = _os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"files": sorted(files), "n_rows": total}, f)
+    _os.replace(tmp, _os.path.join(path, manifest_name))
+
+
+def _discard(path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            _os.remove(_os.path.join(path, "_staged", m.file))
+        except FileNotFoundError:
+            pass
+
+
+class AuditSinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        return _stage_partition(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _publish(self.path, messages, "_manifest.json")
+
+    def abort(self, messages) -> None:
+        _discard(self.path, messages)
+
+
+class AuditSinkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        return _stage_partition(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish(self.path, messages, f"_manifest-{batchId}.json")
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard(self.path, messages)
+
+
+class AuditSinkDataSource(DataSource):
+    """``df.write.format("audit_sink").option("path", ...)`` (and the
+    same for writeStream) after ``register_sink(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audit_sink"
+
+    def writer(self, schema, overwrite: bool) -> AuditSinkWriter:
+        return AuditSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> AuditSinkStreamWriter:
+        return AuditSinkStreamWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(AuditSinkDataSource)
+
+
+def read_audit(spark, path: str, schema: str):
+    """Read back ONLY manifest-listed files (batch + every committed
+    micro-batch manifest) — orphaned stage files are invisible."""
+    files = []
+    for name in sorted(_os.listdir(path)):
+        if name == "_manifest.json" or (
+            name.startswith("_manifest-") and name.endswith(".json")
+        ):
+            with open(_os.path.join(path, name)) as f:
+                files.extend(_json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(
+        [_os.path.join(path, f) for f in sorted(set(files))]
+    )
