@@ -15,7 +15,7 @@ micros print differently).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
@@ -24,6 +24,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import
     table_checksum_diff,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries.cdc_queries import CDC_SRC_SQL, cdc_orders
 
 
 # -- qid: checksum_diff ------------------------------------------------
@@ -402,3 +403,150 @@ ORACLE_SQL = {
     "offset_gap_audit": SQL_OFFSET_GAP_AUDIT,
     "ivm_join": SQL_IVM_JOIN,
 }
+
+
+# -- qid: backfill_plan --------------------------------------------------
+
+BF_CHUNKS = 8
+
+
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-backfill planner: when a table has no watermark the
+    reference full-loads it in ONE read (scripts/03_cdc_etl.py falls
+    back to the unbounded query); at 100 TB the operational answer is
+    N resumable chunks of ~equal ROW COUNT (not equal date spans —
+    load is skewed), each a closed date range a retry can re-run
+    idempotently. The planner: per-day counts (one combinable
+    shuffle), EXCLUSIVE cumulative sum over the bounded day histogram,
+    chunk id = floor(cum_before·N/total) — equi-depth by construction,
+    each day wholly inside one chunk (ranges never overlap). Output
+    per chunk: [from_date, to_date], days, rows.
+
+    Scale: the only window runs over ≤|days| rows (whitelisted); the
+    plan is O(days) driver-visible rows, and each chunk's WHERE range
+    is partition-prunable at execution time."""
+    o = load(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chunked = days.select(
+        "day",
+        "n",
+        F.floor(
+            F.coalesce(F.sum("n").over(w_prev), F.lit(0)).cast("double")
+            * F.lit(float(BF_CHUNKS))
+            / F.sum("n").over(w_all).cast("double")
+        )
+        .cast("int")
+        .alias("chunk"),
+    )
+    return chunked.groupBy("chunk").agg(
+        F.min("day").alias("from_date"),
+        F.max("day").alias("to_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+
+
+SQL_BACKFILL_PLAN = f"""
+WITH days AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT day, n,
+         CAST(floor(CAST(coalesce(sum(n) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) * {BF_CHUNKS}.0
+               / CAST(sum(n) OVER () AS DOUBLE)) AS INT) AS chunk
+  FROM days
+)
+SELECT chunk, min(day) AS from_date, max(day) AS to_date,
+       CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS n_rows
+FROM c GROUP BY chunk
+"""
+
+
+# -- qid: consistency_watermark -------------------------------------------
+
+def q_consistency_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency barrier: each replicated table's
+    watermark advances independently (the reference keeps one row per
+    table in ETL_WATERMARKS — scripts/03_cdc_etl.py:85-96), so a
+    consumer joining tables sees MIXED logical times. The safe
+    snapshot barrier is min(per-table high-watermark); per table the
+    audit reports its frontier, its lag behind the group barrier, and
+    whether it IS the straggler holding everyone back.
+
+    Simulated frontiers: each table's max change-ts over the fixture
+    (orders via the CDC columns, lineitem via shipdate, customer
+    pinned one month earlier by construction so a straggler exists).
+
+    Scale: three combinable MAX aggregations (already-aggregated
+    1-row branches), a 3-row union, one broadcast of the group min.
+    Nothing scales with data beyond the scans."""
+    o = cdc_orders(spark, sf_dir).select(
+        F.lit("orders").alias("table_name"),
+        F.greatest(
+            F.coalesce(F.col("updated_at"), F.col("created_at")),
+            F.col("created_at"),
+        ).alias("ts"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("table_name"), F.col("l_shipdate").alias("ts")
+    )
+    cu = cdc_orders(spark, sf_dir).select(
+        F.lit("customer").alias("table_name"),
+        F.expr("created_at - INTERVAL '30' DAY").alias("ts"),
+    )
+    frontiers = (
+        o.unionByName(li).unionByName(cu)
+        .groupBy("table_name")
+        .agg(F.max("ts").alias("high_watermark"))
+    )
+    barrier = frontiers.agg(F.min("high_watermark").alias("barrier"))
+    return frontiers.crossJoin(F.broadcast(barrier)).select(
+        "table_name",
+        "high_watermark",
+        "barrier",
+        F.datediff(F.to_date("high_watermark"), F.to_date("barrier"))
+        .cast("int")
+        .alias("lag_days"),
+        (F.col("high_watermark") == F.col("barrier")).cast("int").alias(
+            "is_straggler"
+        ),
+    )
+
+
+SQL_CONSISTENCY_WATERMARK = f"""
+WITH {CDC_SRC_SQL},
+f AS (
+  SELECT 'orders' AS table_name,
+         max(greatest(coalesce(updated_at, created_at), created_at))
+           AS high_watermark
+  FROM cdc_src
+  UNION ALL
+  SELECT 'lineitem', max(l_shipdate) FROM lineitem
+  UNION ALL
+  SELECT 'customer', max(created_at - INTERVAL 30 DAY) FROM cdc_src
+),
+b AS (SELECT min(high_watermark) AS barrier FROM f)
+SELECT table_name, high_watermark, barrier,
+       CAST(date_diff('day', CAST(barrier AS DATE),
+                      CAST(high_watermark AS DATE)) AS INT) AS lag_days,
+       CAST(CASE WHEN high_watermark = barrier THEN 1 ELSE 0 END AS INT)
+         AS is_straggler
+FROM f CROSS JOIN b
+"""
+
+
+# round-5 ops additions (defined below the original registry block)
+QUERIES["backfill_plan"] = q_backfill_plan
+QUERIES["consistency_watermark"] = q_consistency_watermark
+ORACLE_SQL["backfill_plan"] = SQL_BACKFILL_PLAN
+ORACLE_SQL["consistency_watermark"] = SQL_CONSISTENCY_WATERMARK

@@ -58,6 +58,8 @@ WHITELIST = {
     "<=|days| rows",
     "survival_km": "risk-set/survival windows run over the DURATION "
     "HISTOGRAM: <=|distinct day-spans| rows",
+    "backfill_plan": "cumulative/total windows run over the per-DAY "
+    "histogram: <=|days| rows",
     "rfm_segments": "three offset prefix-sums over per-measure value "
     "HISTOGRAMS (days/count/log-cents buckets, driver scale); each rank "
     "window itself is keyed by __bucket__ (operators/scale.distributed_rank)",
