@@ -52,6 +52,10 @@ DEFAULT_QIDS = [
     # UDTF re-registration lifecycles
     "binary_ingest",
     "python_udtf",
+    # round-5: snapshot-store commit/merge tempdir lifecycle, Python
+    # sink stage/publish lifecycle (both collect eagerly per run)
+    "snapshot_merge",
+    "pysink_audit",
 ]
 
 
