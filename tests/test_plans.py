@@ -995,3 +995,37 @@ def test_attribution_touch_keyed_range_join(spark, sf_dir):
     )
     assert joins == 1, p[:2000]
     assert p.count("HashAggregate") >= 2
+
+
+def test_label_propagation_unrolled_rounds_reuse_edges(spark, sf_dir):
+    """LPA unrolls a fixed round count into ONE plan (no driver loop,
+    no checkpoint); the symmetrized edge subtree must collapse to a
+    single runtime evaluation via AQE stage reuse, and every ranking
+    window is keyed by node (WindowGroupLimit top-1)."""
+    p = plan_str(spark, sf_dir, "label_propagation")
+    assert "CartesianProduct" not in p
+    assert p.count("WindowGroupLimit") >= 2 * 3  # partial+final per round
+    final = _final_plan(spark, sf_dir, "label_propagation")
+    assert final.count("ReusedExchange") >= 3, final[:2000]
+
+
+def test_item_recs_keyed_topk(spark, sf_dir):
+    """Per-item top-k runs as a keyed WindowGroupLimit window; item
+    counts broadcast onto the pair table; the basket pair join is
+    keyed by order — nothing quadratic in the catalog."""
+    p = plan_str(spark, sf_dir, "item_recs")
+    assert p.count("WindowGroupLimit") >= 2
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_phrase_search_term_filters_before_join(spark, sf_dir):
+    """Both posting sides filter to their single term BEFORE the
+    (doc, pos) join — the term-at-a-time IR plan; one exchange, no
+    window, no cartesian."""
+    p = plan_str(spark, sf_dir, "phrase_search")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:2000]
+    assert p.count("Window") == 0
+    assert "CartesianProduct" not in p
+    # the tok = 'hash' / 'join' filters sit below the join
+    assert p.count("= hash)") + p.count("= hash )") + p.count("tok#") >= 1
