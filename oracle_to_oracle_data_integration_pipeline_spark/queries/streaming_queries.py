@@ -412,7 +412,14 @@ def q_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = _time.time() + 120
         while True:
-            done = sum(int(p["numInputRows"]) for p in q.recentProgress) >= 1000
+            # require the trigger to be IDLE as well: a progress entry
+            # can surface while the final batch's foreachBatch fold is
+            # still executing, and stop() would interrupt it mid-write
+            # (observed on the slower snapshot-store variant)
+            done = (
+                sum(int(p["numInputRows"]) for p in q.recentProgress) >= 1000
+                and not q.status["isTriggerActive"]
+            )
             if done:
                 break
             if q.exception() is not None:
@@ -446,6 +453,135 @@ last AS (
     SELECT *, row_number() OVER (PARTITION BY id ORDER BY i DESC) AS rn FROM feed
   ) WHERE rn = 1)
 SELECT id, val, ts AS created_at, ts AS updated_at, is_deleted FROM last
+"""
+
+
+# -- qid: stream_snapshot_sink (versioned transactional streaming sink) --
+
+def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the VERSIONED snapshot store
+    (sources/snapshots.py): every micro-batch folds through
+    merge_soft_delete and lands as ONE atomic snapshot commit — the
+    "streaming into a lakehouse table" pattern, where concurrent
+    readers always see a complete version and the stream's history is
+    time-travelable. Distinct from stream_cdc_feed (same fold into a
+    flat swap target): here the qid also certifies the VERSION
+    LINEAGE — n_versions (seed + exactly one commit per 100-row
+    micro-batch, empties skipped) and the mid-stream state at
+    version 5, which the oracle recomputes as the fold of feed rows
+    i<500. Batch-split invariance comes from the seeded target (every
+    key MATCHED ⇒ pure last-writer-wins per key).
+
+    Scale: each micro-batch is one keyed merge join + one snapshot
+    commit (immutable files + pointer swap — no reader ever blocked);
+    history grows one manifest per batch and vacuum bounds it.
+    """
+    import time as _time
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+        latest_per_key,
+        merge_soft_delete,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import (
+        register,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    tune(spark)
+    register(spark)
+    base = tempfile.mkdtemp(prefix="snap_stream_")
+    store = SnapshotStore(spark, os.path.join(base, "warehouse"))
+    seed = spark.createDataFrame(
+        [(k, "seed", None, None, "N") for k in range(100)],
+        "id long, val string, created_at timestamp, updated_at timestamp, is_deleted string",
+    )
+    store.commit(seed, "feed")
+
+    stream = (
+        spark.readStream.format("cdc_feed")
+        .option("n_rows", 1000).option("n_keys", 100).option("batch_rows", 100)
+        .load()
+    )
+    cdc = stream.select(
+        "id",
+        "val",
+        F.col("ts").alias("created_at"),
+        F.col("ts").alias("updated_at"),
+        F.when(F.col("op") == "D", "Y").otherwise("N").alias("is_deleted"),
+    )
+
+    def merge_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        store.merge(latest_per_key(bdf, ["id"]), "feed", ["id"])
+
+    q = (
+        cdc.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # drain condition = the STORE's own commit count (seed + one
+        # merge per 100-row batch = 11), not the query's progress
+        # counters: numInputRows can report while a batch's merge is
+        # still in flight, and stop() would interrupt the commit —
+        # waiting on the postcondition itself is race-free
+        deadline = _time.time() + 120
+        while True:
+            if len(store.history("feed")) >= 11:
+                break
+            if q.exception() is not None:
+                raise q.exception()
+            if _time.time() > deadline:
+                raise TimeoutError("snapshot sink stream did not drain in 120s")
+            _time.sleep(0.2)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    n_versions = len(store.history("feed"))
+    v5_active = (
+        store.read("feed", version=5).where(F.col("is_deleted") == "N").count()
+    )
+    final = store.read("feed").select(
+        "id",
+        "val",
+        "is_deleted",
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(v5_active).cast("bigint").alias("v5_n_active"),
+    )
+    out = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_STREAM_SNAPSHOT_SINK = """
+WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+f AS (SELECT i, md5(CAST(i AS VARCHAR)) AS h,
+             instr('0123456789abcdef', substring(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 AS d
+      FROM g),
+feed AS (
+  SELECT i, CAST(i % 100 AS BIGINT) AS id, substring(h, 1, 8) AS val,
+         CASE WHEN d >= 14 THEN 'Y' ELSE 'N' END AS is_deleted
+  FROM f),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY i DESC) AS rn FROM feed
+  ) WHERE rn = 1),
+v5 AS (
+  SELECT count(*) AS v5_n_active FROM (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY i DESC) AS rn
+      FROM feed WHERE i < 500
+    ) WHERE rn = 1
+  ) WHERE is_deleted = 'N')
+SELECT id, val, is_deleted, CAST(11 AS INT) AS n_versions, v5_n_active
+FROM last CROSS JOIN v5
 """
 
 
@@ -651,6 +787,7 @@ QUERIES = {
     "stream_ewma": q_stream_ewma,
     "stream_watermark_late": q_stream_watermark_late,
     "stream_cdc_feed": q_stream_cdc_feed,
+    "stream_snapshot_sink": q_stream_snapshot_sink,
 }
 
 ORACLE_SQL = {
@@ -664,4 +801,5 @@ ORACLE_SQL = {
     "stream_ewma": _sql_stream_ewma(),
     "stream_watermark_late": SQL_STREAM_WATERMARK_LATE,
     "stream_cdc_feed": SQL_STREAM_CDC_FEED,
+    "stream_snapshot_sink": SQL_STREAM_SNAPSHOT_SINK,
 }
