@@ -550,3 +550,108 @@ QUERIES["backfill_plan"] = q_backfill_plan
 QUERIES["consistency_watermark"] = q_consistency_watermark
 ORACLE_SQL["backfill_plan"] = SQL_BACKFILL_PLAN
 ORACLE_SQL["consistency_watermark"] = SQL_CONSISTENCY_WATERMARK
+
+
+# -- qid: erasure_sweep ----------------------------------------------------
+
+ERASE_MOD = 101
+
+
+def q_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep executed through the versioned
+    snapshot store: subjects (custkeys ÷{ERASE_MOD}) are HARD-DELETED
+    from the customer dimension and their orders are ANONYMIZED
+    (custkey nulled — financial records retained, subject unlinked),
+    each table's erasure landing as ONE auditable snapshot commit (the
+    erasure itself becomes provable history — who was removed, when,
+    in which version — while vacuum retires the pre-erasure data after
+    the legal hold). The output is the compliance report: per table,
+    rows before/after, rows erased/anonymized, and the RESIDUAL
+    REFERENCE COUNT on the post-erasure state — the number every
+    auditor asks for, and it must be zero.
+
+    Scale: erasure is two anti-join/projection passes (one per table)
+    + the store's atomic commits; the deletion list is a broadcast
+    semi/anti key set; the residual check is one aggregation over the
+    post-erasure versions. Nothing driver-side beyond the ≤2-row
+    report."""
+    import shutil
+    import tempfile as _tempfile
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    erase = F.col("c_custkey") % ERASE_MOD == 0
+
+    root = _tempfile.mkdtemp(prefix="erasure_")
+    try:
+        store = SnapshotStore(spark, root)
+        store.commit(cu, "customer")
+        store.commit(o, "orders")
+        # erasure commits (version 1 of each table)
+        store.commit(store.read("customer").where(~erase), "customer",
+                     operation="erasure")
+        subjects = cu.where(erase).select(F.col("c_custkey").alias("k"))
+        store.commit(
+            store.read("orders")
+            .join(F.broadcast(subjects), F.col("o_custkey") == F.col("k"), "left")
+            .select(
+                "o_orderkey",
+                F.when(F.col("k").isNull(), F.col("o_custkey")).alias("o_custkey"),
+            ),
+            "orders",
+            operation="erasure",
+        )
+        cu2, o2 = store.read("customer"), store.read("orders")
+        residual = (
+            o2.join(
+                F.broadcast(subjects), o2["o_custkey"] == F.col("k"), "left_semi"
+            ).count()
+            + cu2.where(erase).count()
+        )
+        rows = [
+            (
+                "customer",
+                cu.count(),
+                cu.where(erase).count(),
+                cu2.count(),
+                int(residual == 0),
+            ),
+            (
+                "orders",
+                o.count(),
+                o.join(F.broadcast(subjects), o["o_custkey"] == F.col("k"), "left_semi").count(),
+                o2.count(),
+                int(residual == 0),
+            ),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name string, n_before bigint, n_erased bigint, "
+            "n_after bigint, clean int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_ERASURE_SWEEP = f"""
+WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS n_before,
+       (SELECT count(*) FROM subj) AS n_erased,
+       (SELECT count(*) FROM customer WHERE c_custkey % {ERASE_MOD} <> 0)
+         AS n_after,
+       1 AS clean
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+       (SELECT count(*) FROM orders),
+       1
+"""
+
+QUERIES["erasure_sweep"] = q_erasure_sweep
+ORACLE_SQL["erasure_sweep"] = SQL_ERASURE_SWEEP

@@ -175,3 +175,16 @@ class SnapshotStore:
                     os.remove(self._manifest_path(table, v))
                     removed.append(v)
             return removed
+
+    def compact(self, table: str, target_files: int = 4) -> int:
+        """OPTIMIZE: rewrite the CURRENT snapshot's data as one new
+        version with ``target_files`` right-sized files. Pure layout —
+        rows are byte-identical; concurrent readers keep their pinned
+        (uncompacted) version, and history records the operation so
+        time travel distinguishes layout commits from data commits.
+        The answer to the small-files debt every per-batch streaming
+        commit accrues (pair with :meth:`vacuum` to drop the
+        superseded fragments)."""
+        with table_write_lock(self._tdir(table)):
+            cur = self.read(table).repartition(target_files)
+            return self._commit_locked(cur, table, operation="compact")

@@ -148,3 +148,26 @@ def test_fixture_scale_merge(spark, store, sf_dir):
     assert got.count() == n_base + n_ins
     assert stats.inserted == n_ins
     assert stats.dropped_deletes == delta.count() - n_ins
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, store):
+    """OPTIMIZE is layout-only: identical rows, fewer files, history
+    records a 'compact' operation, pinned readers unaffected."""
+    t1 = TS(2024, 1, 1)
+    # many tiny commits -> fragmented current version via merge chain
+    store.commit(_rows(spark, [(i, f"v{i}", t1, None, "N") for i in range(50)]).repartition(8), "t")
+    before = store.read("t")
+    v = store.compact("t", target_files=2)
+    after = store.read("t")
+    assert {tuple(r) for r in after.collect()} == {tuple(r) for r in before.collect()}
+    import os as _os
+
+    files = [
+        f
+        for f in _os.listdir(store.manifest("t", v)["data_path"])
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 2
+    assert store.history("t")[-1]["operation"] == "compact"
+    # version 0's fragmented layout still readable (time travel)
+    assert store.read("t", version=0).count() == 50
