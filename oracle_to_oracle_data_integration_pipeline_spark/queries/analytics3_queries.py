@@ -547,3 +547,180 @@ ORACLE_SQL = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "attribution_touch": SQL_ATTRIBUTION_TOUCH,
 }
+
+
+# -- qid: forecast_backtest --------------------------------------------------
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtesting: every day with enough
+    history is an evaluation point; two baseline forecasters — naive
+    (yesterday's value) and seasonal-naive (same weekday last week) —
+    are scored per event type with MAE and MAPE. The evaluation
+    harness any real forecasting model must beat, and the capacity-
+    planning sanity report ops teams actually run.
+
+    Scale: the raw scan reduces to one row per (type, day)
+    (combinable dsum); both lag forecasts share ONE keyed window sort
+    per type; errors aggregate map-side. MAE/MAPE ride the decimal
+    path — the per-point absolute errors quantize via pround before
+    the exact decimal sum, so any partial-agg tree bit-agrees.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 7).over(w).alias("f_snaive"),
+    )
+    pairs = lagged.selectExpr(
+        "event_type",
+        "y",
+        "stack(2, 'naive', f_naive, 'seasonal_naive', f_snaive) AS (model, f)",
+    ).where(F.col("f").isNotNull() & (F.col("y") != 0))
+    ae = pround(F.abs(F.col("y") - F.col("f")))
+    ape = pround(F.abs(F.col("y") - F.col("f")) / F.abs(F.col("y")))
+    return (
+        pairs.select("event_type", "model", ae.alias("ae"), ape.alias("ape"))
+        .groupBy("event_type", "model")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            pround(
+                F.sum(F.col("ae").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+            pround(
+                F.sum(F.col("ape").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mape"),
+        )
+    )
+
+
+SQL_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER w AS f_naive,
+         lag(y, 7) OVER w AS f_snaive
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+pairs AS (
+  SELECT event_type, 'naive' AS model, y, f_naive AS f FROM lagged
+  UNION ALL
+  SELECT event_type, 'seasonal_naive', y, f_snaive FROM lagged
+),
+e AS (
+  SELECT event_type, model,
+         floor(abs(y - f) * 1e6 + 0.5) / 1e6 AS ae,
+         floor(abs(y - f) / abs(y) * 1e6 + 0.5) / 1e6 AS ape
+  FROM pairs WHERE f IS NOT NULL AND y <> 0
+)
+SELECT event_type, model, count(*) AS n_points,
+       floor(CAST(sum(CAST(ae AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mae,
+       floor(CAST(sum(CAST(ape AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mape
+FROM e GROUP BY event_type, model
+"""
+
+
+# -- qid: referential_sample ---------------------------------------------
+
+SAMPLE_FRAC_PPM = 100_000  # 10% in md5_frac52 ppm units
+
+
+def q_referential_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-closed dev-fixture sampling: a deterministic ~10% sample of
+    ORDERS (md5 uniform on the key — reproducible across runs and
+    engines) expanded to its referential closure — exactly the
+    lineitems of sampled orders and exactly the customers they
+    reference. The everyday "give me a small but JOINABLE slice of
+    prod" tool; naive per-table sampling breaks every FK.
+
+    Scale: the sampled key set drives two semi-joins (lineitem keyed
+    by order key, customer by the sampled orders' distinct custkeys —
+    broadcast at dev-sample sizes by construction); the report is one
+    aggregation per table. ``fk_complete`` re-checks closure on the
+    SAMPLED tables themselves — the invariant, not an assumption.
+    """
+    frac = F.lit(SAMPLE_FRAC_PPM / 1_000_000.0)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    so = o.where(md5_frac52(F.col("o_orderkey")) < frac)
+    sli = li.join(
+        F.broadcast(so.select("o_orderkey")), li["l_orderkey"] == so["o_orderkey"],
+        "left_semi",
+    )
+    scu = cu.join(
+        F.broadcast(so.select("o_custkey").distinct()),
+        cu["c_custkey"] == so["o_custkey"],
+        "left_semi",
+    )
+    # closure check: every sampled lineitem's order and every sampled
+    # order's customer is present in the sample
+    li_orphans = sli.join(
+        F.broadcast(so.select("o_orderkey")), sli["l_orderkey"] == so["o_orderkey"],
+        "left_anti",
+    ).count()
+    o_orphans = so.join(
+        F.broadcast(scu), so["o_custkey"] == scu["c_custkey"], "left_anti"
+    ).count()
+    complete = int(li_orphans == 0 and o_orphans == 0)
+    rows = [
+        ("orders", o.count(), so.count(), complete),
+        ("lineitem", li.count(), sli.count(), complete),
+        ("customer", cu.count(), scu.count(), complete),
+    ]
+    out = spark.createDataFrame(
+        rows, "table_name string, n_total bigint, n_sampled bigint, fk_complete int"
+    )
+    return out.withColumn(
+        "pct",
+        pround(F.col("n_sampled").cast("double") / F.col("n_total").cast("double")),
+    )
+
+
+SQL_REFERENTIAL_SAMPLE = f"""
+WITH so AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+        / CAST(power(16, 13) AS DOUBLE) < {SAMPLE_FRAC_PPM / 1_000_000.0!r}
+),
+r AS (
+  SELECT 'orders' AS table_name,
+         (SELECT count(*) FROM orders) AS n_total,
+         (SELECT count(*) FROM so) AS n_sampled
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+  UNION ALL
+  SELECT 'customer',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM so))
+)
+SELECT table_name, n_total, n_sampled, 1 AS fk_complete,
+       floor(CAST(n_sampled AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS pct
+FROM r
+"""
+
+
+QUERIES["forecast_backtest"] = q_forecast_backtest
+QUERIES["referential_sample"] = q_referential_sample
+ORACLE_SQL["forecast_backtest"] = SQL_FORECAST_BACKTEST
+ORACLE_SQL["referential_sample"] = SQL_REFERENTIAL_SAMPLE
