@@ -724,3 +724,143 @@ QUERIES["forecast_backtest"] = q_forecast_backtest
 QUERIES["referential_sample"] = q_referential_sample
 ORACLE_SQL["forecast_backtest"] = SQL_FORECAST_BACKTEST
 ORACLE_SQL["referential_sample"] = SQL_REFERENTIAL_SAMPLE
+
+
+# -- qid: burst_detect -------------------------------------------------------
+
+BURST_WIN_S = 3600
+BURST_THRESHOLD = 12
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot screening by event-rate bursts: for every user, the
+    maximum number of events inside ANY sliding {BURST_WIN_S}-second
+    window (a RANGE frame over epoch seconds anchored at each event —
+    the exact sliding max, not a tumbling approximation), flagged
+    against a rate threshold. The first line of defense before any
+    engagement metric is trusted.
+
+    Scale: one keyed window (user, ORDER BY epoch RANGE −{BURST_WIN_S}+1s..0)
+    computes the in-window count per event; the per-user max is a
+    combinable aggregate riding the same user partitioning — one
+    exchange end to end.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-(BURST_WIN_S - 1), 0)
+    )
+    per = (
+        e.withColumn("in_win", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("in_win").cast("bigint").alias("peak_rate"),
+        )
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "peak_rate",
+        (F.col("peak_rate") >= BURST_THRESHOLD).cast("int").alias("is_burst"),
+    )
+
+
+SQL_BURST_DETECT = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+win AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN {BURST_WIN_S - 1} PRECEDING
+                                  AND CURRENT ROW) AS in_win
+  FROM e
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(max(in_win) AS BIGINT) AS peak_rate,
+       CAST(CASE WHEN max(in_win) >= {BURST_THRESHOLD} THEN 1 ELSE 0 END AS INT)
+         AS is_burst
+FROM win GROUP BY user_id
+"""
+
+
+# -- qid: calendar_dim --------------------------------------------------------
+
+CAL_START = "2020-01-01"
+CAL_END = "2021-12-31"
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension generation — the warehouse utility every star
+    schema joins against: one row per calendar day with the conformed
+    attributes (year/quarter/month/day, portable day-of-week,
+    weekend/month-boundary flags, days-in-month). Generated from pure
+    SEQUENCE algebra (no source scan at all): the qid certifies the
+    engines agree on two years of calendar arithmetic including a
+    leap February.
+
+    Portability: day-of-week is epoch-day arithmetic mod 7 (Monday=0),
+    never dayofweek() (Spark numbers Sunday=1, DuckDB Sunday=0).
+
+    Scale: trivially parallel — explode of a driver-literal range; a
+    production build writes it once and broadcasts forever.
+    """
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(CAL_START).cast("date"),
+                F.lit(CAL_END).cast("date"),
+            )
+        ).alias("day")
+    )
+    eom = F.last_day(F.col("day"))
+    return days.select(
+        "day",
+        F.year("day").cast("int").alias("year"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.month("day").cast("int").alias("month"),
+        F.dayofmonth("day").cast("int").alias("dom"),
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+        (
+            (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7) >= 5
+        ).cast("int").alias("is_weekend"),
+        (F.dayofmonth("day") == 1).cast("int").alias("is_month_start"),
+        (F.col("day") == eom).cast("int").alias("is_month_end"),
+        F.dayofmonth(eom).cast("int").alias("days_in_month"),
+    )
+
+
+SQL_CALENDAR_DIM = f"""
+WITH days AS (
+  SELECT unnest(generate_series(DATE '{CAL_START}', DATE '{CAL_END}',
+                                INTERVAL 1 DAY)) AS d
+)
+SELECT CAST(d AS DATE) AS day,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS dom,
+       CAST(date_diff('day', DATE '1970-01-05', CAST(d AS DATE)) % 7 AS INT)
+         AS dow,
+       CAST(CASE WHEN date_diff('day', DATE '1970-01-05', CAST(d AS DATE)) % 7
+                      >= 5 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(CASE WHEN day(d) = 1 THEN 1 ELSE 0 END AS INT) AS is_month_start,
+       CAST(CASE WHEN CAST(d AS DATE) = last_day(CAST(d AS DATE))
+            THEN 1 ELSE 0 END AS INT) AS is_month_end,
+       CAST(day(last_day(CAST(d AS DATE))) AS INT) AS days_in_month
+FROM days
+"""
+
+
+QUERIES["burst_detect"] = q_burst_detect
+QUERIES["calendar_dim"] = q_calendar_dim
+ORACLE_SQL["burst_detect"] = SQL_BURST_DETECT
+ORACLE_SQL["calendar_dim"] = SQL_CALENDAR_DIM

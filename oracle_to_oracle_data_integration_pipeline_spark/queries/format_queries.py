@@ -340,3 +340,91 @@ ORACLE_SQL = {
     "binary_ingest": SQL_BINARY_INGEST,
     "schema_union": SQL_SCHEMA_UNION,
 }
+
+
+# -- qid: csv_quarantine -----------------------------------------------------
+
+CSVQ_ROWS = 40
+CSVQ_BAD_MOD = 7  # lines with i % 7 == 3 are malformed
+
+
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read ingestion with a QUARANTINE lane: a CSV feed
+    containing malformed lines is read in PERMISSIVE mode with a
+    corrupt-record column — clean rows parse to the declared types,
+    malformed lines survive VERBATIM in the quarantine column instead
+    of killing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    The pattern every file-drop ingestion needs: load what parses,
+    keep evidence of what didn't.
+
+    Harness prep: the file is generated deterministically (line i is
+    malformed iff i % {CSVQ_BAD_MOD} == 3), so the DuckDB oracle
+    regenerates the expected outcome from the same rule. Spark quirk
+    handled: a query may not reference ONLY the corrupt-record column
+    of a CSV relation — the read is cached/materialized first (the
+    documented workaround), bounded here by the fixture size.
+
+    Scale: PERMISSIVE parsing is per-task streaming — the quarantine
+    column adds no shuffle; production routes `_corrupt IS NOT NULL`
+    to a dead-letter sink with the same one-pass plan."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="csvq_")
+    try:
+        lines = ["id,qty,price"]
+        for i in range(CSVQ_ROWS):
+            if i % CSVQ_BAD_MOD == 3:
+                lines.append(f"bad-{i},oops")
+            else:
+                lines.append(f"{i},{i * 2},{i}.5")
+        with open(os.path.join(d, "feed.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("qty", T.IntegerType()),
+                T.StructField("price", T.DoubleType()),
+                T.StructField("_corrupt", T.StringType()),
+            ]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(d)
+        )
+        rows = df.collect()  # materialize: corrupt-col-only refs are illegal on raw CSV relations
+        out = spark.createDataFrame(rows, schema).select(
+            F.when(F.col("_corrupt").isNull(), F.lit("clean"))
+            .otherwise(F.lit("quarantined"))
+            .alias("lane"),
+            "id",
+            "qty",
+            "price",
+            F.col("_corrupt").alias("raw"),
+        )
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CSV_QUARANTINE = f"""
+WITH g AS (SELECT unnest(generate_series(0, {CSVQ_ROWS - 1})) AS i)
+SELECT CASE WHEN i % {CSVQ_BAD_MOD} = 3 THEN 'quarantined' ELSE 'clean' END
+         AS lane,
+       CASE WHEN i % {CSVQ_BAD_MOD} = 3 THEN NULL ELSE CAST(i AS INT) END AS id,
+       CASE WHEN i % {CSVQ_BAD_MOD} = 3 THEN NULL ELSE CAST(i * 2 AS INT) END
+         AS qty,
+       CASE WHEN i % {CSVQ_BAD_MOD} = 3 THEN NULL
+            ELSE CAST(i AS DOUBLE) + 0.5 END AS price,
+       CASE WHEN i % {CSVQ_BAD_MOD} = 3
+            THEN 'bad-' || CAST(i AS VARCHAR) || ',oops' END AS raw
+FROM g
+"""
+
+QUERIES["csv_quarantine"] = q_csv_quarantine
+ORACLE_SQL["csv_quarantine"] = SQL_CSV_QUARANTINE

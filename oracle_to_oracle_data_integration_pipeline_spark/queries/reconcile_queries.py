@@ -655,3 +655,98 @@ SELECT 'orders',
 
 QUERIES["erasure_sweep"] = q_erasure_sweep
 ORACLE_SQL["erasure_sweep"] = SQL_ERASURE_SWEEP
+
+
+# -- qid: incremental_lookback ----------------------------------------------
+
+IL_LOOKBACK_DAYS = 30
+IL_LATE_MOD = 13
+
+
+def q_incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-style INCREMENTAL MATERIALIZATION with a lookback
+    window: a daily revenue rollup is kept current by recomputing only
+    the trailing {IL_LOOKBACK_DAYS} days (where late-arriving updates
+    can still land) and carrying everything older forward from the
+    stored table — the pattern that turns a full nightly rebuild into
+    a bounded incremental one. Late updates are simulated
+    deterministically (orders ÷{IL_LATE_MOD} inside the lookback
+    horizon gain +1.00 after the stored rollup was built).
+
+    The Spark side RUNS the incremental algebra (stale-carry ∪
+    recomputed-tail); the oracle performs the naive FULL REBUILD on
+    current data — hash equality IS the proof that the lookback
+    window covers the late-update horizon, the correctness condition
+    of every incremental model. A too-short lookback would flip the
+    hash, not pass silently.
+
+    Scale: the recomputed tail scans only the lookback slice
+    (partition-prunable date predicate); the stale carry is a scan of
+    the stored AGGREGATE (days, not orders). Both aggregations are
+    combinable.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    cutoff = o.agg(F.max("day").alias("max_day"))
+    ob = o.crossJoin(F.broadcast(cutoff)).withColumn(
+        "in_horizon",
+        F.col("day") >= F.date_sub(F.col("max_day"), IL_LOOKBACK_DAYS),
+    )
+    # current truth: late +1.00 updates applied inside the horizon
+    current = ob.withColumn(
+        "price",
+        F.when(
+            (F.col("o_orderkey") % IL_LATE_MOD == 0) & F.col("in_horizon"),
+            F.col("o_totalprice") + 1.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    # stored rollup: built BEFORE the late updates arrived
+    stored = (
+        ob.groupBy("day", "in_horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("_rev"),
+        )
+    )
+    carry = stored.where(~F.col("in_horizon")).select(
+        "day",
+        "n_orders",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.lit(0).alias("recomputed"),
+    )
+    tail = (
+        current.where(F.col("in_horizon"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("price").cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("recomputed", F.lit(1))
+    )
+    return carry.unionByName(tail)
+
+
+SQL_INCREMENTAL_LOOKBACK = f"""
+WITH c AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+cur AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CASE WHEN CAST(o_orderdate AS DATE)
+                   >= (SELECT max_day FROM c) - {IL_LOOKBACK_DAYS}
+              THEN 1 ELSE 0 END AS in_horizon,
+         CASE WHEN o_orderkey % {IL_LATE_MOD} = 0
+                   AND CAST(o_orderdate AS DATE)
+                       >= (SELECT max_day FROM c) - {IL_LOOKBACK_DAYS}
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT day, count(*) AS n_orders,
+       CAST(round(sum(CAST(price AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       CAST(max(in_horizon) AS INT) AS recomputed
+FROM cur GROUP BY day
+"""
+
+QUERIES["incremental_lookback"] = q_incremental_lookback
+ORACLE_SQL["incremental_lookback"] = SQL_INCREMENTAL_LOOKBACK
