@@ -32,6 +32,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
     dsum,
     load,
+    pround,
 )
 
 
@@ -365,3 +366,144 @@ ORACLE_SQL = {
     "late_dim_insert": SQL_LATE_DIM_INSERT,
     "rfm_segments": SQL_RFM_SEGMENTS,
 }
+
+
+# -- qid: record_linkage -----------------------------------------------------
+
+# fixed Fellegi-Sunter m/u probabilities (model metadata; production
+# estimates them by EM — the SCORING algebra is what scales)
+FS_PARAMS = {
+    "name": (0.9, 0.001),
+    "segment": (0.95, 0.2),
+    "band": (0.9, 0.01),
+}
+FS_LINK_Q12 = 10_000_000_000_000       # >= 10 bits in q12 units
+FS_NONLINK_Q12 = 0
+
+
+def _fs_weights_q12() -> dict:
+    """Agreement/disagreement log2(m/u) weights quantized to integer
+    1e-12 units (the naive_bayes contract) — shared verbatim with the
+    SQL twin, so the pair scores are exact integer sums."""
+    import math
+
+    out = {}
+    for k, (m, u) in FS_PARAMS.items():
+        out[k] = (
+            int(math.floor(math.log2(m / u) * 1e12 + 0.5)),
+            int(math.floor(math.log2((1 - m) / (1 - u)) * 1e12 + 0.5)),
+        )
+    return out
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter, the Splink core):
+    candidate pairs from BANDED BLOCKING — (nationkey, acctbal/1000
+    band) — score as the sum of per-attribute agreement weights
+    log2(m/u) (disagreement: log2((1−m)/(1−u))), then classify
+    link / possible / non-link by threshold. Ground truth exists by
+    construction (the two simulated systems share entity keys), so the
+    output doubles as the precision audit: per class, how many pairs
+    are TRUE matches.
+
+    Blocking is the scale story: the pair space is Σ|block_A|·|block_B|
+    (never |A|·|B|) — the Splink discipline; a true match whose
+    acctbal drifted across a band boundary is missed by this single
+    pass, which production handles with a UNION of blocking passes
+    (documented recall behavior, not a bug — the oracle applies the
+    identical single pass).
+
+    Determinism: weights are integer q12 (exact sums under any
+    partial-agg tree); thresholds compare integers.
+    """
+    both = _two_systems(load(spark, sf_dir, "customer"))
+    W = _fs_weights_q12()
+
+    def side(prio: int, tag: str):
+        return both.where(F.col("priority") == prio).select(
+            F.col("c_custkey").alias(f"{tag}_key"),
+            F.col("name").alias(f"{tag}_name"),
+            F.col("nationkey").alias(f"{tag}_nation"),
+            F.floor(F.col("acctbal") / 1000).alias(f"{tag}_band"),
+            F.col("mktsegment").alias(f"{tag}_seg"),
+        )
+
+    a, b = side(2, "a"), side(1, "b")
+    pairs = a.join(
+        b,
+        (F.col("a_nation") == F.col("b_nation"))
+        & (F.col("a_band") == F.col("b_band")),
+    )
+
+    def w(agree_col, key):
+        return F.when(agree_col, F.lit(W[key][0])).otherwise(F.lit(W[key][1]))
+
+    scored = pairs.select(
+        (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true_match"),
+        (
+            w(F.col("a_name").eqNullSafe(F.col("b_name")), "name")
+            + w(F.col("a_seg").eqNullSafe(F.col("b_seg")), "segment")
+            + w(F.lit(True), "band")  # blocked pairs agree on band by construction
+        ).alias("weight_q12"),
+    )
+    cls = (
+        F.when(F.col("weight_q12") >= FS_LINK_Q12, "link")
+        .when(F.col("weight_q12") <= FS_NONLINK_Q12, "non_link")
+        .otherwise("possible")
+    )
+    return scored.groupBy(cls.alias("match_class")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_true_match").cast("bigint").alias("n_true_matches"),
+        pround(
+            F.sum(F.col("weight_q12").cast("decimal(38,0)")).cast("double")
+            / 1e12
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_weight_bits"),
+    )
+
+
+def _record_linkage_sql() -> str:
+    W = _fs_weights_q12()
+    return f"""
+WITH sys_a AS (
+  SELECT c_custkey AS a_key, c_name AS a_name,
+         CASE WHEN c_custkey % 11 <> 0 THEN c_nationkey END AS a_nation,
+         CAST(floor(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                         ELSE c_acctbal END / 1000) AS BIGINT) AS a_band,
+         CASE WHEN c_custkey % 13 <> 0 THEN c_mktsegment END AS a_seg
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+sys_b AS (
+  SELECT c_custkey AS b_key,
+         CASE WHEN c_custkey % 4 = 0 THEN 'OLD_' || c_name
+              ELSE c_name END AS b_name,
+         c_nationkey AS b_nation,
+         CASE WHEN c_custkey % 7 <> 0
+              THEN CAST(floor(c_acctbal / 1000) AS BIGINT) END AS b_band,
+         c_mktsegment AS b_seg
+  FROM customer
+),
+pairs AS (
+  SELECT a_key = b_key AS is_true_match,
+         (CASE WHEN a_name IS NOT DISTINCT FROM b_name
+               THEN {W['name'][0]} ELSE {W['name'][1]} END
+          + CASE WHEN a_seg IS NOT DISTINCT FROM b_seg
+                 THEN {W['segment'][0]} ELSE {W['segment'][1]} END
+          + {W['band'][0]}) AS weight_q12
+  FROM sys_a JOIN sys_b
+    ON a_nation = b_nation AND a_band = b_band
+)
+SELECT CASE WHEN weight_q12 >= {FS_LINK_Q12} THEN 'link'
+            WHEN weight_q12 <= {FS_NONLINK_Q12} THEN 'non_link'
+            ELSE 'possible' END AS match_class,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN is_true_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_matches,
+       floor(CAST(sum(CAST(weight_q12 AS HUGEINT)) AS DOUBLE) / 1e12
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_weight_bits
+FROM pairs GROUP BY 1
+"""
+
+
+QUERIES["record_linkage"] = q_record_linkage
+ORACLE_SQL["record_linkage"] = _record_linkage_sql()

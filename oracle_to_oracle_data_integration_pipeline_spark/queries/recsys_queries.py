@@ -305,3 +305,75 @@ ORACLE_SQL = {
     "item_recs": SQL_ITEM_RECS,
     "phrase_search": SQL_PHRASE_SEARCH,
 }
+
+
+# -- qid: journey_paths --------------------------------------------------------
+
+JP_LEN = 3
+JP_TOP = 10
+
+
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's FIRST {JP_LEN} events
+    (total order: ts, then event_id) concatenate into a path string
+    ('view>click>purchase'), and the top {JP_TOP} most common opening
+    journeys are reported — the product-analytics view sequence
+    counts (event_transitions' bigrams) cannot give: whole paths, not
+    hops.
+
+    Ordering discipline: collect_list order is shuffle-dependent, so
+    the path assembles via array_sort over (rank, type) structs — the
+    repo's standard ordered-aggregation idiom (listagg_order). The
+    top-k is TakeOrderedAndProject (count DESC, path ASC total
+    order); the per-user rank window is keyed.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= JP_LEN)
+    )
+    paths = (
+        firsts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(rn, event_type)))"
+                ", x -> x.event_type), '>')"
+            ).alias("path"),
+        )
+        .where(F.col("n") == JP_LEN)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(JP_TOP)
+    )
+
+
+SQL_JOURNEY_PATHS = f"""
+WITH firsts AS (
+  SELECT user_id, event_type, rn FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn <= {JP_LEN}
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+         count(*) AS n
+  FROM firsts GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths WHERE n = {JP_LEN}
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {JP_TOP}
+"""
+
+QUERIES["journey_paths"] = q_journey_paths
+ORACLE_SQL["journey_paths"] = SQL_JOURNEY_PATHS
