@@ -750,3 +750,112 @@ FROM cur GROUP BY day
 
 QUERIES["incremental_lookback"] = q_incremental_lookback
 ORACLE_SQL["incremental_lookback"] = SQL_INCREMENTAL_LOOKBACK
+
+
+# -- qid: bitemporal_asof ------------------------------------------------------
+
+BT_T_EARLY = "1997-01-01"
+BT_T_LATE = "2002-01-01"
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-known-at reporting: facts carry BOTH valid time
+    (when the fact was true — the order date) and transaction time
+    (when the system learned it — created_at, then updated_at for the
+    corrections the CDC feed delivers later). A correction RESTATES
+    history: the monthly revenue "as known at T" must reproduce what
+    any report run at T actually showed — the auditability property
+    single-temporal SCD2 (scd2_history, valid-time only) cannot give.
+
+    Mechanics: version rows (original + correction) close their
+    transaction intervals with ONE keyed lead() window (tx_to =
+    next version's tx_from, open end = null); an as-of query is then a
+    pure filter tx_from ≤ T < coalesce(tx_to, ∞) — no join, no
+    mutation, reproducible forever. The qid answers the same monthly
+    rollup at an early T (before any correction arrived) and a late T
+    (all corrections visible); the early answer must equal the
+    UNCORRECTED history, which is exactly what the oracle pins.
+
+    Scale: one keyed window over ≤2 versions per key + a combinable
+    monthly rollup per T; at 100 TB the tx-interval table is the
+    stored format and each as-of query is a partition-prunable scan.
+    """
+    o = cdc_orders(spark, sf_dir).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("valid_date"),
+        "o_totalprice",
+        "created_at",
+        "updated_at",
+    )
+    v1 = o.select(
+        "o_orderkey",
+        "valid_date",
+        F.col("o_totalprice").alias("value"),
+        F.col("created_at").alias("tx_from"),
+    )
+    v2 = o.where(F.col("updated_at").isNotNull()).select(
+        "o_orderkey",
+        "valid_date",
+        (F.col("o_totalprice") + 1.0).alias("value"),
+        F.col("updated_at").alias("tx_from"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy("tx_from")
+    bt = (
+        v1.unionByName(v2)
+        .withColumn("tx_to", F.lead("tx_from").over(w))
+    )
+
+    def as_known_at(t: str, label: str) -> DataFrame:
+        ts = F.lit(t).cast("timestamp")
+        return (
+            bt.where(
+                (F.col("tx_from") <= ts)
+                & (F.col("tx_to").isNull() | (F.col("tx_to") > ts))
+            )
+            .groupBy(F.date_trunc("month", "valid_date").cast("date").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("value").cast("decimal(24,6)")), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .withColumn("as_of", F.lit(label))
+        )
+
+    return as_known_at(BT_T_EARLY, "early").unionByName(
+        as_known_at(BT_T_LATE, "late")
+    )
+
+
+SQL_BITEMPORAL_ASOF = f"""
+WITH {CDC_SRC_SQL},
+v AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS valid_date,
+         o_totalprice AS value, created_at AS tx_from
+  FROM cdc_src
+  UNION ALL
+  SELECT o_orderkey, CAST(o_orderdate AS DATE),
+         o_totalprice + 1.0, updated_at
+  FROM cdc_src WHERE updated_at IS NOT NULL
+),
+bt AS (
+  SELECT *, lead(tx_from) OVER (PARTITION BY o_orderkey ORDER BY tx_from)
+           AS tx_to
+  FROM v
+),
+q AS (
+  SELECT 'early' AS as_of, TIMESTAMP '{BT_T_EARLY}' AS t
+  UNION ALL SELECT 'late', TIMESTAMP '{BT_T_LATE}'
+)
+SELECT CAST(date_trunc('month', valid_date) AS DATE) AS month,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       q.as_of
+FROM bt JOIN q ON bt.tx_from <= q.t AND (bt.tx_to IS NULL OR bt.tx_to > q.t)
+GROUP BY 1, q.as_of
+"""
+
+QUERIES["bitemporal_asof"] = q_bitemporal_asof
+ORACLE_SQL["bitemporal_asof"] = SQL_BITEMPORAL_ASOF
