@@ -746,3 +746,226 @@ ORACLE_SQL = {
     "survival_km": SQL_SURVIVAL_KM,
     "concurrency_peak": SQL_CONCURRENCY_PEAK,
 }
+
+
+# -- qid: mix_shift --------------------------------------------------------
+
+MS_Y0, MS_Y1 = 1996, 1997
+
+
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of a period-over-period change: the
+    revenue-per-order change from {MS_Y0} to {MS_Y1} splits, per
+    order-priority segment, into a RATE effect (the segment's own
+    per-order revenue moved, at baseline mix) and a MIX effect (the
+    segment's share of orders moved, at baseline rate):
+
+        Δ = Σ_s [ w₀(s)·(r₁(s) − r₀(s))  +  (w₁(s) − w₀(s))·r₁(s) ]
+
+    — the Laspeyres/Paasche split every "why did the average move"
+    analysis needs; without it a metric can fall while every segment
+    improves (Simpson's paradox, which this surfaces directly).
+
+    Determinism: rates and weights are pround-quantized before the
+    effect products (single IEEE multiplies thereafter); the identity
+    rate+mix = Δ then holds bit-for-bit in both engines.
+
+    Scale: one combinable (year, segment) aggregate + a ≤2×|segments|
+    pivot via conditional aggregation — nothing beyond the first
+    shuffle touches data.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(MS_Y0, MS_Y1)
+    )
+    per = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("_rev"),
+    )
+    tot = per.groupBy("yr").agg(F.sum("n").alias("n_tot"))
+    j = per.join(F.broadcast(tot), "yr").select(
+        "segment",
+        "yr",
+        pround(F.col("_rev").cast("double") / F.col("n").cast("double")).alias("rate"),
+        pround(F.col("n").cast("double") / F.col("n_tot").cast("double")).alias("w"),
+    )
+    wide = j.groupBy("segment").agg(
+        F.max(F.when(F.col("yr") == MS_Y0, F.col("rate"))).alias("r0"),
+        F.max(F.when(F.col("yr") == MS_Y1, F.col("rate"))).alias("r1"),
+        F.max(F.when(F.col("yr") == MS_Y0, F.col("w"))).alias("w0"),
+        F.max(F.when(F.col("yr") == MS_Y1, F.col("w"))).alias("w1"),
+    )
+    return wide.select(
+        "segment",
+        "r0",
+        "r1",
+        "w0",
+        "w1",
+        pround(F.col("w0") * (F.col("r1") - F.col("r0"))).alias("rate_effect"),
+        pround((F.col("w1") - F.col("w0")) * F.col("r1")).alias("mix_effect"),
+    )
+
+
+SQL_MIX_SHIFT = f"""
+WITH per AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS segment,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+  FROM orders WHERE year(o_orderdate) IN ({MS_Y0}, {MS_Y1})
+  GROUP BY 1, 2
+),
+tot AS (SELECT yr, sum(n) AS n_tot FROM per GROUP BY yr),
+j AS (
+  SELECT segment, per.yr,
+         floor(CAST(rev AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS rate,
+         floor(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS w
+  FROM per JOIN tot ON per.yr = tot.yr
+),
+wide AS (
+  SELECT segment,
+         max(CASE WHEN yr = {MS_Y0} THEN rate END) AS r0,
+         max(CASE WHEN yr = {MS_Y1} THEN rate END) AS r1,
+         max(CASE WHEN yr = {MS_Y0} THEN w END) AS w0,
+         max(CASE WHEN yr = {MS_Y1} THEN w END) AS w1
+  FROM j GROUP BY segment
+)
+SELECT segment, r0, r1, w0, w1,
+       floor(w0 * (r1 - r0) * 1e6 + 0.5) / 1e6 AS rate_effect,
+       floor((w1 - w0) * r1 * 1e6 + 0.5) / 1e6 AS mix_effect
+FROM wide
+"""
+
+
+# -- qid: proration_allocate ---------------------------------------------------
+
+def q_proration_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proration: each order's value allocates across the
+    calendar months its fulfillment interval [orderdate, orderdate+90d)
+    overlaps, weighted by days of overlap — revenue recognition /
+    cost amortization, the finance-warehouse allocation every ERP
+    extract needs. Exactness: per-month shares are computed as exact
+    integer day counts; the money split is DECIMAL cents × days /
+    span_days rounded half-up per slice, with the LAST slice taking
+    the rounding remainder so every order's slices sum to the original
+    amount EXACTLY (the conservation property; pinned by the oracle
+    which implements the identical remainder rule).
+
+    Scale: the explode is bounded (≤4 month slices per 90-day span);
+    the monthly rollup is one combinable shuffle. Same day-clip
+    pattern as concurrency_peak.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(F.to_date("o_orderdate"), 90).alias("d1"),  # exclusive
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+    )
+    sliced = (
+        o.withColumn(
+            "m",
+            F.explode(
+                F.sequence(
+                    F.trunc("d0", "month"),
+                    F.trunc(F.date_sub("d1", 1), "month"),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ),
+        )
+        .withColumn("ms", F.greatest("d0", "m"))
+        .withColumn(
+            "me", F.least("d1", F.add_months(F.col("m"), 1))
+        )
+        .withColumn("days", F.datediff("me", "ms"))
+        .withColumn("span", F.datediff("d1", "d0"))
+    )
+    # cents-exact proration with last-slice remainder
+    w = Window.partitionBy("o_orderkey").orderBy("m")
+    alloc = (
+        sliced.withColumn(
+            "cents", (F.col("amt") * 100).cast("bigint")
+        )
+        .withColumn(
+            "slice_cents",
+            F.floor(
+                (F.col("cents") * F.col("days")).cast("double")
+                / F.col("span").cast("double")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_slices", F.count(F.lit(1)).over(Window.partitionBy("o_orderkey")))
+        .withColumn(
+            "final_cents",
+            F.when(
+                F.col("rn") == F.col("n_slices"),
+                F.col("cents")
+                - F.coalesce(
+                    F.sum(F.when(F.col("rn") < F.col("n_slices"), F.col("slice_cents"))).over(
+                        Window.partitionBy("o_orderkey")
+                    ),
+                    F.lit(0),
+                ),
+            ).otherwise(F.col("slice_cents")),
+        )
+    )
+    return alloc.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        (F.sum("final_cents").cast("decimal(24,0)") / 100)
+        .cast("double")
+        .alias("allocated"),
+    )
+
+
+SQL_PRORATION_ALLOCATE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+         CAST(o_orderdate AS DATE) + 90 AS d1,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+),
+sliced AS (
+  SELECT o.*, CAST(mm.m AS DATE) AS m,
+         greatest(d0, CAST(mm.m AS DATE)) AS ms,
+         least(d1, CAST(mm.m AS DATE) + INTERVAL 1 MONTH) AS me
+  FROM o,
+       LATERAL (SELECT unnest(generate_series(date_trunc('month', d0),
+                                              date_trunc('month', d1 - 1),
+                                              INTERVAL 1 MONTH)) AS m) mm
+),
+calc AS (
+  SELECT o_orderkey, m,
+         date_diff('day', ms, me) AS days,
+         date_diff('day', d0, d1) AS span,
+         CAST(amt * 100 AS BIGINT) AS cents
+  FROM sliced
+),
+sl AS (
+  SELECT *,
+         CAST(floor(CAST(cents * days AS DOUBLE) / CAST(span AS DOUBLE) + 0.5)
+              AS BIGINT) AS slice_cents,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY m) AS rn,
+         count(*) OVER (PARTITION BY o_orderkey) AS n_slices
+  FROM calc
+),
+fin AS (
+  SELECT *,
+         CASE WHEN rn = n_slices THEN
+           cents - coalesce(sum(CASE WHEN rn < n_slices THEN slice_cents END)
+                            OVER (PARTITION BY o_orderkey), 0)
+         ELSE slice_cents END AS final_cents
+  FROM sl
+)
+SELECT m AS month, count(*) AS n_slices,
+       CAST(CAST(sum(final_cents) AS DECIMAL(24,0)) / 100 AS DOUBLE)
+         AS allocated
+FROM fin GROUP BY m
+"""
+
+
+QUERIES["mix_shift"] = q_mix_shift
+QUERIES["proration_allocate"] = q_proration_allocate
+ORACLE_SQL["mix_shift"] = SQL_MIX_SHIFT
+ORACLE_SQL["proration_allocate"] = SQL_PRORATION_ALLOCATE
