@@ -171,3 +171,27 @@ def test_compact_preserves_rows_and_reduces_files(spark, store):
     assert store.history("t")[-1]["operation"] == "compact"
     # version 0's fragmented layout still readable (time travel)
     assert store.read("t", version=0).count() == 50
+
+
+def test_concurrent_commits_serialize(spark, store):
+    """Four threads commit simultaneously: the advisory table lock
+    must serialize them into four DISTINCT dense versions with no
+    lost update and no torn manifest — the single-writer property the
+    whole commit protocol rests on."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(0, "seed", t1, None, "N")]), "t")
+
+    def commit_one(i: int) -> int:
+        return store.commit(_rows(spark, [(i, f"w{i}", t1, None, "N")]), "t")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(commit_one, range(1, 5)))
+    assert versions == [1, 2, 3, 4]  # dense, no duplicates, no gaps
+    # every version's manifest is intact and readable
+    for v in versions:
+        m = store.manifest("t", v)
+        assert m["version"] == v and m["parent"] == v - 1
+        assert store.read("t", version=v).count() == 1
+    assert store.latest_version("t") == 4
