@@ -384,3 +384,77 @@ ORACLE_SQL = {
     "snapshot_merge": SQL_SNAPSHOT_MERGE,
     "pysink_audit": SQL_PYSOURCE,
 }
+
+
+# -- qid: federated_join -------------------------------------------------
+
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED query: a live JDBC relation (embedded Derby — the
+    same wire Spark's Oracle connector uses, differing only in
+    dialect) joined with parquet in ONE plan — the hybrid read every
+    migration period lives with (dimension still in the RDBMS, facts
+    already on the lake). The nation dimension is written INTO Derby
+    through the engine's JdbcSink, read back via JdbcSource with the
+    region predicate rendered into the remote subquery
+    (pushdown_subquery — the reference's missing remote filter,
+    SURVEY §4), then broadcast-joined to the parquet customer table.
+
+    Harness: a per-run embedded Derby database in a tempdir; the
+    oracle answers the same join from the parquet twin — hash
+    equality certifies the RDBMS round-trip byte-preserved the
+    dimension AND the remote predicate dropped exactly the rows the
+    SQL twin's WHERE drops.
+
+    Scale: the JDBC side is dimension-sized and broadcasts (at 100 TB
+    the fact side never moves for this join); the remote predicate
+    ships the filter to the database, so the wire carries only
+    surviving dimension rows.
+    """
+    import shutil
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.jdbc import (
+        JdbcSink,
+        JdbcSource,
+    )
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="fedjoin_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    try:
+        nation = load(spark, sf_dir, "nation")
+        JdbcSink(url, properties=props).write(nation, "nation_rdbms", "overwrite")
+        remote_dim = JdbcSource(spark, url, properties=props).load_where(
+            "nation_rdbms", None, predicate_sql='"n_regionkey" IN (0, 1)'
+        )
+        cu = load(spark, sf_dir, "customer")
+        joined = (
+            cu.join(
+                F.broadcast(remote_dim),
+                cu["c_nationkey"] == remote_dim["n_nationkey"],
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(24,6)")), 2)
+                .cast("double")
+                .alias("total_balance"),
+            )
+        )
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_FEDERATED_JOIN = """
+SELECT n_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey IN (0, 1)
+GROUP BY n_name
+"""
+
+QUERIES["federated_join"] = q_federated_join
+ORACLE_SQL["federated_join"] = SQL_FEDERATED_JOIN
