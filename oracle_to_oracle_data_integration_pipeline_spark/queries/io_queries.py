@@ -458,3 +458,131 @@ GROUP BY n_name
 
 QUERIES["federated_join"] = q_federated_join
 ORACLE_SQL["federated_join"] = SQL_FEDERATED_JOIN
+
+
+# -- qid: snapshot_cdf ------------------------------------------------------
+
+def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED off the snapshot store: after a CoW merge, the
+    row-level delta between version 0 and version 1 — (key, op) — is
+    re-derived from the immutable versions themselves, so any
+    downstream consumer (a replica, an index, the ivm_join delta
+    algebra) can re-pull the exact feed after a crash instead of
+    trusting a one-shot stream. The oracle derives the same ops from
+    the merge ALGEBRA (matched delta keys update — the delta always
+    moves the price; unmatched non-tombstones insert), so hash
+    equality proves the diff reconstructs precisely what the merge
+    did. Scale: one keyed full-outer join of two versions with
+    scan-side row digests (operators/reconcile idiom)."""
+    import shutil
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    tune(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("is_deleted", F.lit("N"))
+    base = o.where(F.col("o_orderkey") % 5 != 0)
+    delta = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("is_deleted"),
+    )
+    root = tempfile.mkdtemp(prefix="cdf_")
+    try:
+        store = SnapshotStore(spark, root)
+        store.commit(base, "orders")
+        store.merge(delta, "orders", ["o_orderkey"])
+        feed = store.changes("orders", 0, 1, ["o_orderkey"])
+        rows = feed.collect()
+        return spark.createDataFrame(rows, feed.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SNAPSHOT_CDF = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 <> 0 THEN 'update' ELSE 'insert' END AS op
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 9 = 0)
+"""
+
+
+# -- qid: wap_publish ---------------------------------------------------------
+
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through the snapshot store: three batches
+    flow through stage → audit-the-written-files → atomic publish;
+    the middle batch carries injected violations (NULL status on keys
+    ÷51) and must be QUARANTINED — pointer untouched, no reader ever
+    saw it — while the clean batches publish as versions 0 and 1. The
+    output is the audit log (per batch: published flag + violation
+    count) plus the surviving table state (rows, latest version),
+    which the oracle recomputes from the same rules — proving the
+    gate actually kept the bad batch out of the lineage.
+
+    Scale: audits are combinable counts over the staged files; the
+    publish is the store's O(1) pointer swap; rejection costs one
+    directory rename."""
+    import shutil
+
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    tune(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    rules = {"status_null": F.col("o_orderstatus").isNull()}
+    b0 = o.where(F.col("o_orderkey") % 2 == 0)
+    b1 = o.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 51 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    b2 = o.where(F.col("o_orderkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="wap_")
+    try:
+        store = SnapshotStore(spark, root)
+        log = []
+        for name, batch in [("b0_clean", b0), ("b1_dirty", b1), ("b2_clean", b2)]:
+            ok, _, counts = store.write_audit_publish(batch, "orders", rules)
+            log.append((name, int(ok), int(sum(counts.values()))))
+        final_rows = store.read("orders").count()
+        latest = store.latest_version("orders")
+        return spark.createDataFrame(
+            [(b, p, v, final_rows, latest) for b, p, v in log],
+            "batch string, published int, n_violations bigint, "
+            "final_rows bigint, latest_version int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_WAP_PUBLISH = """
+WITH odd AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+dirty AS (SELECT count(*) AS v FROM odd WHERE o_orderkey % 51 = 0),
+fin AS (SELECT count(*) AS final_rows FROM odd)
+SELECT t.batch, t.published, t.n_violations,
+       fin.final_rows, 1 AS latest_version
+FROM (
+  SELECT 'b0_clean' AS batch, 1 AS published, CAST(0 AS BIGINT) AS n_violations
+  UNION ALL
+  SELECT 'b1_dirty', 0, (SELECT CAST(v AS BIGINT) FROM dirty)
+  UNION ALL
+  SELECT 'b2_clean', 1, CAST(0 AS BIGINT)
+) t CROSS JOIN fin
+"""
+
+QUERIES["snapshot_cdf"] = q_snapshot_cdf
+QUERIES["wap_publish"] = q_wap_publish
+ORACLE_SQL["snapshot_cdf"] = SQL_SNAPSHOT_CDF
+ORACLE_SQL["wap_publish"] = SQL_WAP_PUBLISH

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import os as _os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -188,3 +189,101 @@ class SnapshotStore:
         with table_write_lock(self._tdir(table)):
             cur = self.read(table).repartition(target_files)
             return self._commit_locked(cur, table, operation="compact")
+
+    def changes(
+        self,
+        table: str,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """CHANGE DATA FEED: the row-level delta between two retained
+        versions — (key, op ∈ insert/update/delete). Because versions
+        are immutable, the feed is reproducible forever (same two
+        versions ⇒ same feed), which is what lets downstream
+        incremental consumers (the ivm_join delta algebra, a replica,
+        an index) re-pull after a crash instead of trusting a one-shot
+        stream. Comparison digests every non-key column through the
+        reconcile row-digest idiom (length-prefixed md5 — delimiter-
+        injection-safe), so 'update' means ANY non-key column moved.
+
+        Scale: one keyed full-outer join of the two versions with
+        per-row digests computed in the scan projection; unchanged
+        rows drop before anything else happens.
+        """
+        from pyspark.sql import functions as F
+
+        from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import (
+            _row_digest,
+        )
+
+        old = self.read(table, version=v_from)
+        new = self.read(table, version=v_to)
+        val_cols = [c for c in new.columns if c not in keys]
+        o = old.select(*keys, _row_digest(val_cols).alias("_od"))
+        n = new.select(*keys, _row_digest(val_cols).alias("_nd"))
+        j = o.join(n, keys, "full_outer")
+        op = (
+            F.when(F.col("_od").isNull(), F.lit("insert"))
+            .when(F.col("_nd").isNull(), F.lit("delete"))
+            .when(F.col("_od") != F.col("_nd"), F.lit("update"))
+        )
+        return (
+            j.select(*keys, op.alias("op"))
+            .where(F.col("op").isNotNull())
+        )
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        table: str,
+        rules: dict,
+    ):
+        """WRITE-AUDIT-PUBLISH: stage the batch as an unpublished data
+        directory, audit WHAT WAS WRITTEN (the staged files re-read —
+        never the logical plan, which could differ from the bytes),
+        and only then publish with the atomic pointer swap. A failing
+        audit leaves the pointer untouched and parks the staged files
+        under ``_quarantine/`` for forensics — readers never saw
+        anything. ``rules`` maps rule name → boolean VIOLATION column.
+
+        Returns (published: bool, version | None, {rule: violations}).
+        """
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        with table_write_lock(self._tdir(table)):
+            prev = self.latest_version(table)
+            version = 0 if prev is None else prev + 1
+            tdir = self._tdir(table)
+            staged = _os.path.join(tdir, "_staging", f"v{version}")
+            df.write.mode("errorifexists").parquet(staged)
+            back = self.spark.read.parquet(staged)
+            counts = {
+                name: back.where(cond).count() for name, cond in rules.items()
+            }
+            if any(counts.values()):
+                qdir = _os.path.join(tdir, "_quarantine")
+                _os.makedirs(qdir, exist_ok=True)
+                _shutil.move(staged, _os.path.join(qdir, f"v{version}-rejected"))
+                return False, None, counts
+            data_path = _os.path.join(tdir, "data", f"v{version}")
+            _os.makedirs(_os.path.dirname(data_path), exist_ok=True)
+            _os.replace(staged, data_path)
+            _os.makedirs(_os.path.join(tdir, "_manifests"), exist_ok=True)
+            m = {
+                "table": table,
+                "version": version,
+                "parent": prev,
+                "operation": "wap_publish",
+                "data_path": data_path,
+            }
+            mpath = self._manifest_path(table, version)
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(m, f)
+            _os.replace(mpath + ".tmp", mpath)
+            with open(self._latest_path(table) + ".tmp", "w") as f:
+                f.write(str(version))
+            _os.replace(self._latest_path(table) + ".tmp", self._latest_path(table))
+            return True, version, counts

@@ -195,3 +195,56 @@ def test_concurrent_commits_serialize(spark, store):
         assert m["version"] == v and m["parent"] == v - 1
         assert store.read("t", version=v).count() == 1
     assert store.latest_version("t") == 4
+
+
+def test_change_data_feed(spark, store):
+    """changes(v0, v1) classifies inserts/updates/deletes exactly and
+    drops unchanged rows; re-pulling the same version pair reproduces
+    the identical feed (immutability ⇒ replayable CDF)."""
+    t1 = TS(2024, 1, 1)
+    store.commit(
+        _rows(spark, [(1, "a", t1, None, "N"), (2, "b", t1, None, "N"), (3, "c", t1, None, "N")]),
+        "t",
+    )
+    store.commit(
+        _rows(spark, [(1, "a", t1, None, "N"), (2, "B2", t1, None, "N"), (4, "d", t1, None, "N")]),
+        "t",
+    )
+    feed = {(r["id"], r["op"]) for r in store.changes("t", 0, 1, ["id"]).collect()}
+    assert feed == {(2, "update"), (3, "delete"), (4, "insert")}
+    # replayable: identical on a second pull
+    again = {(r["id"], r["op"]) for r in store.changes("t", 0, 1, ["id"]).collect()}
+    assert again == feed
+
+
+def test_wap_rejects_and_publishes(spark, store, tmp_path):
+    """Write-audit-publish: a batch violating a rule is quarantined
+    (pointer untouched, staged files parked), a clean batch publishes
+    atomically; audits run on the STAGED files, not the plan."""
+    import os as _os
+
+    t1 = TS(2024, 1, 1)
+    rules = {
+        "null_val": F.col("val").isNull(),
+        "bad_flag": ~F.col("is_deleted").isin("N", "Y"),
+    }
+    ok, v, counts = store.write_audit_publish(
+        _rows(spark, [(1, "good", t1, None, "N")]), "t", rules
+    )
+    assert ok and v == 0 and counts == {"null_val": 0, "bad_flag": 0}
+
+    bad = _rows(spark, [(2, None, t1, None, "N"), (3, "x", t1, None, "?")])
+    ok2, v2, counts2 = store.write_audit_publish(bad, "t", rules)
+    assert not ok2 and v2 is None
+    assert counts2 == {"null_val": 1, "bad_flag": 1}
+    # pointer untouched, quarantine populated, table state unchanged
+    assert store.latest_version("t") == 0
+    qdir = _os.path.join(store.root, "t", "_quarantine")
+    assert _os.path.isdir(qdir) and len(_os.listdir(qdir)) == 1
+    assert [r["id"] for r in store.read("t").collect()] == [1]
+
+    ok3, v3, _ = store.write_audit_publish(
+        _rows(spark, [(5, "also_good", t1, None, "N")]), "t", rules
+    )
+    assert ok3 and v3 == 1
+    assert store.latest_version("t") == 1
