@@ -168,11 +168,19 @@ class SnapshotStore:
             latest = self.latest_version(table)
             if latest is None:
                 return []
+            hist = self.history(table)
+            # restore() commits SHARE an older version's data dir —
+            # a data path stays on disk while ANY retained manifest
+            # references it, even if its original version is dropped
+            keep_paths = {
+                m["data_path"] for m in hist if m["version"] > latest - keep_last
+            }
             removed = []
-            for m in self.history(table):
+            for m in hist:
                 v = m["version"]
                 if v <= latest - keep_last:
-                    shutil.rmtree(m["data_path"], ignore_errors=True)
+                    if m["data_path"] not in keep_paths:
+                        shutil.rmtree(m["data_path"], ignore_errors=True)
                     os.remove(self._manifest_path(table, v))
                     removed.append(v)
             return removed
@@ -287,3 +295,33 @@ class SnapshotStore:
                 f.write(str(version))
             _os.replace(self._latest_path(table) + ".tmp", self._latest_path(table))
             return True, version, counts
+
+    def restore(self, table: str, version: int) -> int:
+        """RESTORE: make a retained historical version current again —
+        as a NEW commit whose manifest points at the OLD version's
+        immutable data directory (O(1): no data moves, no rewrite; the
+        bad versions stay in history for forensics until vacuum).
+        The undo button every bad-deploy runbook needs, and the reason
+        immutable versions beat in-place mutation.
+        """
+        with table_write_lock(self._tdir(table)):
+            src = self.manifest(table, version)  # raises if vacuumed away
+            prev = self.latest_version(table)
+            new_v = 0 if prev is None else prev + 1
+            m = {
+                "table": table,
+                "version": new_v,
+                "parent": prev,
+                "operation": f"restore(v{version})",
+                "data_path": src["data_path"],
+            }
+            mpath = self._manifest_path(table, new_v)
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(m, f)
+            _os.replace(mpath + ".tmp", mpath)
+            with open(self._latest_path(table) + ".tmp", "w") as f:
+                f.write(str(new_v))
+            _os.replace(
+                self._latest_path(table) + ".tmp", self._latest_path(table)
+            )
+            return new_v

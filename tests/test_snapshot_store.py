@@ -248,3 +248,37 @@ def test_wap_rejects_and_publishes(spark, store, tmp_path):
     )
     assert ok3 and v3 == 1
     assert store.latest_version("t") == 1
+
+
+def test_restore_is_pointer_only_and_auditable(spark, store):
+    """RESTORE re-publishes a historical version as a new commit that
+    SHARES the old version's data directory (O(1), no rewrite); the
+    bad version stays in history, and vacuum must not delete a data
+    dir a restore still references."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "good", t1, None, "N")]), "t")      # v0
+    store.commit(_rows(spark, [(1, "BAD", t1, None, "N")]), "t")       # v1
+    v = store.restore("t", 0)                                          # v2
+    assert v == 2
+    assert [r["val"] for r in store.read("t").collect()] == ["good"]
+    hist = store.history("t")
+    assert hist[-1]["operation"] == "restore(v0)"
+    # pointer-only: v2 shares v0's data path
+    assert store.manifest("t", 2)["data_path"] == store.manifest("t", 0)["data_path"]
+    # the bad version remains auditable until vacuumed
+    assert [r["val"] for r in store.read("t", version=1).collect()] == ["BAD"]
+
+
+def test_vacuum_never_deletes_restore_shared_data(spark, store):
+    """A restore commit shares a historical data dir; vacuuming away
+    the ORIGINAL version must keep the shared directory alive because
+    a retained manifest still references it."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "good", t1, None, "N")]), "t")  # v0
+    store.commit(_rows(spark, [(1, "bad", t1, None, "N")]), "t")   # v1
+    store.restore("t", 0)                                          # v2 shares v0 data
+    removed = store.vacuum("t", keep_last=2)                       # drops v0 manifest
+    assert removed == [0]
+    # v2 (the restore) must still read — its shared data dir survived
+    assert [r["val"] for r in store.read("t").collect()] == ["good"]
+    assert [r["val"] for r in store.read("t", version=1).collect()] == ["bad"]
