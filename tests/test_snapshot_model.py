@@ -59,6 +59,7 @@ ops_strategy = st.lists(
         ),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("vacuum"), st.none()),
+        st.tuples(st.just("restore"), st.integers(0, 100)),
     ),
     min_size=2,
     max_size=6,
@@ -103,6 +104,11 @@ def test_store_matches_model_over_operation_sequences(spark, tmp_path_factory, o
         elif op == "compact":
             v = store.compact("t", target_files=1)
             # layout-only: state unchanged
+        elif op == "restore":
+            retained = [m["version"] for m in store.history("t")]
+            target = retained[arg % len(retained)]
+            state = dict(versions[target])
+            v = store.restore("t", target)
         else:  # vacuum keeps last 2
             removed = store.vacuum("t", keep_last=2)
             assert removed == sorted(removed)
