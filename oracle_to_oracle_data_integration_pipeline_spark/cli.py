@@ -244,6 +244,38 @@ def cmd_compact(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot-store operations (sources/snapshots.py): history,
+    time-travel read, O(1) restore, and vacuum — the table-format
+    runbook verbs (Delta's DESCRIBE HISTORY / RESTORE / VACUUM) on
+    plain parquet."""
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import SnapshotStore
+
+    spark = get_spark(app_name="o2o_snapshot")
+    store = SnapshotStore(spark, args.root)
+    if args.action == "history":
+        for m in store.history(args.table):
+            print(f"v{m['version']}: parent={m['parent']} op={m['operation']}")
+        return 0
+    if args.action == "show":
+        df = store.read(args.table, version=args.version)
+        print(f"rows={df.count()} schema={df.schema.simpleString()}")
+        return 0
+    if args.action == "restore":
+        if args.version is None:
+            print("snapshot restore: --version required", file=sys.stderr)
+            return 1
+        v = store.restore(args.table, args.version)
+        print(f"restored {args.table} v{args.version} as v{v}")
+        return 0
+    if args.action == "vacuum":
+        removed = store.vacuum(args.table, keep_last=args.keep_last)
+        print(f"vacuumed versions: {removed}")
+        return 0
+    print(f"snapshot: unknown action {args.action}", file=sys.stderr)
+    return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="o2o-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -289,6 +321,16 @@ def main(argv: list[str] | None = None) -> int:
         help="range-cluster the rewrite on these columns (prunable footers)",
     )
     p5.set_defaults(fn=cmd_compact)
+
+    p6 = sub.add_parser(
+        "snapshot", help="snapshot-store history / show / restore / vacuum"
+    )
+    p6.add_argument("action", choices=["history", "show", "restore", "vacuum"])
+    p6.add_argument("--root", required=True, help="snapshot warehouse root")
+    p6.add_argument("--table", required=True)
+    p6.add_argument("--version", type=int, default=None)
+    p6.add_argument("--keep-last", type=int, default=2)
+    p6.set_defaults(fn=cmd_snapshot)
 
     args = ap.parse_args(argv)
     try:

@@ -194,3 +194,33 @@ def test_validate_checksum_catches_audit_column_drift(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "event_id=2 [changed]" in out
+
+
+def test_cli_snapshot_verbs(spark, tmp_path, capsys):
+    """history / show / restore / vacuum through the CLI against a
+    real store."""
+    from oracle_to_oracle_data_integration_pipeline_spark.cli import main
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.snapshots import SnapshotStore
+
+    root = str(tmp_path / "wh")
+    store = SnapshotStore(spark, root)
+    store.commit(spark.createDataFrame([(1, "a")], "id long, v string"), "t")
+    store.commit(spark.createDataFrame([(1, "b")], "id long, v string"), "t")
+
+    assert main(["snapshot", "history", "--root", root, "--table", "t"]) == 0
+    out = capsys.readouterr().out
+    assert "v0:" in out and "v1:" in out
+
+    assert main(["snapshot", "show", "--root", root, "--table", "t"]) == 0
+    assert "rows=1" in capsys.readouterr().out
+
+    assert main(
+        ["snapshot", "restore", "--root", root, "--table", "t", "--version", "0"]
+    ) == 0
+    assert "as v2" in capsys.readouterr().out
+    assert [r["v"] for r in store.read("t").collect()] == ["a"]
+
+    assert main(
+        ["snapshot", "vacuum", "--root", root, "--table", "t", "--keep-last", "2"]
+    ) == 0
+    assert "vacuumed versions: [0]" in capsys.readouterr().out
