@@ -17,7 +17,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.dq import (
     k_anonymity,
     profile_columns,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, md5_frac52, pround
 
 
 # -- qid: profile_docs ------------------------------------------------
@@ -144,3 +144,171 @@ ORACLE_SQL = {
     "dq_unique": SQL_DQ_UNIQUE,
     "k_anonymity": SQL_K_ANONYMITY,
 }
+
+
+# -- qid: k_generalize ---------------------------------------------------------
+
+KG_K = 25
+
+
+def q_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity GENERALIZATION (the fix, where `k_anonymity` is the
+    audit): walk a fixed generalization ladder over the quasi-
+    identifiers — level 0 (nation, balance/1000 band) → level 1
+    (nation, balance sign) → level 2 (region-of-5 nations, balance
+    sign) → level 3 (suppress all) — and report, per level, the
+    equivalence-class profile (classes, min/max class size) plus
+    which level is the MINIMAL one satisfying k={KG_K}. The standard
+    privacy-engineering decision table: publish at the chosen level,
+    anything finer re-identifies.
+
+    Scale: all ladder levels evaluate in ONE pass — the per-level
+    class profiles are unioned aggregates over the same scan (AQE
+    reuses the exchange), each a combinable count shuffle; the
+    chosen-level rule is a window over ≤4 rows.
+    """
+    from pyspark.sql import Window
+
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    levels = {
+        0: [F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 1000)],
+        1: [F.col("c_nationkey"), (F.col("c_acctbal") >= 0).cast("int")],
+        2: [F.floor(F.col("c_nationkey") / 5), (F.col("c_acctbal") >= 0).cast("int")],
+        3: [F.lit(0), F.lit(0)],
+    }
+    profs = None
+    for lvl, (q1, q2) in levels.items():
+        p = (
+            cu.groupBy(q1.alias("_q1"), q2.alias("_q2"))
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).alias("n_classes"),
+                F.min("sz").alias("min_class"),
+                F.max("sz").alias("max_class"),
+            )
+        )
+        profs = p if profs is None else profs.unionByName(p)
+    w = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        profs.withColumn("satisfies_k", (F.col("min_class") >= KG_K).cast("int"))
+        .withColumn(
+            "chosen",
+            (
+                (F.col("min_class") >= KG_K)
+                & F.coalesce(
+                    F.max(
+                        (F.col("min_class") >= KG_K).cast("int")
+                    ).over(w)
+                    == 0,
+                    F.lit(True),
+                )
+            ).cast("int"),
+        )
+    )
+
+
+SQL_K_GENERALIZE = f"""
+WITH l0 AS (
+  SELECT 0 AS level, count(*) AS n_classes, min(sz) AS min_class,
+         max(sz) AS max_class
+  FROM (SELECT count(*) AS sz FROM customer
+        GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT))
+),
+l1 AS (
+  SELECT 1, count(*), min(sz), max(sz)
+  FROM (SELECT count(*) AS sz FROM customer
+        GROUP BY c_nationkey, CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+),
+l2 AS (
+  SELECT 2, count(*), min(sz), max(sz)
+  FROM (SELECT count(*) AS sz FROM customer
+        GROUP BY CAST(floor(c_nationkey / 5) AS BIGINT),
+                 CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+),
+l3 AS (
+  SELECT 3, count(*), min(sz), max(sz)
+  FROM (SELECT count(*) AS sz FROM customer GROUP BY 'all', 'all')
+),
+profs AS (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+)
+SELECT level, n_classes, min_class, max_class,
+       CAST(CASE WHEN min_class >= {KG_K} THEN 1 ELSE 0 END AS INT)
+         AS satisfies_k,
+       CAST(CASE WHEN min_class >= {KG_K}
+                  AND coalesce(max(CASE WHEN min_class >= {KG_K} THEN 1 ELSE 0 END)
+                      OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING), 0) = 0
+            THEN 1 ELSE 0 END AS INT) AS chosen
+FROM profs
+"""
+
+
+# -- qid: dp_counts -------------------------------------------------------------
+
+DP_EPSILON = 1.0
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release mechanism: per-segment counts with
+    Laplace(1/ε) noise, ε={DP_EPSILON} — the ε-DP counting query. The
+    HARNESS substitutes the md5_frac52 uniform for the RNG (inverse-
+    CDF Laplace: −b·sign(u−½)·ln(1−2|u−½|)), which keeps the
+    mechanism's exact arithmetic checkable cross-engine; production
+    swaps ONE column for a secure-random uniform and everything else
+    — sensitivity-1 counting, the inverse CDF, the ε accounting —
+    is already the released shape. Complements the privacy surface's
+    k_anonymity/k_generalize (syntactic) and erasure_sweep
+    (deletion) with the statistical-release leg.
+
+    Scale: one combinable count shuffle; the noise is a per-GROUP
+    scalar expression (|segments| evaluations, not per-row).
+    """
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    b = 1.0 / DP_EPSILON
+    u = md5_frac52(F.concat(F.lit("dp:"), F.col("segment")))
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return per.select(
+        "segment",
+        "true_count",
+        pround(noise).alias("noise"),
+        pround(F.col("true_count") + noise).alias("released_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+SQL_DP_COUNTS = f"""
+WITH per AS (
+  SELECT o_orderpriority AS segment, count(*) AS true_count
+  FROM orders GROUP BY 1
+),
+n AS (
+  SELECT *,
+         CAST(('0x' || substr(md5('dp:' || segment), 1, 13)) AS BIGINT)
+           / CAST(power(16, 13) AS DOUBLE) - 0.5 AS c
+  FROM per
+)
+SELECT segment, true_count,
+       floor((-{1.0 / DP_EPSILON!r} * sign(c) * ln(1.0 - 2.0 * abs(c)))
+             * 1e6 + 0.5) / 1e6 AS noise,
+       floor((true_count + (-{1.0 / DP_EPSILON!r} * sign(c)
+              * ln(1.0 - 2.0 * abs(c)))) * 1e6 + 0.5) / 1e6
+         AS released_count,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
+FROM n
+"""
+
+QUERIES["k_generalize"] = q_k_generalize
+QUERIES["dp_counts"] = q_dp_counts
+ORACLE_SQL["k_generalize"] = SQL_K_GENERALIZE
+ORACLE_SQL["dp_counts"] = SQL_DP_COUNTS
