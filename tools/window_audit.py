@@ -58,6 +58,8 @@ WHITELIST = {
     "<=|days| rows",
     "survival_km": "risk-set/survival windows run over the DURATION "
     "HISTOGRAM: <=|distinct day-spans| rows",
+    "k_generalize": "chosen-level window runs over the LADDER table: "
+    "<=4 rows (one per generalization level)",
     "backfill_plan": "cumulative/total windows run over the per-DAY "
     "histogram: <=|days| rows",
     "rfm_segments": "three offset prefix-sums over per-measure value "
