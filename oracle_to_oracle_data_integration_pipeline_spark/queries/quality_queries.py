@@ -259,9 +259,16 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism's exact arithmetic checkable cross-engine; production
     swaps ONE column for a secure-random uniform and everything else
     — sensitivity-1 counting, the inverse CDF, the ε accounting —
-    is already the released shape. Complements the privacy surface's
-    k_anonymity/k_generalize (syntactic) and erasure_sweep
-    (deletion) with the statistical-release leg.
+    is already the released shape. A production RELEASE must also (a)
+    DROP the true_count and noise columns — co-releasing them (as this
+    checkable harness shape does) reveals the exact count, voiding the
+    DP guarantee — and (b) draw a FRESH secure-random uniform per
+    release: the md5-of-segment-name uniform here is deterministic, so
+    re-running would replay identical noise (an averaging attack needs
+    only the column swap to be per-release, not just cryptographic).
+    Complements the privacy surface's k_anonymity/k_generalize
+    (syntactic) and erasure_sweep (deletion) with the
+    statistical-release leg.
 
     Scale: one combinable count shuffle; the noise is a per-GROUP
     scalar expression (|segments| evaluations, not per-row).

@@ -525,14 +525,17 @@ def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        # drain condition = the STORE's own commit count (seed + one
-        # merge per 100-row batch = 11), not the query's progress
+        # drain condition = the STORE's published version (seed=v0 +
+        # one merge per 100-row batch = v10), not the query's progress
         # counters: numInputRows can report while a batch's merge is
-        # still in flight, and stop() would interrupt the commit —
-        # waiting on the postcondition itself is race-free
+        # still in flight, and stop() would interrupt the commit.
+        # The POINTER SWAP is the commit point, so poll latest_version
+        # — NOT history(): the final manifest lands just before the
+        # swap, and stopping in that window would leave _latest stale.
         deadline = _time.time() + 120
         while True:
-            if len(store.history("feed")) >= 11:
+            v = store.latest_version("feed")
+            if v is not None and v >= 10:
                 break
             if q.exception() is not None:
                 raise q.exception()
@@ -620,14 +623,25 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user EWMA: the ORDER-SENSITIVE recursion carried
     across 8 real micro-batches in ``applyInPandasWithState`` state
     (streaming/stateful.py ``ewma_state`` — one double per key). The
-    harness splits the fixture into 8 EVENT-TIME-RANGE files (ntile
-    over ts; written sequentially so modification times ascend) and
-    the file source consumes them oldest-first, so batches arrive in
-    event-time order — unlike stream_stateful's commutative totals,
-    an arbitrary split would NOT converge here, which is exactly what
-    this qid proves the state machinery handles. A correctly-ordered
+    harness splits the fixture into 8 EVENT-TIME-RANGE files (7
+    percentile_approx(ts) cut points + map-only range filters; written
+    sequentially so modification times ascend) and the file source
+    consumes them oldest-first, so batches arrive in event-time order
+    — unlike stream_stateful's commutative totals, an arbitrary split
+    would NOT converge here, which is exactly what this qid proves the
+    state machinery handles. Equal-ts rows always land in the same
+    file (cuts compare ts only), so cross-file event-time order is
+    total; within a batch the state kernel sorts. A correctly-ordered
     stream replays the identical IEEE op sequence as the batch kernel,
-    so the oracle is the batch list_reduce SQL, exact-hash-compared."""
+    so the oracle is the batch list_reduce SQL, exact-hash-compared.
+
+    Scale note: the previous splitter ranked the whole table through
+    an UNPARTITIONED ntile window (single-task sort — the exact
+    anti-pattern tools/window_audit.py exists to catch, hidden only
+    because streaming qids were excluded from the sweep). The
+    percentile cuts are one combinable sketch agg + a 7-value driver
+    literal (bounded control plane), and each file is a map-only
+    filtered scan."""
     from pyspark.sql import Window
 
     from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
@@ -644,12 +658,26 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         # 8 contiguous event-time ranges; file i+1 strictly later than
         # i, with explicit ascending mtimes + lexicographic names so
-        # the file source's replay order cannot tie-break randomly
-        w = Window.orderBy("ts", "event_id")
-        bucketed = src_df.withColumn("_b", F.ntile(8).over(w))
+        # the file source's replay order cannot tie-break randomly.
+        # Duplicate cuts (degenerate ts skew) just yield empty middle
+        # files, which drain as empty batches — order still holds.
+        cuts = src_df.select(
+            F.percentile_approx("ts", [i / 8.0 for i in range(1, 8)], 10000)
+        ).first()[0]
+        bounds = [(None, cuts[0])] + [
+            (cuts[i - 1], cuts[i]) for i in range(1, 7)
+        ] + [(cuts[6], None)]
+
+        def _slice(lo, hi):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("ts") > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("ts") <= F.lit(hi))
+            return src_df.where(cond)
+
         _write_ordered_stream_files(
-            [bucketed.where(F.col("_b") == i).drop("_b") for i in range(1, 9)],
-            stream_dir,
+            [_slice(lo, hi) for lo, hi in bounds], stream_dir
         )
         stream = normalize_events_ts(
             spark.readStream.schema(src_df.schema)

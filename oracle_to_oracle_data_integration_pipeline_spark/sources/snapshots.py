@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import os as _os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,8 +95,16 @@ class SnapshotStore:
         mdir = os.path.join(self._tdir(table), "_manifests")
         if not os.path.isdir(mdir):
             return []
+        # Only exact committed manifest names. An in-flight or
+        # crash-leftover '{N}.json.tmp' must be invisible here: parsing
+        # it would surface a phantom/duplicate version (and a
+        # JSONDecodeError on a half-written temp), and history() is
+        # polled concurrently with live commits (stream_snapshot_sink).
+        names = [
+            n for n in os.listdir(mdir) if re.fullmatch(r"\d+\.json", n)
+        ]
         out = []
-        for name in sorted(os.listdir(mdir), key=lambda n: int(n.split(".")[0])):
+        for name in sorted(names, key=lambda n: int(n.split(".")[0])):
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f))
         return out
@@ -183,6 +192,12 @@ class SnapshotStore:
                         shutil.rmtree(m["data_path"], ignore_errors=True)
                     os.remove(self._manifest_path(table, v))
                     removed.append(v)
+            # crash-leftover temp manifests are garbage once we hold
+            # the write lock (no in-flight commit can exist under it)
+            mdir = os.path.join(self._tdir(table), "_manifests")
+            for name in os.listdir(mdir):
+                if name.endswith(".tmp"):
+                    os.remove(os.path.join(mdir, name))
             return removed
 
     def compact(self, table: str, target_files: int = 4) -> int:
@@ -274,7 +289,17 @@ class SnapshotStore:
             if any(counts.values()):
                 qdir = _os.path.join(tdir, "_quarantine")
                 _os.makedirs(qdir, exist_ok=True)
-                _shutil.move(staged, _os.path.join(qdir, f"v{version}-rejected"))
+                # A rejected batch does NOT consume the version number,
+                # so a second rejection at the same version must land in
+                # a fresh directory — probe for a free attempt-suffixed
+                # name instead of letting shutil.move nest into an
+                # existing destination and mix forensic evidence.
+                dest = _os.path.join(qdir, f"v{version}-rejected")
+                attempt = 1
+                while _os.path.exists(dest):
+                    dest = _os.path.join(qdir, f"v{version}-rejected-{attempt}")
+                    attempt += 1
+                _shutil.move(staged, dest)
                 return False, None, counts
             data_path = _os.path.join(tdir, "data", f"v{version}")
             _os.makedirs(_os.path.dirname(data_path), exist_ok=True)

@@ -269,6 +269,51 @@ def test_restore_is_pointer_only_and_auditable(spark, store):
     assert [r["val"] for r in store.read("t", version=1).collect()] == ["BAD"]
 
 
+def test_history_ignores_inflight_tmp_and_foreign_files(spark, store):
+    """history() must see only committed '{N}.json' manifests: an
+    in-flight or crash-leftover '{N}.json.tmp' (possibly half-written)
+    or a foreign file must not surface phantom versions or parse
+    errors — history() is polled concurrently with live commits by
+    stream_snapshot_sink's drain loop."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "a", t1, None, "N")]), "t")  # v0
+    mdir = os.path.join(store.root, "t", "_manifests")
+    tmp = os.path.join(mdir, "1.json.tmp")
+    with open(tmp, "w") as f:
+        f.write('{"version')  # torn write mid-commit
+    with open(os.path.join(mdir, "notes.txt"), "w") as f:
+        f.write("not a manifest")
+    assert [m["version"] for m in store.history("t")] == [0]
+    # vacuum clears the crash-leftover temp (safe: it holds the write
+    # lock, so no commit can be in flight)
+    store.vacuum("t", keep_last=2)
+    assert not os.path.exists(tmp)
+    assert os.path.exists(os.path.join(mdir, "0.json"))
+
+
+def test_wap_double_rejection_distinct_quarantine(spark, store):
+    """A rejected batch doesn't consume the version number, so two
+    rejections at the same version must park in DISTINCT quarantine
+    directories (no nesting, no mixed forensic evidence)."""
+    t1 = TS(2024, 1, 1)
+    rules = {"null_val": F.col("val").isNull()}
+    bad = _rows(spark, [(2, None, t1, None, "N")])
+    ok1, _, _ = store.write_audit_publish(bad, "t", rules)
+    ok2, _, _ = store.write_audit_publish(bad, "t", rules)
+    assert not ok1 and not ok2
+    qdir = os.path.join(store.root, "t", "_quarantine")
+    entries = sorted(os.listdir(qdir))
+    assert entries == ["v0-rejected", "v0-rejected-1"]
+    # each quarantine dir holds its own staged files directly (no
+    # nested v0-rejected inside v0-rejected)
+    for e in entries:
+        files = os.listdir(os.path.join(qdir, e))
+        assert any(f.endswith(".parquet") for f in files)
+        assert not any(f.startswith("v0-rejected") for f in files)
+    # pointer never moved
+    assert store.latest_version("t") is None
+
+
 def test_vacuum_never_deletes_restore_shared_data(spark, store):
     """A restore commit shares a historical data dir; vacuuming away
     the ORIGINAL version must keep the shared directory alive because

@@ -68,6 +68,14 @@ WHITELIST = {
 }
 
 
+def _spec_is_unpartitioned(first_arg: str) -> bool:
+    # partitioned: "windowspecdefinition(col#1, ..., col ASC ..., specifiedwindowframe"
+    # unpartitioned: first element is an ordered expr or the frame itself
+    return first_arg.startswith("specifiedwindowframe") or bool(
+        re.search(r"(ASC|DESC) NULLS", first_arg)
+    )
+
+
 def unpartitioned_windows(plan: str) -> list[str]:
     """Window lines whose windowspecdefinition has no leading partition
     expressions (it starts with an ORDER BY expr or the frame spec)."""
@@ -79,15 +87,54 @@ def unpartitioned_windows(plan: str) -> list[str]:
         m = re.search(r"windowspecdefinition\((.*)$", ls)
         if not m:
             continue
-        inner = m.group(1)
-        # partitioned: "windowspecdefinition(col#1, ..., col ASC ..., specifiedwindowframe"
-        # unpartitioned: first element is an ordered expr or the frame itself
-        first = inner.split(",", 1)[0].strip()
-        if first.startswith("specifiedwindowframe") or re.search(
-            r"(ASC|DESC) NULLS", first
-        ):
+        first = m.group(1).split(",", 1)[0].strip()
+        if _spec_is_unpartitioned(first):
             hits.append(ls[:160])
     return hits
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """Format-agnostic variant for EXECUTED plan descriptions captured
+    from the SQL status store (streaming harnesses): scans every
+    windowspecdefinition occurrence regardless of how the surrounding
+    node is rendered."""
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\((.{0,200})", plan):
+        first = m.group(1).split(",", 1)[0].strip()
+        if _spec_is_unpartitioned(first):
+            hits.append("windowspecdefinition(" + m.group(1)[:140])
+    return hits
+
+
+def _max_execution_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    best = -1
+    for i in range(lst.size()):
+        best = max(best, lst.apply(i).executionId())
+    return best
+
+
+def _plans_since(spark, last_id: int) -> list[str]:
+    """Physical-plan descriptions of every SQL execution AFTER
+    ``last_id`` — for a streaming qid this is the full set of plans the
+    harness actually ran: fixture prep, every micro-batch, and the
+    post-drain shaping. Waits for the listener bus so late events are
+    counted."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:  # noqa: BLE001 - bus API drift: fall back to a beat
+        import time
+
+        time.sleep(2)
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > last_id:
+            out.append(e.physicalPlanDescription())
+    return out
 
 
 def main() -> int:
@@ -100,8 +147,38 @@ def main() -> int:
     reg = q.all_queries()
     unexpected, errs = [], []
     for qid, fn in reg.items():
-        if qid.startswith("stream_") or "pysource" in qid:
-            continue  # streaming harnesses: plans built per micro-batch
+        streaming = qid.startswith("stream_") or "pysource" in qid
+        if streaming:
+            # Streaming harnesses build their plans per micro-batch, so
+            # explain() on the returned (already-collected) DataFrame
+            # sees nothing. RUN the harness and audit every executed
+            # plan the SQL status store captured — fixture prep, each
+            # micro-batch, post-drain shaping (VERDICT r5 ask #3: this
+            # is the hole that hid stream_ewma's unpartitioned ntile
+            # splitter).
+            last_id = _max_execution_id(spark)
+            try:
+                fn(spark, SF_DIR)
+            except Exception as e:  # noqa: BLE001 - report, don't die mid-sweep
+                errs.append((qid, str(e).splitlines()[0][:120]))
+                continue
+            plans = _plans_since(spark, last_id)
+            if not plans:
+                # a harness that registered zero executions means the
+                # capture broke — a vacuously green audit is an error
+                errs.append((qid, "no executed plans captured"))
+                continue
+            hits, cart = [], False
+            for plan in plans:
+                hits.extend(unpartitioned_window_specs(plan))
+                cart = cart or "CartesianProduct" in plan
+            if hits and qid not in WHITELIST:
+                unexpected.append((qid, hits[0]))
+            elif hits:
+                print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
+            if cart:
+                unexpected.append((qid, "CartesianProduct in executed plan"))
+            continue
         try:
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 - report, don't die mid-sweep
