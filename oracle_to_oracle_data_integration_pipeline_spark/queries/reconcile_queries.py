@@ -859,3 +859,108 @@ GROUP BY 1, q.as_of
 
 QUERIES["bitemporal_asof"] = q_bitemporal_asof
 ORACLE_SQL["bitemporal_asof"] = SQL_BITEMPORAL_ASOF
+
+
+# -- qid: cdc_log_compaction -------------------------------------------
+
+CLC_KEYS = 400
+
+
+def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-to-checkpoint CDC log compaction: fold each key's
+    full op sequence (I/U/D, ordered by a unique capture sequence)
+    into its NET effect — the Kafka-compacted-topic / Debezium
+    batch-fold semantics that lets a consumer apply |keys| net ops
+    instead of replaying the whole log. Distinct from cdc_op_priority
+    (same-timestamp conflict RESOLUTION — which single op survives a
+    tie) and latest_per_key (latest ROW, no op algebra): compaction is
+    defined by the FIRST×LAST op pair —
+
+        first=I, last=D  →  'none'  (transient key: never existed at
+                                     either checkpoint — emit nothing
+                                     downstream)
+        first=I, last≠D  →  'I'     (created in the window)
+        first≠I, last=D  →  'D'     (pre-existing key deleted)
+        otherwise        →  'U'     (pre-existing key survives; covers
+                                     D→I re-insert, which downstream
+                                     must see as an update)
+
+    The log is synthesized from orders like cdc_op_priority's feed
+    (key = o_orderkey % {CLC_KEYS}, op = f(o_orderkey)), with
+    o_orderkey itself as the unique capture sequence — min_by/max_by
+    over a UNIQUE BIGINT sequence is the argmax-determinism idiom, and
+    op/price are never NULL so DuckDB arg_min/arg_max agree.
+
+    Scale shape: ONE combinable groupBy — min_by/max_by/count/min/max
+    all partial-aggregate map-side, so at 100 TB the shuffle carries
+    |keys| pre-folded rows, not the log. No window, no join: this is
+    the cheapest possible plan for the semantics, which is the point —
+    compaction must be cheaper than what it saves downstream."""
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_orderkey") % CLC_KEYS).alias("merge_key"),
+        F.col("o_orderkey").alias("seq"),
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        ).alias("op"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg = log.groupBy("merge_key").agg(
+        F.min_by("op", "seq").alias("first_op"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("price", "seq").alias("last_price"),
+        F.count(F.lit(1)).alias("n_ops_folded"),
+        F.min("seq").alias("seq_lo"),
+        F.max("seq").alias("seq_hi"),
+    )
+    net = (
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), F.lit("none")
+        )
+        .when(F.col("first_op") == "I", F.lit("I"))
+        .when(F.col("last_op") == "D", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return agg.select(
+        "merge_key",
+        "first_op",
+        "last_op",
+        net.alias("net_op"),
+        F.col("last_price").cast("double").alias("last_price"),
+        "n_ops_folded",
+        "seq_lo",
+        "seq_hi",
+    )
+
+
+SQL_CDC_LOG_COMPACTION = f"""
+WITH log AS (
+  SELECT o_orderkey % {CLC_KEYS} AS merge_key,
+         o_orderkey AS seq,
+         CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+agg AS (
+  SELECT merge_key,
+         arg_min(op, seq) AS first_op,
+         arg_max(op, seq) AS last_op,
+         arg_max(price, seq) AS last_price,
+         count(*) AS n_ops_folded,
+         min(seq) AS seq_lo,
+         max(seq) AS seq_hi
+  FROM log GROUP BY 1
+)
+SELECT merge_key, first_op, last_op,
+       CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'none'
+            WHEN first_op = 'I' THEN 'I'
+            WHEN last_op = 'D' THEN 'D'
+            ELSE 'U' END AS net_op,
+       CAST(last_price AS DOUBLE) AS last_price,
+       n_ops_folded, seq_lo, seq_hi
+FROM agg
+"""
+
+QUERIES["cdc_log_compaction"] = q_cdc_log_compaction
+ORACLE_SQL["cdc_log_compaction"] = SQL_CDC_LOG_COMPACTION

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, pround
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+    epoch_seconds,
+    load,
+    pround,
+)
 
 
 # -- qid: label_propagation -----------------------------------------------
@@ -377,3 +381,105 @@ LIMIT {JP_TOP}
 
 QUERIES["journey_paths"] = q_journey_paths
 ORACLE_SQL["journey_paths"] = SQL_JOURNEY_PATHS
+
+
+# -- qid: pattern_match (MATCH_RECOGNIZE-lite CEP) ---------------------
+
+PM_WINDOW_S = 3 * 86400   # each hop must land within 3 days of the next
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event-sequence detection (complex-event-processing
+    / MATCH_RECOGNIZE-lite): per user, count purchases that complete a
+    view → click → purchase chain where EACH hop happens within
+    {PM_WINDOW_S}s of the next — the conversion-attribution pattern
+    neither event_transitions (adjacent bigrams, no time bound) nor
+    journey_paths (fixed opening prefix) nor events_funnel
+    (first-ever-timestamps, unbounded) expresses.
+
+    Semantics are defined on the integer-second timeline
+    (unix_timestamp ≙ floor(epoch(ts)) — the engines' shared
+    granularity) with STRICT precedence: a click at second s qualifies
+    if a view exists in [s−W, s−1]; a purchase at second s matches if
+    a qualified click exists in [s−W, s−1]. Same-second hops do NOT
+    chain (peer rows sit outside the −1 frame edge on both engines),
+    so the result is tie-order-independent — no tiebreak column
+    needed.
+
+    Scale shape: two stacked time-RANGE windows, both keyed by
+    user_id — ONE hash shuffle total (the second window and the final
+    per-user aggregate reuse the first's partitioning), each frame a
+    bounded W-second slice. No self-join: the naive pattern-join
+    (events ⋈ events ⋈ events on time predicates) would be a range
+    join the optimizer can't hash; the window form is O(n) per user
+    ordered scan — the same reformulation streaming CEP engines
+    compile patterns into."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-PM_WINDOW_S, -1)
+    )
+    qclick = (
+        (F.col("event_type") == "click")
+        & (F.max(F.when(F.col("event_type") == "view", 1)).over(w) == 1)
+    )
+    s1 = e.withColumn("qclick", qclick.cast("int"))
+    matched = (
+        (F.col("event_type") == "purchase")
+        & (F.max(F.when(F.col("qclick") == 1, 1)).over(w) == 1)
+    )
+    s2 = s1.withColumn("is_match", matched.cast("int"))
+    return (
+        s2.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.sum("is_match").alias("n_matched"),
+        )
+        .where(F.col("n_purchases") > 0)
+    )
+
+
+SQL_PATTERN_MATCH = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+s1 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click'
+                   AND max(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+                     PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {PM_WINDOW_S} PRECEDING AND 1 PRECEDING
+                   ) = 1
+              THEN 1 ELSE 0 END AS qclick
+  FROM e
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase'
+                   AND max(CASE WHEN qclick = 1 THEN 1 END) OVER (
+                     PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {PM_WINDOW_S} PRECEDING AND 1 PRECEDING
+                   ) = 1
+              THEN 1 ELSE 0 END AS is_match
+  FROM s1
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(sum(is_match) AS BIGINT) AS n_matched
+FROM s2
+GROUP BY user_id
+HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+"""
+
+QUERIES["pattern_match"] = q_pattern_match
+ORACLE_SQL["pattern_match"] = SQL_PATTERN_MATCH

@@ -1029,3 +1029,42 @@ def test_phrase_search_term_filters_before_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the tok = 'hash' / 'join' filters sit below the join
     assert p.count("= hash)") + p.count("= hash )") + p.count("tok#") >= 1
+
+
+def test_pattern_match_single_keyed_exchange(spark, sf_dir):
+    """The CEP chain (two stacked time-RANGE windows + the per-user
+    aggregate) must share ONE user_id hash exchange — the whole
+    pattern costs one shuffle, which is why the window reformulation
+    beats the naive events x events x events range join. Both windows
+    must be keyed (the unpartitioned case is the window_audit hazard
+    class)."""
+    p = plan_str(spark, sf_dir, "pattern_match")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+        assert "user_id" in frag, frag
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_log_compaction_one_combinable_shuffle(spark, sf_dir):
+    """Compaction must be ONE map-side-combinable aggregation: a
+    single merge_key exchange carrying pre-folded partials
+    (partial_min_by/partial_max_by visible in the plan), zero windows,
+    zero joins — at 100 TB the shuffle ships |keys| rows, not the
+    log."""
+    p = plan_str(spark, sf_dir, "cdc_log_compaction")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "partial_min_by" in p and "partial_max_by" in p, p[:2000]
+    assert p.count("Window [") == 0
+    assert "Join" not in p
+
+
+def test_filtered_ann_predicate_pushed_to_scan(spark, sf_dir):
+    """The metadata predicate must reach the parquet scan as an In
+    pushdown (row-group pruning BEFORE any vector math — the point of
+    pre-filter ANN), the query set and recall scalar must ride
+    broadcasts, and nothing may plan as CartesianProduct (the unkeyed
+    broadcasts are BroadcastNestedLoopJoin by design)."""
+    p = plan_str(spark, sf_dir, "filtered_ann")
+    assert "PushedFilters: [In(label, [0,2,4,6,8" in p, p[:2000]
+    assert p.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in p
