@@ -115,8 +115,20 @@ def run_audit(qids: list[str], out_path: str) -> list[dict]:
                 rec[f"{k}_ratio"] = round(big / small, 2) if small > 0 else None
         results.append(rec)
         print(f"  {qid}: {rec.get('shuffle_write_ratio')}", file=sys.stderr)
+    # MERGE into the existing record: a targeted --qids run must
+    # update/append its qids, never clobber the full audit history
+    # (measured rows for every other qid would silently vanish)
+    merged = results
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            fresh = {r["qid"] for r in results}
+            merged = [r for r in prior if r["qid"] not in fresh] + results
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass  # corrupt prior record: replace it
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     return results
 
 
