@@ -566,3 +566,79 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
 }
+
+
+# -- qid: rolling_distinct --------------------------------------------
+
+RD_WINDOW_DAYS = 7
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {RD_WINDOW_DAYS}-day distinct users per day (rolling
+    WAU) — the metric SQL cannot express distributively, because
+    ``COUNT(DISTINCT) OVER (RANGE ...)`` is unsupported (and would be
+    a per-frame re-scan if it weren't). The distributed reformulation:
+
+      1. reduce events to DAY-PARTIALS (distinct (day, user) pairs) —
+         one combinable hash-distinct, the only pass over raw events;
+      2. each partial contributes to the {RD_WINDOW_DAYS} as-of days
+         it is visible from (a sequence explode — ×{RD_WINDOW_DAYS}
+         on the PARTIAL table, never on raw events);
+      3. count distinct users per as-of day; u1 (same-day actives)
+         rides the SAME aggregation as a conditional distinct over the
+         off=0 rows, which also marks which as-of days really exist
+         (u1>0 prunes the ghost tail past the last day) — one scan,
+         one pipeline, no second events pass and no join.
+
+    At 100 TB step 1 bounds everything downstream: the explode and
+    final distinct run over |days|×|daily actives|, independent of
+    event volume. Swapping step 3's exact distinct for merged HLL
+    partials (the hll_distinct sketch) turns the same plan into the
+    sublinear production variant — the plan SHAPE is the operator.
+    Emits (asof_day, u1, u7): same-day and trailing distinct counts.
+    """
+    e = load(spark, sf_dir, "events")
+    dp = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    grid = dp.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(RD_WINDOW_DAYS - 1))
+        ).alias("off"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add("day", F.col("off")).alias("asof_day"),
+        "off",
+        "user_id",
+    )
+    return (
+        grid.groupBy("asof_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("u1"),
+            F.countDistinct("user_id").alias("u7"),
+        )
+        .where(F.col("u1") > 0)
+    )
+
+
+SQL_ROLLING_DISTINCT = f"""
+WITH dp AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+grid AS (
+  SELECT day + CAST(off AS INTEGER) AS asof_day, off, user_id
+  FROM dp, unnest(generate_series(0, {RD_WINDOW_DAYS - 1})) AS t(off)
+)
+SELECT asof_day,
+       count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS u1,
+       count(DISTINCT user_id) AS u7
+FROM grid
+GROUP BY 1
+HAVING count(DISTINCT CASE WHEN off = 0 THEN user_id END) > 0
+"""
+
+QUERIES["rolling_distinct"] = q_rolling_distinct
+ORACLE_SQL["rolling_distinct"] = SQL_ROLLING_DISTINCT

@@ -1068,3 +1068,20 @@ def test_filtered_ann_predicate_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters: [In(label, [0,2,4,6,8" in p, p[:2000]
     assert p.count("BroadcastNestedLoopJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_rolling_distinct_explodes_partials_not_events(spark, sf_dir):
+    """The x7 day-grid explode must sit ABOVE the day-partial distinct
+    (explode of |days|x|daily actives| pairs, never of raw events),
+    the whole metric must ride ONE events scan (u1 shares the
+    aggregation via conditional distinct — no second pass, no join),
+    and the dual count-distinct compiles to one Expand."""
+    p = plan_str(spark, sf_dir, "rolling_distinct")
+    assert p.count("FileScan parquet") + p.count("Scan parquet") >= 1
+    assert p.count("Generate explode") == 1
+    # explode consumes the exchange-backed distinct, not the scan:
+    # the scan-side exchange on (day, user_id) appears BELOW Generate
+    gen = p.index("Generate explode")
+    assert "Exchange hashpartitioning" in p[gen:], "explode not above the partial distinct"
+    assert p.count("Expand") == 1
+    assert "Join" not in p
