@@ -214,6 +214,89 @@ FROM words, unnest(generate_series(1, len(ws))) AS t(pos)
 """
 
 
+# -- qid: pandas_grouped_agg (Arrow grouped-AGGREGATE UDAF surface) ----
+
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-AGGREGATE quarter of the §2.10 pandas surface (the
+    others: scalar_pandas_udf, grouped_rank_pandas/applyInPandas,
+    ewma_smooth/mapInPandas): a ``pandas_udf`` UDAF — whole group in
+    as Series, ONE scalar out — computing the 10%-trimmed mean
+    account balance per market segment, a fold builtins can't express
+    (the trim boundary needs the group's own order statistics).
+
+    Determinism contract: balances quantize to exact integer CENTS
+    before anything else (the integer-quantization idiom), the trim
+    selects by (cents, custkey) total order, and the only double op is
+    the final single IEEE division of two exact integers — bit-equal
+    on any engine. Type hints are attached via ``__annotations__``
+    (the module's ``from __future__ import annotations`` stringifies
+    inline hints, which pandas_udf eval-type inference can't resolve
+    for function-local imports).
+
+    Scale shape: AggregateInPandas ships each group's rows to its
+    reducer — NO partial aggregation (the API's inherent cost, unlike
+    combinable builtins; this surface is for folds that genuinely
+    need the whole group). Groups here are the 5 segments; a
+    high-cardinality key would make the same plan a skew risk —
+    that trade-off is the thing this qid documents."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_mean(cents, key):
+        df = pd.DataFrame({"c": cents, "k": key}).sort_values(["c", "k"])
+        n = len(df)
+        k = n // 10
+        sel = df["c"].iloc[k : n - k]
+        return float(int(sel.sum())) / len(sel)
+
+    _trimmed_mean.__annotations__ = {
+        "cents": pd.Series, "key": pd.Series, "return": float,
+    }
+
+    def _group_size(cents):
+        return len(cents)
+
+    _group_size.__annotations__ = {"cents": pd.Series, "return": int}
+
+    trimmed_mean = pandas_udf(_trimmed_mean, "double")
+    group_size = pandas_udf(_group_size, "long")
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        group_size(F.col("cents")).alias("n_customers"),
+        trimmed_mean(F.col("cents"), F.col("c_custkey")).alias(
+            "trimmed_mean_bal"
+        ),
+    )
+
+
+SQL_PANDAS_GROUPED_AGG = """
+WITH c AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM c
+),
+t AS (
+  SELECT seg, n, cents FROM r
+  WHERE rn > n // 10 AND rn <= n - n // 10
+)
+SELECT seg AS c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS DOUBLE) / count(*) AS trimmed_mean_bal
+FROM t GROUP BY 1
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -221,6 +304,7 @@ QUERIES = {
     "grouped_rank_pandas": q_grouped_rank_pandas,
     "scalar_pandas_udf": q_scalar_pandas_udf,
     "python_udtf": q_python_udtf,
+    "pandas_grouped_agg": q_pandas_grouped_agg,
 }
 
 ORACLE_SQL = {
@@ -230,4 +314,5 @@ ORACLE_SQL = {
     "grouped_rank_pandas": SQL_GROUPED_RANK,
     "scalar_pandas_udf": SQL_SCALAR_PANDAS_UDF,
     "python_udtf": SQL_PYTHON_UDTF,
+    "pandas_grouped_agg": SQL_PANDAS_GROUPED_AGG,
 }

@@ -122,6 +122,20 @@ class SnapshotStore:
         tdir = self._tdir(table)
         data_path = os.path.join(tdir, "data", f"v{version}")
         os.makedirs(os.path.join(tdir, "_manifests"), exist_ok=True)
+        # CRASH SELF-HEAL: a previous commit that died between the data
+        # write and the pointer swap leaves an orphaned data/v{N} (and
+        # possibly a complete-but-unpublished manifest) at exactly this
+        # version — without cleanup the errorifexists write below would
+        # fail FOREVER and wedge the table. Under the write lock,
+        # anything beyond the published pointer is by definition
+        # uncommitted garbage: no manifest <= prev can reference
+        # data/v{version} (data dirs are created only by the commit of
+        # that version), so removal is safe.
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        stale_manifest = self._manifest_path(table, version)
+        if os.path.exists(stale_manifest):
+            os.remove(stale_manifest)
         # 1. immutable data for the new version
         df.write.mode("errorifexists").parquet(data_path)
         # 2. manifest (readable only once fully written — written to a
@@ -198,6 +212,23 @@ class SnapshotStore:
             for name in os.listdir(mdir):
                 if name.endswith(".tmp"):
                     os.remove(os.path.join(mdir, name))
+            # orphan data sweep: a crashed commit can leave a data/v{N}
+            # no manifest references (the commit path self-heals its
+            # OWN version on retry, but an abandoned higher version or
+            # a crashed WAP publish would leak forever). Under the
+            # lock, any data dir outside the retained manifests'
+            # data_path set is unreachable — remove it. Ditto stale
+            # staging (never forensic, unlike _quarantine).
+            referenced = {m["data_path"] for m in self.history(table)}
+            ddir = os.path.join(self._tdir(table), "data")
+            if os.path.isdir(ddir):
+                for name in os.listdir(ddir):
+                    p = os.path.join(ddir, name)
+                    if p not in referenced:
+                        shutil.rmtree(p, ignore_errors=True)
+            sdir = os.path.join(self._tdir(table), "_staging")
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir, ignore_errors=True)
             return removed
 
     def compact(self, table: str, target_files: int = 4) -> int:
@@ -281,6 +312,17 @@ class SnapshotStore:
             version = 0 if prev is None else prev + 1
             tdir = self._tdir(table)
             staged = _os.path.join(tdir, "_staging", f"v{version}")
+            # crash self-heal (same argument as _commit_locked): a WAP
+            # run that died mid-stage or mid-publish leaves a staged
+            # and/or data dir at this unpublished version — clear both
+            # or the errorifexists stage / directory os.replace wedges
+            data_path = _os.path.join(tdir, "data", f"v{version}")
+            for stale in (staged, data_path):
+                if _os.path.exists(stale):
+                    _shutil.rmtree(stale)
+            stale_manifest = self._manifest_path(table, version)
+            if _os.path.exists(stale_manifest):
+                _os.remove(stale_manifest)
             df.write.mode("errorifexists").parquet(staged)
             back = self.spark.read.parquet(staged)
             counts = {

@@ -1085,3 +1085,15 @@ def test_rolling_distinct_explodes_partials_not_events(spark, sf_dir):
     assert "Exchange hashpartitioning" in p[gen:], "explode not above the partial distinct"
     assert p.count("Expand") == 1
     assert "Join" not in p
+
+
+def test_pandas_grouped_agg_is_arrow_aggregate(spark, sf_dir):
+    """The grouped-aggregate pandas UDAF must plan as the Arrow
+    aggregate operator (ArrowAggregatePython on Spark 4 /
+    AggregateInPandas on 3.x) over ONE group-key exchange — whole
+    groups ship to Python as Arrow batches, never row-at-a-time
+    (no BatchEvalPython anywhere)."""
+    p = plan_str(spark, sf_dir, "pandas_grouped_agg")
+    assert ("ArrowAggregatePython" in p) or ("AggregateInPandas" in p), p[:1500]
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p

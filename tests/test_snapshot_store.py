@@ -314,6 +314,70 @@ def test_wap_double_rejection_distinct_quarantine(spark, store):
     assert store.latest_version("t") is None
 
 
+def test_commit_self_heals_after_crashed_commit(spark, store):
+    """A commit that died AFTER writing data/v{N} (and possibly its
+    manifest) but BEFORE the pointer swap must not wedge the table:
+    the next commit at that version clears the uncommitted leftovers
+    and succeeds — otherwise the errorifexists data write fails
+    forever and the store needs manual surgery."""
+    t1 = TS(2024, 1, 1)
+    store.commit(_rows(spark, [(1, "v0", t1, None, "N")]), "t")  # v0
+    # simulate the crash: orphan data dir + complete unpublished manifest
+    orphan = os.path.join(store.root, "t", "data", "v1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    with open(os.path.join(store.root, "t", "_manifests", "1.json"), "w") as f:
+        json.dump({"table": "t", "version": 1, "parent": 0,
+                   "operation": "overwrite", "data_path": orphan}, f)
+    assert store.latest_version("t") == 0  # pointer never moved
+    v = store.commit(_rows(spark, [(2, "v1", t1, None, "N")]), "t")
+    assert v == 1
+    assert [r["val"] for r in store.read("t", version=1).collect()] == ["v1"]
+    assert not os.path.exists(os.path.join(orphan, "junk.parquet"))
+
+
+def test_wap_self_heals_after_crashed_stage(spark, store):
+    """A WAP run that died mid-stage (or after the staged→data rename)
+    leaves _staging/v{N} / data/v{N} at the unpublished version; the
+    next WAP at that version must clear them and publish cleanly."""
+    t1 = TS(2024, 1, 1)
+    rules = {"null_val": F.col("val").isNull()}
+    for stale_rel in ("_staging/v0", "data/v0"):
+        d = os.path.join(store.root, "t", stale_rel)
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.parquet"), "w") as f:
+            f.write("x")
+    ok, v, counts = store.write_audit_publish(
+        _rows(spark, [(1, "good", t1, None, "N")]), "t", rules
+    )
+    assert ok and v == 0 and counts == {"null_val": 0}
+    assert [r["val"] for r in store.read("t").collect()] == ["good"]
+
+
+def test_vacuum_sweeps_orphan_data_and_staging(spark, store):
+    """vacuum() must also reclaim data dirs no retained manifest
+    references (abandoned crashed versions) and stale _staging — while
+    never touching referenced data or the forensic _quarantine."""
+    t1 = TS(2024, 1, 1)
+    for i in range(3):
+        store.commit(_rows(spark, [(1, f"v{i}", t1, None, "N")]), "t")
+    tdir = os.path.join(store.root, "t")
+    orphan = os.path.join(tdir, "data", "v9")
+    os.makedirs(orphan)
+    os.makedirs(os.path.join(tdir, "_staging", "v9"))
+    qdir = os.path.join(tdir, "_quarantine", "v0-rejected")
+    os.makedirs(qdir)
+    removed = store.vacuum("t", keep_last=2)
+    assert removed == [0]
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(tdir, "_staging"))
+    assert os.path.isdir(qdir)  # forensic evidence untouched
+    # retained versions unaffected
+    assert [r["val"] for r in store.read("t", version=1).collect()] == ["v1"]
+    assert [r["val"] for r in store.read("t", version=2).collect()] == ["v2"]
+
+
 def test_vacuum_never_deletes_restore_shared_data(spark, store):
     """A restore commit shares a historical data dir; vacuuming away
     the ORIGINAL version must keep the shared directory alive because
