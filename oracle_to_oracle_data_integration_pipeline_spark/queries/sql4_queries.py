@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, pround, tune
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries.format_queries import _rt_dir
 
@@ -226,3 +226,117 @@ ORACLE_SQL = {
     "xml_roundtrip": SQL_XML_ROUNDTRIP,
     "listagg_order": SQL_LISTAGG_ORDER,
 }
+
+
+# -- qid: json_schema_infer ---------------------------------------------
+
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-schema inference over a semi-structured JSON column —
+    the schema-on-read governance profile (key → value type →
+    occurrence share) a pipeline needs BEFORE it can shred a feed
+    with drifting producers: which keys exist, how often, and whether
+    any key carries mixed types (the silent poison for a static
+    ``from_json`` schema). The fixture's own props column is
+    schema-stable, so the harness synthesizes the drift every real
+    JSON feed accumulates: an always-present number id, a
+    sometimes-present string status, a price that flips between
+    number and STRING-wrapped number (the classic producer
+    regression), and an occasional array.
+
+    Spark shape: keys explode via ``json_object_keys`` and each
+    value's type comes from ``schema_of_variant(variant_get(
+    parse_json(j), '$.'||key))`` — the binary VARIANT is built once
+    per row and every per-key probe reads it without re-parsing text;
+    engine-specific type names collapse to a canonical
+    {number,string,array,object,boolean,null} set on BOTH engines so
+    the differential compares semantics, not spellings.
+
+    Scale: one scan, one generate (rows × keys-per-row), one
+    combinable (key, type) aggregate, and a 1-row total broadcast for
+    the share — no window, nothing driver-side."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    j = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(', "status": "'), F.col("o_orderstatus"), F.lit('"'))
+               ).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(F.lit(', "price": "'), price, F.lit('"'))
+               ).otherwise(F.concat(F.lit(', "price": '), price)),
+        F.when(k % 7 == 0,
+               F.concat(F.lit(', "tags": ['), (k % 10).cast("string"),
+                        F.lit(", "), ((k + 1) % 10).cast("string"), F.lit("]"))
+               ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    docs = o.select(j.alias("j"))
+    typed = docs.select(
+        F.explode(F.json_object_keys("j")).alias("json_key"), "j"
+    ).withColumn(
+        "raw_type",
+        F.expr(
+            "schema_of_variant(variant_get(parse_json(j), concat('$.', json_key)))"
+        ),
+    )
+    vtype = (
+        F.when(F.col("raw_type").startswith("ARRAY"), "array")
+        .when(F.col("raw_type") == "STRING", "string")
+        .when(F.col("raw_type") == "BOOLEAN", "boolean")
+        .when(
+            F.col("raw_type").startswith("STRUCT")
+            | F.col("raw_type").startswith("OBJECT")
+            | F.col("raw_type").startswith("MAP"),
+            "object",
+        )
+        .when(F.col("raw_type").isin("VOID", "NULL"), "null")
+        .otherwise("number")
+    )
+    counts = typed.groupBy("json_key", vtype.alias("vtype")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return counts.join(F.broadcast(total)).select(
+        "json_key",
+        "vtype",
+        "n",
+        pround(F.col("n") / F.col("_total")).alias("share"),
+    )
+
+
+SQL_JSON_SCHEMA_INFER = """
+WITH docs AS (
+  SELECT '{"id": ' || o_orderkey
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN ', "status": "' || o_orderstatus || '"' ELSE '' END
+         || CASE WHEN o_orderkey % 5 = 0
+                 THEN ', "price": "' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '"'
+                 ELSE ', "price": ' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) END
+         || CASE WHEN o_orderkey % 7 = 0
+                 THEN ', "tags": [' || o_orderkey % 10 || ', ' || (o_orderkey + 1) % 10 || ']'
+                 ELSE '' END
+         || '}' AS j
+  FROM orders
+),
+typed AS (
+  SELECT k.json_key,
+         CASE json_type(j::JSON, '$.' || k.json_key)
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'ARRAY' THEN 'array'
+           WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'OBJECT' THEN 'object'
+           WHEN 'NULL' THEN 'null'
+           ELSE 'number'
+         END AS vtype
+  FROM docs, unnest(json_keys(j::JSON)) AS k(json_key)
+),
+total AS (SELECT count(*) AS t FROM docs)
+SELECT json_key, vtype, count(*) AS n,
+       floor((CAST(count(*) AS DOUBLE) / (SELECT t FROM total)) * 1e6 + 0.5)
+         / 1e6 AS share
+FROM typed
+GROUP BY 1, 2
+"""
+
+QUERIES["json_schema_infer"] = q_json_schema_infer
+ORACLE_SQL["json_schema_infer"] = SQL_JSON_SCHEMA_INFER

@@ -1097,3 +1097,16 @@ def test_pandas_grouped_agg_is_arrow_aggregate(spark, sf_dir):
     assert ("ArrowAggregatePython" in p) or ("AggregateInPandas" in p), p[:1500]
     assert p.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_json_schema_infer_stays_jvm_side(spark, sf_dir):
+    """Schema inference over VARIANT must never leave the JVM: the
+    parse_json/variant_get/schema_of_variant pipeline is whole-stage
+    expression work (zero Python eval nodes), with one generate, one
+    combinable (key, type) exchange, and the 1-row total broadcast."""
+    p = plan_str(spark, sf_dir, "json_schema_infer")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Generate explode") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert p.count("Window [") == 0
