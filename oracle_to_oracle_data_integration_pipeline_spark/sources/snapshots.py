@@ -76,6 +76,19 @@ class SnapshotStore:
             return None
 
     def manifest(self, table: str, version: int) -> dict:
+        # A manifest file can exist for a version that was never
+        # PUBLISHED (commit crashed between the manifest write and the
+        # pointer swap). The commit point is the pointer, so anything
+        # beyond it is uncommitted: refusing here keeps read()/
+        # changes()/history() from handing out a version whose data
+        # the next commit's self-heal may legitimately delete and
+        # re-write with different contents.
+        latest = self.latest_version(table)
+        if latest is None or version > latest:
+            raise FileNotFoundError(
+                f"version {version} of table {table!r} is not committed"
+                f" (latest published: {latest})"
+            )
         with open(self._manifest_path(table, version)) as f:
             return json.load(f)
 
@@ -100,8 +113,17 @@ class SnapshotStore:
         # it would surface a phantom/duplicate version (and a
         # JSONDecodeError on a half-written temp), and history() is
         # polled concurrently with live commits (stream_snapshot_sink).
+        # A COMPLETE manifest beyond the published pointer is equally
+        # uncommitted (crash between manifest write and pointer swap)
+        # — the pointer is the commit point, so it is filtered too.
+        latest = self.latest_version(table)
+        if latest is None:
+            return []
         names = [
-            n for n in os.listdir(mdir) if re.fullmatch(r"\d+\.json", n)
+            n
+            for n in os.listdir(mdir)
+            if re.fullmatch(r"\d+\.json", n)
+            and int(n.split(".")[0]) <= latest
         ]
         out = []
         for name in sorted(names, key=lambda n: int(n.split(".")[0])):
@@ -217,15 +239,24 @@ class SnapshotStore:
             # OWN version on retry, but an abandoned higher version or
             # a crashed WAP publish would leak forever). Under the
             # lock, any data dir outside the retained manifests'
-            # data_path set is unreachable — remove it. Ditto stale
-            # staging (never forensic, unlike _quarantine).
-            referenced = {m["data_path"] for m in self.history(table)}
+            # data_path set is unreachable — remove it. Liveness is
+            # decided by directory NAME, not raw path string: a
+            # manifest written through a relative root / symlinked
+            # mount spells the same physical dir differently, and a
+            # string compare would then condemn every LIVE version.
+            # Names are unique per table (v{N}), so this is exact.
+            referenced = {
+                os.path.basename(m["data_path"].rstrip("/"))
+                for m in self.history(table)
+            }
             ddir = os.path.join(self._tdir(table), "data")
             if os.path.isdir(ddir):
                 for name in os.listdir(ddir):
-                    p = os.path.join(ddir, name)
-                    if p not in referenced:
-                        shutil.rmtree(p, ignore_errors=True)
+                    if name not in referenced:
+                        shutil.rmtree(
+                            os.path.join(ddir, name), ignore_errors=True
+                        )
+            # Ditto stale staging (never forensic, unlike _quarantine).
             sdir = os.path.join(self._tdir(table), "_staging")
             if os.path.isdir(sdir):
                 shutil.rmtree(sdir, ignore_errors=True)
@@ -343,7 +374,8 @@ class SnapshotStore:
                     attempt += 1
                 _shutil.move(staged, dest)
                 return False, None, counts
-            data_path = _os.path.join(tdir, "data", f"v{version}")
+            # data_path computed once with the self-heal block above —
+            # heal and publish must always agree on the directory
             _os.makedirs(_os.path.dirname(data_path), exist_ok=True)
             _os.replace(staged, data_path)
             _os.makedirs(_os.path.join(tdir, "_manifests"), exist_ok=True)

@@ -331,6 +331,12 @@ def test_commit_self_heals_after_crashed_commit(spark, store):
         json.dump({"table": "t", "version": 1, "parent": 0,
                    "operation": "overwrite", "data_path": orphan}, f)
     assert store.latest_version("t") == 0  # pointer never moved
+    # the unpublished version is INVISIBLE until the pointer moves:
+    # neither history() nor time travel may hand out a version whose
+    # data the self-heal below is allowed to delete and re-write
+    assert [m["version"] for m in store.history("t")] == [0]
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        store.read("t", version=1)
     v = store.commit(_rows(spark, [(2, "v1", t1, None, "N")]), "t")
     assert v == 1
     assert [r["val"] for r in store.read("t", version=1).collect()] == ["v1"]

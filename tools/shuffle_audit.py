@@ -117,14 +117,26 @@ def run_audit(qids: list[str], out_path: str) -> list[dict]:
         print(f"  {qid}: {rec.get('shuffle_write_ratio')}", file=sys.stderr)
     # MERGE into the existing record: a targeted --qids run must
     # update/append its qids, never clobber the full audit history
-    # (measured rows for every other qid would silently vanish)
+    # (measured rows for every other qid would silently vanish). A
+    # fresh record REPLACES a prior one only when it actually carries
+    # measurements — a failed rerun (port clash, timeout) must not
+    # overwrite good measured evidence with an error-only stub.
+    def _has_data(r: dict) -> bool:
+        return "sf0.01" in r and "sf0.1" in r
+
     merged = results
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            fresh = {r["qid"] for r in results}
-            merged = [r for r in prior if r["qid"] not in fresh] + results
+            prior_qids = {r["qid"] for r in prior}
+            fresh = {r["qid"]: r for r in results}
+            merged = [
+                fresh[r["qid"]]
+                if r["qid"] in fresh and _has_data(fresh[r["qid"]])
+                else r
+                for r in prior
+            ] + [r for r in results if r["qid"] not in prior_qids]
         except (json.JSONDecodeError, KeyError, TypeError):
             pass  # corrupt prior record: replace it
     with open(out_path, "w") as f:
