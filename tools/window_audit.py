@@ -147,7 +147,11 @@ def main() -> int:
     reg = q.all_queries()
     unexpected, errs = [], []
     for qid, fn in reg.items():
-        streaming = qid.startswith("stream_") or "pysource" in qid
+        # pysource_changefeed is a BATCH read of the Python DataSource:
+        # it returns a lazy DataFrame (zero executions registered), so
+        # it takes the explain path; only true streaming harnesses
+        # (which drain queries internally) need run-and-capture
+        streaming = qid.startswith("stream_")
         if streaming:
             # Streaming harnesses build their plans per micro-batch, so
             # explain() on the returned (already-collected) DataFrame
