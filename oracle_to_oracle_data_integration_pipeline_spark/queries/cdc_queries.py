@@ -356,3 +356,67 @@ ORACLE_SQL = {
     "cdc_merge": SQL_CDC_MERGE,
     "merge_stats": SQL_MERGE_STATS,
 }
+
+
+# -- qid: scd3_dimension -----------------------------------------------
+
+def q_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-3 dimension maintenance: a delta of changed attribute
+    values folds into the dimension as (current, previous) COLUMNS —
+    the third member of the slowly-changing-dimension family the
+    engine now covers end-to-end (Type 1 = cdc_merge overwrite,
+    Type 2 = scd2_history validity rows, Type 3 = here: one prior
+    value retained in-row, the shape reporting marts use when only
+    "what changed since last load" matters and history depth 1 is the
+    requirement).
+
+    Delta simulation: customers with c_custkey % 7 = 0 move to a new
+    market segment ('SEG-' || custkey % 3). Unchanged keys keep
+    prev_segment NULL; a delta value EQUAL to the current one is NOT a
+    change (no-op guard — the same rule cdc_merge's attribution
+    uses). Emits (key, segment, prev_segment, is_changed).
+
+    Scale: one equi-join of dimension to delta — delta is small by
+    nature, so it broadcasts; no window, no shuffle of the dimension.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    delta = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG-"), (F.col("c_custkey") % 3).cast("string")).alias(
+                "new_segment"
+            ),
+        )
+    )
+    j = c.join(F.broadcast(delta), "c_custkey", "left")
+    changed = F.col("new_segment").isNotNull() & (
+        F.col("new_segment") != F.col("c_mktsegment")
+    )
+    return j.select(
+        "c_custkey",
+        F.when(changed, F.col("new_segment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(changed, F.col("c_mktsegment")).alias("prev_segment"),
+        changed.cast("int").alias("is_changed"),
+    )
+
+
+SQL_SCD3_DIMENSION = """
+WITH delta AS (
+  SELECT c_custkey, 'SEG-' || (c_custkey % 3) AS new_segment
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c.c_custkey,
+       CASE WHEN d.new_segment IS NOT NULL AND d.new_segment <> c.c_mktsegment
+            THEN d.new_segment ELSE c.c_mktsegment END AS segment,
+       CASE WHEN d.new_segment IS NOT NULL AND d.new_segment <> c.c_mktsegment
+            THEN c.c_mktsegment END AS prev_segment,
+       CAST(d.new_segment IS NOT NULL AND d.new_segment <> c.c_mktsegment
+            AS INT) AS is_changed
+FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey
+"""
+
+QUERIES["scd3_dimension"] = q_scd3_dimension
+ORACLE_SQL["scd3_dimension"] = SQL_SCD3_DIMENSION

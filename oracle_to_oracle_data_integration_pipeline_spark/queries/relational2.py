@@ -333,3 +333,81 @@ ORACLE_SQL = {
     "feature_bins": SQL_FEATURE_BINS,
     "feature_bins_sketch": SQL_FEATURE_BINS_SKETCH,
 }
+
+
+# -- qid: weighted_median ----------------------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median price per return flag, weighted by
+    quantity — the volume-weighted order statistic (e.g. the price at
+    which half the shipped units were cheaper) that plain
+    percentile() cannot express. No engine has a weighted-median
+    aggregate, so both sides compute the definition itself: order
+    values, accumulate weights, take the first value whose cumulative
+    weight reaches half the total (the lower weighted median).
+
+    Determinism contract: prices quantize to integer cents and
+    weights to integer units BEFORE anything else, the cumulative
+    order is the total order (cents, orderkey, linenumber), and the
+    threshold test is integer (2*cum >= total) — no doubles anywhere
+    until the final cents/100 emission.
+
+    Scale: one keyed window (cumulative weight, rows frame) + one
+    combinable min-struct aggregate over the qualifying suffix — the
+    same single shuffle latest_per_key pays; nothing global.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cum_w"),
+        F.sum("w").over(wtot).alias("tot_w"),
+    )
+    qual = cum.filter(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
+    return qual.groupBy("l_returnflag").agg(
+        (F.min("cents") / F.lit(100.0)).alias("weighted_median_price"),
+        F.max("tot_w").alias("total_weight"),
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH li AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM li
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         AS weighted_median_price,
+       CAST(max(tot_w) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cum_w >= tot_w
+GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_median"] = q_weighted_median
+ORACLE_SQL["weighted_median"] = SQL_WEIGHTED_MEDIAN

@@ -1110,3 +1110,24 @@ def test_json_schema_infer_stays_jvm_side(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
     assert p.count("Window [") == 0
+
+
+def test_scd3_dimension_broadcast_zero_shuffle(spark, sf_dir):
+    """Type-3 fold must be one broadcast join of the small delta onto
+    the dimension — ZERO exchanges, no window: the dimension is never
+    shuffled for a depth-1 attribute fold."""
+    p = plan_str(spark, sf_dir, "scd3_dimension")
+    assert p.count("BroadcastHashJoin") == 1
+    assert p.count("Exchange hashpartitioning") == 0, p[:1500]
+    assert p.count("Window [") == 0
+
+
+def test_weighted_median_single_keyed_shuffle(spark, sf_dir):
+    """Both windows (cumulative weight + group total) and the final
+    qualifying-suffix aggregate must share ONE flag-keyed exchange;
+    every window keyed (the audit hazard class)."""
+    p = plan_str(spark, sf_dir, "weighted_median")
+    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+        assert "l_returnflag" in frag, frag
+    assert "CartesianProduct" not in p
