@@ -364,11 +364,12 @@ def q_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-3 dimension maintenance: a delta of changed attribute
     values folds into the dimension as (current, previous) COLUMNS —
     the third member of the slowly-changing-dimension family the
-    engine now covers end-to-end (Type 1 = cdc_merge overwrite,
-    Type 2 = scd2_history validity rows, Type 3 = here: one prior
-    value retained in-row, the shape reporting marts use when only
-    "what changed since last load" matters and history depth 1 is the
-    requirement).
+    engine now covers end-to-end (Type 1 = cdc_merge overwrite — the
+    reference's only strategy, `/root/reference/scripts/03_cdc_etl.py`
+    MERGE with no history retention; Type 2 = scd2_history validity
+    rows; Type 3 = here: one prior value retained in-row, the shape
+    reporting marts use when only "what changed since last load"
+    matters and history depth 1 is the requirement).
 
     Delta simulation: customers with c_custkey % 7 = 0 move to a new
     market segment ('SEG-' || custkey % 3). Unchanged keys keep

@@ -885,6 +885,12 @@ def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      D→I re-insert, which downstream
                                      must see as an update)
 
+    Reference tie-in: the reference applies EVERY captured delta row
+    through its MERGE (`/root/reference/scripts/03_cdc_etl.py:145-161`
+    — per-row work scales with log length); compaction is the standard
+    pre-pass that folds the log to |keys| net ops first, so the same
+    MERGE does checkpoint-equivalent work in one pass per key.
+
     The log is synthesized from orders like cdc_op_priority's feed
     (key = o_orderkey % {CLC_KEYS}, op = f(o_orderkey)), with
     o_orderkey itself as the unique capture sequence — min_by/max_by
