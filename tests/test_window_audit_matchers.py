@@ -1,0 +1,59 @@
+"""Unit tests for tools/window_audit.py's plan matchers — the
+tripwire's own logic needs pinning: a matcher regression would turn
+the whole 290-qid sweep vacuous without any test noticing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.window_audit import (
+    _spec_is_unpartitioned,
+    unpartitioned_window_specs,
+    unpartitioned_windows,
+)
+
+KEYED_LINE = (
+    "Window [sum(x#1L) windowspecdefinition(user_id#2L, ts#3L ASC NULLS FIRST, "
+    "specifiedwindowframe(RangeFrame, -86400, -1)) AS s#4L], [user_id#2L], [ts#3L ASC NULLS FIRST]"
+)
+GLOBAL_ORDERED_LINE = (
+    "Window [ntile(8) windowspecdefinition(ts#3L ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS b#5], "
+    "[ts#3L ASC NULLS FIRST]"
+)
+GLOBAL_FRAME_LINE = (
+    "Window [sum(x#1L) windowspecdefinition(specifiedwindowframe(RowFrame, "
+    "unboundedpreceding$(), currentrow$())) AS s#4L]"
+)
+
+
+def test_spec_first_arg_classification():
+    assert not _spec_is_unpartitioned("user_id#2L")
+    assert _spec_is_unpartitioned("ts#3L ASC NULLS FIRST")
+    assert _spec_is_unpartitioned("specifiedwindowframe(RowFrame")
+
+
+def test_line_matcher_on_explain_format():
+    plan = "\n".join(["+- " + KEYED_LINE, "   +- " + GLOBAL_ORDERED_LINE])
+    hits = unpartitioned_windows(plan)
+    assert len(hits) == 1 and "ntile" in hits[0]
+    assert unpartitioned_windows("+- " + GLOBAL_FRAME_LINE)
+
+
+def test_format_agnostic_matcher_on_executed_descriptions():
+    # status-store descriptions render the node differently (Arguments:
+    # lines, numbered nodes) — the format-agnostic scanner must still
+    # classify each windowspecdefinition occurrence
+    desc = (
+        "(12) Window\nArguments: [" + KEYED_LINE + "]\n"
+        "(13) Window\nArguments: [" + GLOBAL_ORDERED_LINE + "]\n"
+    )
+    hits = unpartitioned_window_specs(desc)
+    assert len(hits) == 1
+    assert "ts#3L ASC" in hits[0]
+    # a fully keyed description yields nothing
+    assert unpartitioned_window_specs("Arguments: [" + KEYED_LINE + "]") == []
