@@ -717,3 +717,106 @@ ORACLE_SQL = {
     "kl_divergence": SQL_KL_DIVERGENCE,
     "mann_whitney": SQL_MANN_WHITNEY,
 }
+
+
+# -- qid: quantile_normalize -------------------------------------------
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each customer's account balance
+    onto the SUPPLIER balance distribution of the same nation — the
+    distribution-transfer feature prep (bioinformatics' quantile
+    normalization / ML's quantile mapping) that robust_scale and
+    feature_bins can't express: the TARGET distribution is another
+    table's, not a parametric form.
+
+    Exact lower-interpolation semantics, engine-portable by integer
+    arithmetic end to end: both sides rank in integer cents with id
+    tiebreaks, the reference index is ((rn-1)·(m-1)) div (n-1)
+    (integer division — bit-equal everywhere; n=1 pins idx 0), and
+    doubles appear only in the final cents/100 emission. Nations
+    without suppliers drop (inner join — no reference distribution to
+    map onto; documented).
+
+    Scale: two nation-keyed rank windows + one (nation, idx) equi-join
+    — every window keyed, every join keyed; at 100 TB this is the
+    same two-shuffle shape as any keyed rank, and the reference side
+    can be pre-aggregated once and reused across features."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_suppkey"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("ref_cents"),
+    )
+    wc = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("nation")
+    ranked_c = c.select(
+        "c_custkey",
+        "nation",
+        "cents",
+        F.row_number().over(wc).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ws = Window.partitionBy("nation").orderBy("ref_cents", "s_suppkey")
+    wm = Window.partitionBy("nation")
+    ranked_s = s.select(
+        "nation",
+        "ref_cents",
+        F.row_number().over(ws).alias("ref_rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    # m lives on the supplier side, so the index expression evaluates
+    # post-join (nation-keyed equi-join; the idx match is a filter)
+    j = ranked_c.join(ranked_s, "nation")
+    j = j.filter(
+        F.col("ref_rn")
+        == F.when(F.col("n") == 1, F.lit(1)).otherwise(
+            F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1")
+        )
+    )
+    return j.select(
+        "c_custkey",
+        "nation",
+        (F.col("cents") / F.lit(100.0)).alias("orig_bal"),
+        (F.col("ref_cents") / F.lit(100.0)).alias("normalized_bal"),
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey AS nation,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+rc AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY nation ORDER BY cents, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM c
+),
+s AS (
+  SELECT s_nationkey AS nation, s_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS ref_cents
+  FROM supplier
+),
+rs AS (
+  SELECT nation, ref_cents,
+         row_number() OVER (PARTITION BY nation ORDER BY ref_cents, s_suppkey)
+           AS ref_rn,
+         count(*) OVER (PARTITION BY nation) AS m
+  FROM s
+)
+SELECT rc.c_custkey, rc.nation,
+       CAST(rc.cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS orig_bal,
+       CAST(rs.ref_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS normalized_bal
+FROM rc JOIN rs
+  ON rc.nation = rs.nation
+ AND rs.ref_rn = CASE WHEN rc.n = 1 THEN 1
+                      ELSE ((rc.rn - 1) * (rs.m - 1)) // (rc.n - 1) + 1 END
+"""
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+ORACLE_SQL["quantile_normalize"] = SQL_QUANTILE_NORMALIZE

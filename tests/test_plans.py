@@ -1131,3 +1131,14 @@ def test_weighted_median_single_keyed_shuffle(spark, sf_dir):
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
         assert "l_returnflag" in frag, frag
     assert "CartesianProduct" not in p
+
+
+def test_quantile_normalize_two_keyed_shuffles(spark, sf_dir):
+    """Distribution transfer must cost exactly the two nation-keyed
+    exchanges (one per side's rank windows, reused by the equi-join);
+    every window keyed, no cartesian."""
+    p = plan_str(spark, sf_dir, "quantile_normalize")
+    assert p.count("Exchange hashpartitioning") == 2, p[:1500]
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+        assert "nation" in frag, frag
+    assert "CartesianProduct" not in p
