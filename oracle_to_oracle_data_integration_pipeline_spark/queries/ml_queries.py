@@ -737,10 +737,17 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     without suppliers drop (inner join — no reference distribution to
     map onto; documented).
 
-    Scale: two nation-keyed rank windows + one (nation, idx) equi-join
-    — every window keyed, every join keyed; at 100 TB this is the
-    same two-shuffle shape as any keyed rank, and the reference side
-    can be pre-aggregated once and reused across features."""
+    Scale: the per-nation supplier COUNT m (25 rows at any SF) is
+    aggregated first and broadcast onto the customer side, so the
+    target index is computed BEFORE the probe and (nation, idx) is a
+    true equi-join key against (nation, ref_rn) — each customer row
+    hash-matches exactly one supplier row. The naive alternative
+    (join on nation alone, filter the index afterwards) evaluates
+    |customers_n| × |suppliers_n| pairs per nation — quadratic in SF
+    even though shuffle bytes stay linear; this shape is O(n) probe
+    work on the same two nation-keyed rank shuffles
+    (tests/test_plans.py pins the join keys, not just the exchange
+    count)."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_nationkey").alias("nation"),
@@ -760,22 +767,27 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wc).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    ws = Window.partitionBy("nation").orderBy("ref_cents", "s_suppkey")
-    wm = Window.partitionBy("nation")
-    ranked_s = s.select(
+    # per-nation supplier count: 25 rows at any SF — broadcast onto
+    # the customer side so the target index exists BEFORE the probe
+    m_per_nation = s.groupBy("nation").agg(F.count(F.lit(1)).alias("m"))
+    cidx = ranked_c.join(F.broadcast(m_per_nation), "nation").select(
+        "c_custkey",
         "nation",
+        "cents",
+        F.when(F.col("n") == 1, F.lit(1))
+        .otherwise(F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1"))
+        .alias("idx"),
+    )
+    ws = Window.partitionBy("nation").orderBy("ref_cents", "s_suppkey")
+    ranked_s = s.select(
+        F.col("nation").alias("s_nation"),
         "ref_cents",
         F.row_number().over(ws).alias("ref_rn"),
-        F.count(F.lit(1)).over(wm).alias("m"),
     )
-    # m lives on the supplier side, so the index expression evaluates
-    # post-join (nation-keyed equi-join; the idx match is a filter)
-    j = ranked_c.join(ranked_s, "nation")
-    j = j.filter(
-        F.col("ref_rn")
-        == F.when(F.col("n") == 1, F.lit(1)).otherwise(
-            F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1")
-        )
+    j = cidx.join(
+        ranked_s,
+        (cidx["nation"] == ranked_s["s_nation"])
+        & (cidx["idx"] == ranked_s["ref_rn"]),
     )
     return j.select(
         "c_custkey",
@@ -802,20 +814,26 @@ s AS (
          CAST(round(s_acctbal * 100) AS BIGINT) AS ref_cents
   FROM supplier
 ),
+m_per_nation AS (
+  SELECT nation, count(*) AS m FROM s GROUP BY nation
+),
+ci AS (
+  SELECT rc.c_custkey, rc.nation, rc.cents,
+         CASE WHEN rc.n = 1 THEN 1
+              ELSE ((rc.rn - 1) * (mp.m - 1)) // (rc.n - 1) + 1 END AS idx
+  FROM rc JOIN m_per_nation mp ON rc.nation = mp.nation
+),
 rs AS (
   SELECT nation, ref_cents,
          row_number() OVER (PARTITION BY nation ORDER BY ref_cents, s_suppkey)
-           AS ref_rn,
-         count(*) OVER (PARTITION BY nation) AS m
+           AS ref_rn
   FROM s
 )
-SELECT rc.c_custkey, rc.nation,
-       CAST(rc.cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS orig_bal,
+SELECT ci.c_custkey, ci.nation,
+       CAST(ci.cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS orig_bal,
        CAST(rs.ref_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS normalized_bal
-FROM rc JOIN rs
-  ON rc.nation = rs.nation
- AND rs.ref_rn = CASE WHEN rc.n = 1 THEN 1
-                      ELSE ((rc.rn - 1) * (rs.m - 1)) // (rc.n - 1) + 1 END
+FROM ci JOIN rs
+  ON ci.nation = rs.nation AND ci.idx = rs.ref_rn
 """
 
 QUERIES["quantile_normalize"] = q_quantile_normalize

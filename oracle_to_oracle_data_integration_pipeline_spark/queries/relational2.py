@@ -348,34 +348,47 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism contract: prices quantize to integer cents and
     weights to integer units BEFORE anything else, the cumulative
-    order is the total order (cents, orderkey, linenumber), and the
-    threshold test is integer (2*cum >= total) — no doubles anywhere
-    until the final cents/100 emission.
+    order is by cents alone (unique after the histogram fold), and
+    the threshold test is integer (2*cum >= total) — no doubles
+    anywhere until the final cents/100 emission.
 
-    Scale: one keyed window (cumulative weight, rows frame) + one
-    combinable min-struct aggregate over the qualifying suffix — the
-    same single shuffle latest_per_key pays; nothing global.
+    Scale: the partition key has only 3 distinct values, so a
+    row-level cumulative window would sort 1/3 of lineitem in each of
+    3 tasks — a hard parallelism ceiling that grows with SF. Instead
+    the weight mass is pre-aggregated into a (flag, cents)
+    value-frequency histogram (combinable, map-side partial — the
+    spearman_corr idiom): the cumulative window's input is bounded by
+    the integer-cents DOMAIN (measured 10.4M values in this data —
+    round(l_extendedprice*100) spans [90_068, 10_499_991]), not by
+    SF. Honest caveat: below ~sf1 cents are near-unique
+    (sf0.1: 583k distinct / 600k rows) so shuffle_records doesn't
+    visibly drop yet; the bound bites exactly where it matters — at
+    100 TB the window sorts <=10.4M histogram rows per flag instead
+    of hundreds of billions of raw rows, and the raw table never
+    shuffles on the 3-value key at any SF. The result is identical
+    because the row-level cumulative at the last row of a cents group
+    equals the histogram cumulative at that cents, and min(cents)
+    over qualifying rows only ever selects group boundaries.
     """
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
+    hist = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("hw"))
     wcum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtot = Window.partitionBy("l_returnflag")
-    cum = li.select(
+    cum = hist.select(
         "l_returnflag",
         "cents",
-        F.sum("w").over(wcum).alias("cum_w"),
-        F.sum("w").over(wtot).alias("tot_w"),
+        F.sum("hw").over(wcum).alias("cum_w"),
+        F.sum("hw").over(wtot).alias("tot_w"),
     )
     qual = cum.filter(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
     return qual.groupBy("l_returnflag").agg(
@@ -386,19 +399,23 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WEIGHTED_MEDIAN = """
 WITH li AS (
-  SELECT l_returnflag, l_orderkey, l_linenumber,
+  SELECT l_returnflag,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
          CAST(l_quantity AS BIGINT) AS w
   FROM lineitem
 ),
+hist AS (
+  SELECT l_returnflag, cents, sum(w) AS hw
+  FROM li GROUP BY l_returnflag, cents
+),
 cum AS (
   SELECT l_returnflag, cents,
-         sum(w) OVER (PARTITION BY l_returnflag
-                      ORDER BY cents, l_orderkey, l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         sum(hw) OVER (PARTITION BY l_returnflag
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_w,
-         sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
-  FROM li
+         sum(hw) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM hist
 )
 SELECT l_returnflag,
        CAST(min(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE)

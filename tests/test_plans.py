@@ -1122,23 +1122,40 @@ def test_scd3_dimension_broadcast_zero_shuffle(spark, sf_dir):
     assert p.count("Window [") == 0
 
 
-def test_weighted_median_single_keyed_shuffle(spark, sf_dir):
-    """Both windows (cumulative weight + group total) and the final
-    qualifying-suffix aggregate must share ONE flag-keyed exchange;
-    every window keyed (the audit hazard class)."""
+def test_weighted_median_histogram_shuffle(spark, sf_dir):
+    """The 3-value partition key must never see raw rows: the weight
+    mass folds into a (flag, cents) histogram FIRST (map-side partial
+    — the exchange that carries cents), and only the histogram flows
+    into the flag-keyed cumulative window. Exactly two exchanges,
+    both flag-keyed, one histogram-keyed; no join."""
     p = plan_str(spark, sf_dir, "weighted_median")
-    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
-    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+    frags = re.findall(r"Exchange hashpartitioning\(([^)]*)", p)
+    assert len(frags) == 2, p[:1500]
+    for frag in frags:
         assert "l_returnflag" in frag, frag
+    assert any("cents" in frag for frag in frags), frags
+    # the histogram fold is a real partial aggregate upstream of the
+    # window — raw lineitem rows never shuffle on the 3-value key
+    assert "partial_sum" in p, p[:1500]
+    assert "Join" not in p
     assert "CartesianProduct" not in p
 
 
-def test_quantile_normalize_two_keyed_shuffles(spark, sf_dir):
-    """Distribution transfer must cost exactly the two nation-keyed
-    exchanges (one per side's rank windows, reused by the equi-join);
-    every window keyed, no cartesian."""
+def test_quantile_normalize_index_equijoin(spark, sf_dir):
+    """Distribution transfer must probe on a TRUE (nation, idx) ==
+    (nation, ref_rn) equi-join — the target index computed on the
+    customer side pre-join from the broadcast per-nation supplier
+    count — never a nation-only join with the index match as a
+    post-join filter (that shape evaluates |c_n| x |s_n| pairs per
+    nation: quadratic in SF). Three nation-keyed exchanges (two rank
+    windows + the 25-row count agg); every window keyed, no
+    cartesian."""
     p = plan_str(spark, sf_dir, "quantile_normalize")
-    assert p.count("Exchange hashpartitioning") == 2, p[:1500]
-    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)", p):
+    frags = re.findall(r"Exchange hashpartitioning\(([^)]*)", p)
+    assert len(frags) == 3, p[:1500]
+    for frag in frags:
         assert "nation" in frag, frag
+    # the probe join's KEYS (not a filter) must pair idx with ref_rn
+    join_lines = [ln for ln in p.splitlines() if "Join [" in ln]
+    assert any("idx#" in ln and "ref_rn#" in ln for ln in join_lines), join_lines
     assert "CartesianProduct" not in p

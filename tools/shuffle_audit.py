@@ -131,12 +131,18 @@ def run_audit(qids: list[str], out_path: str) -> list[dict]:
                 prior = json.load(f)
             prior_qids = {r["qid"] for r in prior}
             fresh = {r["qid"]: r for r in results}
+            # _has_data gates the appended tail too: a failed FIRST
+            # run of a new qid must not land a data-less stub either
             merged = [
                 fresh[r["qid"]]
                 if r["qid"] in fresh and _has_data(fresh[r["qid"]])
                 else r
                 for r in prior
-            ] + [r for r in results if r["qid"] not in prior_qids]
+            ] + [
+                r
+                for r in results
+                if r["qid"] not in prior_qids and _has_data(r)
+            ]
         except (json.JSONDecodeError, KeyError, TypeError):
             pass  # corrupt prior record: replace it
     with open(out_path, "w") as f:
