@@ -530,17 +530,23 @@ WPCT_USERS = 20
 
 def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-statistic window functions (ntile / percent_rank /
-    cume_dist) over event values per type — the remaining ANSI window
-    rank family in one qid."""
+    cume_dist) over event values per (type, user) — the remaining
+    ANSI window rank family in one qid (round 7: key widened from
+    event_type alone — a 5-value key put 1/5 of events in each of 5
+    window tasks, the low-cardinality hazard tools/window_audit.py
+    matcher 3 now flags; user_id scales with SF)."""
     from pyspark.sql import Window
 
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
 
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < WPCT_USERS)
-    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("value"), F.col("event_id")
+    )
     return ev.select(
         "event_id",
         "event_type",
+        "user_id",
         F.ntile(4).over(w).alias("quartile"),
         pround(F.percent_rank().over(w), 6).alias("pct_rank"),
         pround(F.cume_dist().over(w), 6).alias("cume"),
@@ -548,13 +554,13 @@ def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_WINDOW_PERCENTILES = f"""
-SELECT event_id, event_type,
+SELECT event_id, event_type, user_id,
        CAST(ntile(4) OVER w AS INT) AS quartile,
        floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
        floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
 FROM events
 WHERE user_id < {WPCT_USERS}
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+WINDOW w AS (PARTITION BY event_type, user_id ORDER BY value, event_id)
 """
 
 

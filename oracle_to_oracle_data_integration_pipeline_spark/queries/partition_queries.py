@@ -94,24 +94,27 @@ ON c.k = s.k
 # -- qid: window_range_frame ------------------------------------------
 
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based, not row-based): count of same-status
-    orders within ±50000 of each order's price."""
+    """RANGE frame (value-based, not row-based): count of a customer's
+    own orders within ±50000 of each order's price (round 7: re-keyed
+    from o_orderstatus — a 3-value key put 1/3 of orders in each of 3
+    window tasks, the low-cardinality hazard tools/window_audit.py
+    matcher 3 now flags; o_custkey scales with SF)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_custkey")
         .orderBy(F.col("o_totalprice"))
         .rangeBetween(-50_000, 50_000)
     )
     return o.select(
         "o_orderkey",
-        "o_orderstatus",
+        "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_near_price"),
     )
 
 
 SQL_WINDOW_RANGE_FRAME = """
-SELECT o_orderkey, o_orderstatus,
-       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                       RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_near_price
 FROM orders WHERE o_orderkey % 37 = 0
 """

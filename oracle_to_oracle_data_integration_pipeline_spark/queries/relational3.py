@@ -165,12 +165,18 @@ FROM (
 # -- qid: window_analytics2 -------------------------------------------
 
 def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/first_value/lead in one pass, per
+    CUSTOMER (round 7: re-keyed from o_orderstatus — a 3-value key
+    put 1/3 of orders in each of 3 window tasks, the low-cardinality
+    hazard tools/window_audit.py matcher 3 now flags; o_custkey
+    scales with SF, so per-key input is each customer's own order
+    history)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_orderkey",
-        "o_orderstatus",
+        "o_custkey",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
@@ -180,15 +186,15 @@ def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_WINDOW_ANALYTICS2 = """
-SELECT o_orderkey, o_orderstatus,
+SELECT o_orderkey, o_custkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
-       first_value(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key,
        lead(o_orderkey, 1) OVER w AS next_key
 FROM orders WHERE o_custkey % 20 = 0
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
 
 

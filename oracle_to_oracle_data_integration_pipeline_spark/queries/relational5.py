@@ -233,12 +233,23 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline hints, which pandas_udf eval-type inference can't resolve
     for function-local imports).
 
-    Scale shape: AggregateInPandas ships each group's rows to its
-    reducer — NO partial aggregation (the API's inherent cost, unlike
-    combinable builtins; this surface is for folds that genuinely
-    need the whole group). Groups here are the 5 segments; a
-    high-cardinality key would make the same plan a skew risk —
-    that trade-off is the thing this qid documents."""
+    Scale shape — BOUNDED-GROUP-CARDINALITY CONTRACT: this qid exists
+    to demonstrate the §2.10 grouped-aggregate surface, and that API
+    ships each whole group to ONE reducer with NO partial aggregation
+    (the API's inherent cost, unlike combinable builtins). It is
+    therefore only legitimate when |rows per group| is bounded — here
+    it deliberately is NOT (each of the 5 segments holds ~1/5 of
+    customers, i.e. one reducer sees 20 TB of a 100 TB table), which
+    makes this the documented ANTI-PATTERN arm of the pair. Do not
+    copy this shape onto data that scales: the exact trimmed mean is
+    expressible with the distributed two-pass rank idiom
+    (operators/scale.distributed_rank — bucket histogram + per-bucket
+    offsets, every stage combinable), which is how gini_concentration
+    and rfm_segments compute order statistics over unbounded groups.
+    The window-audit lint (tools/window_audit.py matcher 3) flags
+    sub-32-cardinality WINDOW keys for exactly this hazard; grouped
+    pandas UDAFs sit outside Window nodes, so this docstring is the
+    guard."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -266,6 +277,9 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
+    # GUARD: 5-value group key -> whole-table-into-5-reducers. Kept
+    # ONLY as the §2.10 API demonstration (see docstring contract);
+    # scale-safe exact order statistics use distributed_rank instead.
     return c.groupBy("c_mktsegment").agg(
         group_size(F.col("cents")).alias("n_customers"),
         trimmed_mean(F.col("cents"), F.col("c_custkey")).alias(

@@ -585,10 +585,17 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          it is visible from (a sequence explode — ×{RD_WINDOW_DAYS}
          on the PARTIAL table, never on raw events);
       3. count distinct users per as-of day; u1 (same-day actives)
-         rides the SAME aggregation as a conditional distinct over the
-         off=0 rows, which also marks which as-of days really exist
-         (u1>0 prunes the ghost tail past the last day) — one scan,
-         one pipeline, no second events pass and no join.
+         rides the SAME aggregation as a conditional distinct over
+         the off=0 rows. The ghost tail the explode fabricates past
+         the last real day is pruned by an explicit asof_day <=
+         max(day) bound (1-row aggregate broadcast — the in-repo
+         scalar-bound idiom), NOT by u1>0: filtering on u1 would also
+         drop interior zero-activity days, which must still report
+         their trailing u7 (with u1=0). A day whose entire trailing
+         window is empty contributes no grid rows at all and is
+         absent from the output — inherent to the partial-explode
+         formulation; a calendar spine join would densify it if a
+         consumer needs explicit zeros.
 
     At 100 TB step 1 bounds everything downstream: the explode and
     final distinct run over |days|×|daily actives|, independent of
@@ -612,16 +619,19 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off",
         "user_id",
     )
-    return (
-        grid.groupBy("asof_day")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("off") == 0, F.col("user_id"))
-            ).alias("u1"),
-            F.countDistinct("user_id").alias("u7"),
-        )
-        .where(F.col("u1") > 0)
+    last_day = dp.agg(F.max("day").alias("max_day"))
+    counts = grid.groupBy("asof_day").agg(
+        F.countDistinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).alias("u1"),
+        F.countDistinct("user_id").alias("u7"),
     )
+    # ghost-tail prune: the explode fabricates as-of days past the
+    # last real day; bound by the 1-row max broadcast so interior
+    # zero-activity days keep their trailing u7 (u1=0)
+    return counts.join(
+        F.broadcast(last_day), counts["asof_day"] <= last_day["max_day"]
+    ).select("asof_day", "u1", "u7")
 
 
 SQL_ROLLING_DISTINCT = f"""
@@ -636,8 +646,8 @@ SELECT asof_day,
        count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS u1,
        count(DISTINCT user_id) AS u7
 FROM grid
+WHERE asof_day <= (SELECT max(day) FROM dp)
 GROUP BY 1
-HAVING count(DISTINCT CASE WHEN off = 0 THEN user_id END) > 0
 """
 
 QUERIES["rolling_distinct"] = q_rolling_distinct

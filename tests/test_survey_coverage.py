@@ -46,6 +46,22 @@ def test_every_qid_has_an_oracle():
     assert not rows_only, f"qids without oracles: {sorted(rows_only)}"
 
 
+def test_readme_qid_count_matches_registry():
+    """The README's 'N qids' line went stale twice (fixed at 288 in
+    9135b98, stale again at 291 by round 6) — derive it so it can't
+    drift a third time."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    text = open(readme).read()
+    m = re.search(r"(\d+) qids, all with DuckDB oracles", text)
+    assert m, "README qid-count line missing"
+    assert int(m.group(1)) == len(q.all_queries()), (
+        f"README says {m.group(1)} qids; registry holds {len(q.all_queries())}"
+    )
+
+
 def test_verify_first_entries_are_registered():
     """A typo in _VERIFY_FIRST silently drops a qid from the driver's
     priority window — every entry must be a registered qid, and none

@@ -44,6 +44,61 @@ def test_line_matcher_on_explain_format():
     assert unpartitioned_windows("+- " + GLOBAL_FRAME_LINE)
 
 
+def test_low_card_lint_flags_tiny_key_and_passes_scaling_key(spark):
+    """Matcher 3 end-to-end on live DataFrames: a keyed window whose
+    key measures under the threshold is flagged with its measured
+    cardinality; a >=threshold key is not; a GLOBAL window is matcher
+    1's job and must be skipped (not crash, not flag)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools.window_audit import low_card_window_keys
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("tiny"),
+        (F.col("id") % 500).alias("wide"),
+        F.col("id").alias("v"),
+    )
+    flagged = df.select(
+        F.sum("v").over(Window.partitionBy("tiny").orderBy("v")).alias("s")
+    )
+    hits, errors = low_card_window_keys(spark, flagged, threshold=32)
+    assert errors == []
+    assert len(hits) == 1 and hits[0][1] == 3, hits
+
+    ok = df.select(
+        F.sum("v").over(Window.partitionBy("wide").orderBy("v")).alias("s")
+    )
+    hits, errors = low_card_window_keys(spark, ok, threshold=32)
+    assert hits == [] and errors == []
+
+    global_w = df.select(
+        F.sum("v").over(Window.orderBy("v")).alias("s")
+    )
+    hits, errors = low_card_window_keys(spark, global_w, threshold=32)
+    assert hits == [] and errors == []
+
+
+def test_low_card_lint_dedupes_repeated_keys(spark):
+    """Two windows over the same key must probe once (one hit, not
+    two) — the sweep's cost model depends on it."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools.window_audit import low_card_window_keys
+
+    df = spark.range(100).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    w = Window.partitionBy("k").orderBy("v")
+    two = df.select(
+        F.sum("v").over(w).alias("a"),
+        F.row_number().over(w).alias("b"),
+        F.max("v").over(Window.partitionBy("k")).alias("c"),
+    )
+    hits, errors = low_card_window_keys(spark, two, threshold=32)
+    assert errors == []
+    assert len(hits) == 1 and hits[0][1] == 2, hits
+
+
 def test_format_agnostic_matcher_on_executed_descriptions():
     # status-store descriptions render the node differently (Arguments:
     # lines, numbered nodes) — the format-agnostic scanner must still

@@ -16,6 +16,23 @@
    scalar broadcasts, broadcast query sets, interval probes), which
    plan as BroadcastNestedLoopJoin, never CartesianProduct.
 
+3. LOW-CARDINALITY PARTITION KEYS (round-7, VERDICT r6 ask #4) — a
+   KEYED window whose key has O(1) distinct values is the hazard the
+   global-window scan can't see: hashpartitioning(k) with
+   |distinct k| < tasks is a parallelism ceiling exactly like an
+   empty spec, just spread over |distinct k| tasks instead of 1
+   (weighted_median's original 3-flag window shuffled ALL of lineitem
+   into 3 sorting tasks and no plan-text matcher caught it). The lint
+   walks every Window node in the optimized LOGICAL plan, re-executes
+   the window's child subtree at sf0.01 (LINT_SF_DIR), and measures
+   approx_count_distinct of the partition key tuple; keys measuring
+   below LOW_CARD_THRESHOLD=32 must be whitelisted WITH a stated
+   bound on the window's INPUT (a bounded input makes a bounded-key
+   window harmless — the histogram/cross-product/ladder cases).
+   Streaming harnesses are exempt from this check only because their
+   micro-batch child plans can't be rebuilt as DataFrames from the
+   status store; their window KEYS are still audited by matcher 1.
+
     python tools/window_audit.py          # exit 1 on unexpected hits
 """
 
@@ -66,6 +83,131 @@ WHITELIST = {
     "HISTOGRAMS (days/count/log-cents buckets, driver scale); each rank "
     "window itself is keyed by __bucket__ (operators/scale.distributed_rank)",
 }
+
+
+# qid -> why its sub-32-cardinality window key is bounded-input-safe.
+# Every entry must state the bound on the window's INPUT rows — a
+# low-cardinality key is only acceptable when (a) the partition it
+# pins cannot grow with SF (histograms, category cross products,
+# per-day aggregates, WindowGroupLimit map-side prunes), or (b) the
+# KEY's cardinality is a fixture artifact and scales with SF/corpus
+# in production (user_id: 150 at sf0.01 -> 1500 at sf0.1). The three
+# unbounded-input genuine traps the lint's first sweep caught
+# (window_analytics2 / window_range_frame / window_percentiles, all
+# keyed on 3-5-value status/type columns) were RE-KEYED to scaling
+# keys, not whitelisted.
+LOW_CARD_WHITELIST: dict[str, str] = {
+    # --- bounded window INPUT ---
+    "chi2_independence": "windows over the category cross product: |r|x|c| cells",
+    "forecast_backtest": "window runs over the DAILY aggregate: <=|days| rows per type",
+    "weighted_median": "window input is the (flag, cents) HISTOGRAM: bounded by "
+    "the integer-cents domain (~10.4M values), not SF",
+    "sql_interface": "rank runs over the (nation, year) revenue AGGREGATE: "
+    "25 rows per year",
+    "skyline_frontier": "__pid__ IS the physical partition id — cardinality = "
+    "cluster parallelism by construction; each partition contributes only its "
+    "monotone staircase",
+    "quantile_normalize": "per-nation rank is the operator's semantic grain "
+    "(25 nations is the DATA, not a chosen split); distributed_rank bucketing "
+    "(operators/scale) is the documented escape hatch if one nation outgrows "
+    "a task",
+    # --- WindowGroupLimit: rank<=k pruned to k rows per MAP partition
+    # before the shuffle, so per-key window input <= partitions x k ---
+    "cosine_topk": "rank<=k WindowGroupLimit-pruned map-side; key = probe "
+    "batch (grows with queries, not corpus); brute-force arm is the "
+    "documented verifier baseline",
+    "cosine_topk_lsh": "rank<=k WindowGroupLimit-pruned map-side; candidates "
+    "LSH-bucket-bounded; key = probe batch",
+    "filtered_ann": "rank<=k WindowGroupLimit-pruned map-side; candidates "
+    "IVF-cell-bounded; key = probe batch",
+    "ivf_topk": "rank<=k WindowGroupLimit-pruned map-side; candidates "
+    "IVF-cell-bounded; key = probe batch",
+    "knn_classify": "rank<=k WindowGroupLimit-pruned map-side; key = probe "
+    "batch",
+    "fuzzy_match": "rank<=k WindowGroupLimit-pruned map-side; key = probe "
+    "batch",
+    "grouped_topk": "rank<=k WindowGroupLimit-pruned map-side: per-key input "
+    "<= partitions x k",
+    "window_topk": "rank<=3 WindowGroupLimit-pruned map-side: per-key input "
+    "<= partitions x 3",
+    "kmv_distinct": "rank<=k WindowGroupLimit-pruned map-side: the window "
+    "sees <= partitions x k minimum hashes per type, never raw events",
+    "domain_cap": "rank<=cap WindowGroupLimit-pruned map-side; 20 sources is "
+    "fixture cardinality — real corpora key on registrable domain",
+    "stratified_sample": "per-stratum rank WindowGroupLimit-pruned map-side "
+    "to n rows per partition",
+    # --- fixture-cardinality keys: the KEY scales with SF/corpus ---
+    "gap_fill": "user_id scales with SF (sf0.01: 150, sf0.1: 1500); the <20 "
+    "filter is the qid's documented fixture bound on the LOCF grid",
+    "gap_fill_interp": "user_id scales with SF; the <20 filter is the qid's "
+    "documented fixture bound on the interpolation grid",
+    "ts_zscore": "user_id scales with SF (sf0.1: 1500 users)",
+    "rolling_median": "user_id scales with SF (sf0.1: 1500 users)",
+    "sessionize": "user_id scales with SF (sf0.1: 1500 users)",
+    "pack_sequences": "per-source cumsum is the operator's grain; 20 sources "
+    "is fixture cardinality — production packing keys on domain/shard, which "
+    "scales with the corpus",
+}
+
+LOW_CARD_THRESHOLD = 32
+LINT_SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _logical_windows(df):
+    """Every Window node in the DataFrame's optimized logical plan."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            out.append(node)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def low_card_window_keys(spark, df, threshold: int = LOW_CARD_THRESHOLD):
+    """(key_sql_tuple, n_distinct) for every keyed Window whose
+    partition key measures under ``threshold`` distinct values, plus
+    a list of keys the probe could not evaluate (reported, never
+    silently dropped). Global windows are matcher 1's job — skipped
+    here. The child subtree is re-executed via Dataset.ofRows, so the
+    measurement is the ACTUAL window input, not a base-table proxy."""
+    from pyspark.sql import DataFrame as PyDF
+    from pyspark.sql import functions as F
+
+    hits, errors, seen = [], [], set()
+    for w in _logical_windows(df):
+        ps = w.partitionSpec()
+        exprs = tuple(ps.apply(i).sql() for i in range(ps.size()))
+        if not exprs or exprs in seen:
+            continue
+        seen.add(exprs)
+        try:
+            child_jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, w.child()
+            )
+            child = PyDF(child_jdf, spark)
+            try:
+                proj = child.selectExpr(*exprs)
+            except Exception:  # noqa: BLE001 - retry unqualified
+                # Expression.sql() can emit subquery-alias-qualified
+                # names ("rev.yr") the re-parsed child can't resolve;
+                # the bare attribute name can
+                proj = child.selectExpr(
+                    *(e.rsplit(".", 1)[-1] for e in exprs)
+                )
+            n = (
+                proj.agg(F.approx_count_distinct(F.struct("*")).alias("n"))
+                .collect()[0]["n"]
+            )
+        except Exception as e:  # noqa: BLE001 - surface, don't hide
+            errors.append((exprs, str(e).splitlines()[0][:120]))
+            continue
+        if n < threshold:
+            hits.append((exprs, n))
+    return hits, errors
 
 
 def _spec_is_unpartitioned(first_arg: str) -> bool:
@@ -184,7 +326,8 @@ def main() -> int:
                 unexpected.append((qid, "CartesianProduct in executed plan"))
             continue
         try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 - report, don't die mid-sweep
             errs.append((qid, str(e).splitlines()[0][:120]))
             continue
@@ -195,6 +338,32 @@ def main() -> int:
             print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
         if "CartesianProduct" in plan:
             unexpected.append((qid, "CartesianProduct in plan"))
+        # matcher 3: low-cardinality keyed windows, measured on the
+        # ACTUAL window input at sf0.01 (cardinality is SF-dependent;
+        # the plan-construction SF above may be smaller). Gate on the
+        # logical plan we already have — only qids with KEYED windows
+        # pay the sf0.01 rebuild + probe
+        has_keyed = any(
+            w.partitionSpec().size() > 0 for w in _logical_windows(df)
+        )
+        if has_keyed:
+            try:
+                df01 = df if SF_DIR == LINT_SF_DIR else fn(spark, LINT_SF_DIR)
+                low, lerrs = low_card_window_keys(spark, df01)
+            except Exception as e:  # noqa: BLE001 - report, don't die
+                errs.append((qid, "low-card lint: " + str(e).splitlines()[0][:100]))
+                continue
+            for exprs, lerr in lerrs:
+                errs.append((qid, f"low-card probe failed for {exprs}: {lerr}"))
+            if low and qid not in LOW_CARD_WHITELIST:
+                key, n = low[0]
+                unexpected.append(
+                    (qid, f"LOW-CARD window key {key}: {n} distinct at sf0.01")
+                )
+            elif low:
+                print(
+                    f"ok (low-card whitelisted): {qid} — {LOW_CARD_WHITELIST[qid]}"
+                )
     for qid, err in errs:
         print(f"ERROR building {qid}: {err}")
     for qid, line in unexpected:
