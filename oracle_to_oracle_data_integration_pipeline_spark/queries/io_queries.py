@@ -499,8 +499,13 @@ def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.commit(base, "orders")
         store.merge(delta, "orders", ["o_orderkey"])
         feed = store.changes("orders", 0, 1, ["o_orderkey"])
-        rows = feed.collect()
-        return spark.createDataFrame(rows, feed.schema)
+        # the store dir dies in finally, so the feed must materialize
+        # first — DISTRIBUTED (executor blocks), never via collect:
+        # the feed is corpus-sized (46k rows at sf0.1, growing with
+        # SF), exactly the driver-collect growth tools/collect_audit.py
+        # exists to flag (round-7 find). Repeat-flatness under the
+        # checkpoint arm is pinned by tools/repeat_stability.py.
+        return feed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

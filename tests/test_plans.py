@@ -1073,9 +1073,11 @@ def test_filtered_ann_predicate_pushed_to_scan(spark, sf_dir):
 def test_rolling_distinct_explodes_partials_not_events(spark, sf_dir):
     """The x7 day-grid explode must sit ABOVE the day-partial distinct
     (explode of |days|x|daily actives| pairs, never of raw events),
-    the whole metric must ride ONE events scan (u1 shares the
-    aggregation via conditional distinct — no second pass, no join),
-    and the dual count-distinct compiles to one Expand."""
+    u1 shares the aggregation via conditional distinct (no second
+    grid pass), the dual count-distinct compiles to one Expand, and
+    the ghost-tail prune is the 1-ROW max-day broadcast (a
+    BroadcastNestedLoopJoin — the scalar-bound idiom), never a keyed
+    join or a second grid aggregation."""
     p = plan_str(spark, sf_dir, "rolling_distinct")
     assert p.count("FileScan parquet") + p.count("Scan parquet") >= 1
     assert p.count("Generate explode") == 1
@@ -1084,7 +1086,10 @@ def test_rolling_distinct_explodes_partials_not_events(spark, sf_dir):
     gen = p.index("Generate explode")
     assert "Exchange hashpartitioning" in p[gen:], "explode not above the partial distinct"
     assert p.count("Expand") == 1
-    assert "Join" not in p
+    # the only join is the 1-row bound broadcast
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") == 0
+    assert "CartesianProduct" not in p
 
 
 def test_pandas_grouped_agg_is_arrow_aggregate(spark, sf_dir):

@@ -40,6 +40,7 @@ DEFAULT_QIDS = [
     "bpe_encode",
     "neardup_resolve",
     "bfs_levels",           # localCheckpoints per BFS round
+    "snapshot_cdf",         # r7: feed localCheckpoints before the store dir dies
     "sql_ddl_roundtrip",    # catalog DDL + tempdir lifecycle per run
     "checksum_drill",       # collects flagged buckets mid-plan
     "stream_ewma",          # streaming harness: tempdir + memory sink per run
