@@ -60,6 +60,9 @@ SHOW = [
     ("k_anonymity", "one map-combinable count shuffle on the quasi-identifier tuple; violation filter runs on the aggregated class table"),
     ("scalar_pandas_udf", "ArrowEvalPython vectorized scalar UDF: one Python call per Arrow batch"),
     ("python_udtf", "ArrowEvalPythonUDTF lateral table function over the pruned, filter-pushed scan"),
+    # round-7 plan rewrites: the two r6-verdict scale findings fixed
+    ("weighted_median", "(flag, cents) histogram partial-agg BELOW the 3-value-key window: raw lineitem never shuffles on the low-cardinality key; window input bounded by the cents domain"),
+    ("quantile_normalize", "per-nation count broadcast onto the customer rank; probe is a true (nation, idx)=(nation, ref_rn) hash join — O(n), never per-nation pair evaluation"),
 ]
 
 
