@@ -67,8 +67,11 @@ def ols_per_key(
     Closed-form from five sufficient statistics, so the whole fit is
     one map-side-combinable aggregation — the canonical "don't collect
     the points, aggregate the moments" scale shape. ``x`` is re-based
-    to the per-key minimum first (one extra agg + broadcast-sized join)
-    so x² sums stay small enough for exact DECIMAL accumulation;
+    to the per-key minimum first (one extra agg + a join the planner
+    sizes itself — the x0 table has one row PER KEY, so it grows with
+    key cardinality and must not be hint-pinned to broadcast; r7
+    tools/broadcast_audit.py find) so x² sums stay small enough for
+    exact DECIMAL accumulation;
     without the re-base, epoch-seconds² sums exceed 2^53 and the
     partial-agg tree order would leak into the result bits.
 
@@ -77,7 +80,7 @@ def ols_per_key(
     """
     base = df.select(F.col(key).alias("k"), x.alias("x"), y.cast("double").alias("y"))
     x0 = base.groupBy("k").agg(F.min("x").alias("x0"))
-    j = base.join(F.broadcast(x0), "k").withColumn("dx", F.col("x") - F.col("x0"))
+    j = base.join(x0, "k").withColumn("dx", F.col("x") - F.col("x0"))
     agg = j.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dx").alias("sx"),

@@ -167,9 +167,10 @@ def q_late_dim_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: facts pre-aggregate per custkey (combinable — the shuffle
     carries one row per customer, not per order) BEFORE touching the
-    dimension; the dim join is then keyed customer-vs-customer (here
-    broadcast; at 100 TB a co-partitioned shuffle join), and the final
-    segment rollup is a 5-row aggregate.
+    dimension; the dim join is then keyed customer-vs-customer
+    (hint-free — stats broadcast it at fixture scale; at 100 TB the
+    planner picks the co-partitioned shuffle join a grown dim needs),
+    and the final segment rollup is a 5-row aggregate.
     """
     facts = (
         load(spark, sf_dir, "orders")
@@ -185,7 +186,7 @@ def q_late_dim_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
     )
     joined = facts.join(
-        F.broadcast(dim), facts.o_custkey == dim.c_custkey, "left"
+        dim, facts.o_custkey == dim.c_custkey, "left"
     )
     return (
         joined.select(

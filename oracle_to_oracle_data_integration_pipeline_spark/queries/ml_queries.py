@@ -343,7 +343,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the broadcast for a shuffle join — the shape holds."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+    items = li.join(pt, li.l_partkey == pt.p_partkey).select(
         F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
     )
     baskets = items.groupBy("ok").agg(

@@ -340,8 +340,11 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the NAIVE FULL REBUILD — hash equality IS the
     proof that incremental maintenance converges to the rebuild.
 
-    Scale shape: the delta joins touch |Δ| fact rows, not |A| — with
-    the dimension broadcast (as here) each is map-side. In production
+    Scale shape: the delta joins touch |Δ| fact rows, not |A|. The
+    dimension side is hint-free (r7 broadcast-audit find: the dim
+    GROWS with SF, so pinning it to broadcast OOMs at scale) — stats
+    broadcast it at fixture size, and at 100 TB the delta side is the
+    small one, which AQE then broadcasts instead. In production
     V_old is the stored view (one scan), not re-derived; the harness
     re-derives it because qids are stateless. n_delta counts the rows
     that arrived through a delta path — the write amplification the
@@ -356,7 +359,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_c = c.filter(F.col("c_custkey") % 89 == 0)
 
     def j(lhs, rhs, tag):
-        return lhs.join(F.broadcast(rhs), lhs.o_custkey == rhs.c_custkey).select(
+        return lhs.join(rhs, lhs.o_custkey == rhs.c_custkey).select(
             "o_totalprice", "c_mktsegment", F.lit(tag).alias("is_delta")
         )
 

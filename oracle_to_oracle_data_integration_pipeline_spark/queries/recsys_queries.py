@@ -184,10 +184,10 @@ def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c_ij")
     )
     scored = (
-        sym.join(F.broadcast(items), sym["i"] == items["item"])
+        sym.join(items, sym["i"] == items["item"])
         .drop("item")
         .withColumnRenamed("c_i", "ci")
-        .join(F.broadcast(items), sym["j"] == items["item"])
+        .join(items, sym["j"] == items["item"])
         .drop("item")
         .select(
             "i",

@@ -3,9 +3,13 @@ scalar/JSON/date functions (SURVEY.md §2.4-§2.8 "absent in reference"
 categories — the engine's native operator surface).
 
 Every query is declarative DataFrame/SQL so Catalyst owns the physical
-plan. Scale design notes per query in docstrings; dims (region, nation,
-customer at sf0.1) are broadcast explicitly where the size is known to
-be dim-like — at 100 TB the fact side never shuffles for those joins.
+plan. Scale design notes per query in docstrings. Broadcast policy
+(round 7, tools/broadcast_audit.py): only SF-CONSTANT sides (region,
+nation, 1-row bounds) carry explicit broadcast() hints — a hint is a
+promise the side never grows. SF-growing dims (customer, supplier,
+part) are hint-free: the stats-based planner broadcasts them at
+fixture scale (plan gates unchanged) and demotes them to shuffles at
+the scale where a forced broadcast would OOM executors.
 """
 
 from __future__ import annotations
@@ -64,16 +68,18 @@ GROUP BY l_returnflag, l_linestatus
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem with selective filters.
 
-    Scale: customer (dim, filtered on segment) broadcasts; orders ⋈
-    lineitem is the one real shuffle, on l_orderkey — both sides filter
-    before the join so AQE sizes the exchange from post-filter stats.
+    Scale: customer (filtered on segment) joins hint-free — stats
+    broadcast it at fixture scale, AQE re-decides when it outgrows
+    the threshold; orders ⋈ lineitem is the one real shuffle, on
+    l_orderkey — both sides filter before the join so AQE sizes the
+    exchange from post-filter stats.
     """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -99,9 +105,16 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-table star join.
 
-    Scale: region/nation/supplier/customer are dims → broadcast chain;
-    the only large shuffle is lineitem ⋈ orders on orderkey. Join order
-    written fact-first; Catalyst/AQE reorder freely.
+    Scale: region/nation are SF-CONSTANT dims → hinted broadcast (a
+    hint is a promise the side never grows — safe only for true
+    constants). supplier/customer GROW with SF, so they carry NO hint
+    (round 7, tools/broadcast_audit.py find): at fixture scale the
+    stats-based planner still broadcasts them (plan gate unchanged —
+    5 BroadcastHashJoin), and at 100 TB stats/AQE demote exactly
+    these two joins to shuffles instead of OOMing every executor on a
+    forced 1.5 B-row customer broadcast. The only always-large
+    shuffle is lineitem ⋈ orders on orderkey. Join order written
+    fact-first; Catalyst/AQE reorder freely.
     """
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -114,8 +127,8 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -201,7 +214,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key. Deterministic tiebreak on o_orderkey."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         j.withColumn("rnk", F.row_number().over(w))

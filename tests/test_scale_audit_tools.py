@@ -83,6 +83,27 @@ def test_skew_flags_hot_join_key_and_exempts_reducing_agg(spark):
     assert any(kind == "Aggregate" for kind, *_ in hits), hits
 
 
+def test_broadcast_audit_sees_hinted_sides_only(spark):
+    """hinted_broadcast_sides must return exactly the join sides pinned
+    by an explicit broadcast() hint — not stats-based auto-broadcasts
+    (those re-decide at real scale and are not the hazard) — and the
+    returned subtree must count the hinted side's rows."""
+    from tools.broadcast_audit import _count, hinted_broadcast_sides
+
+    fact = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dim = spark.range(77).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+
+    hinted = fact.join(F.broadcast(dim), "k")
+    sides = hinted_broadcast_sides(hinted)
+    assert len(sides) == 1
+    assert _count(spark, sides[0]) == 77
+
+    # the same join WITHOUT a hint may still plan as a broadcast join
+    # (stats), but must report zero HINTED sides
+    unhinted = fact.join(dim, "k")
+    assert hinted_broadcast_sides(unhinted) == []
+
+
 def test_skew_measures_window_partition_keys(spark):
     """A keyed window over a hot key must flag; a global window is
     window_audit matcher 1's job and must be skipped."""
