@@ -412,7 +412,14 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     acctbal drifted across a band boundary is missed by this single
     pass, which production handles with a UNION of blocking passes
     (documented recall behavior, not a bug — the oracle applies the
-    identical single pass).
+    identical single pass). Honest scale caveat (r7
+    tools/join_explosion_audit.py): (nation, band) has a CONSTANT
+    block count (~275), so this demo's pair space is |A|·|B|/275 —
+    quadratic with a small constant (measured 87× under 10× data).
+    Production blocking rules must carry entity-scaled cardinality
+    (exact name / email / phone-prefix passes, unioned), which keeps
+    per-block sizes bounded as the corpus grows; the scoring and
+    audit surface demonstrated here is unchanged under those rules.
 
     Determinism: weights are integer q12 (exact sums under any
     partial-agg tree); thresholds compare integers.

@@ -104,6 +104,41 @@ def test_broadcast_audit_sees_hinted_sides_only(spark):
     assert hinted_broadcast_sides(unhinted) == []
 
 
+def test_join_explosion_flags_quadratic_and_passes_linear(spark, monkeypatch):
+    """join_growth must flag a join whose output is quadratic in SF
+    (constant-cardinality key over two growing sides — the r6
+    quantile_normalize class) and pass a proper key equi-join whose
+    output is linear."""
+    import tools.join_explosion_audit as jx
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+
+    monkeypatch.setattr(jx, "SF_SMALL", "/root/testdata/sf0.001")
+    monkeypatch.setattr(jx, "SF_BIG", "/root/testdata/sf0.01")
+
+    def quadratic(s, sf_dir):
+        c = load(s, sf_dir, "customer").select(
+            (F.col("c_custkey") % 2).alias("k"), "c_acctbal"
+        )
+        c2 = load(s, sf_dir, "customer").select(
+            (F.col("c_custkey") % 2).alias("k"), F.col("c_acctbal").alias("b2")
+        )
+        return c.join(c2, "k")
+
+    hits, errors = jx.join_growth(spark, quadratic, ratio_limit=30, min_rows=5000)
+    assert errors == []
+    assert len(hits) == 1, hits
+    _, small, big = hits[0]
+    assert big >= 30 * small
+
+    def linear(s, sf_dir):
+        c = load(s, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        o = load(s, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        return o.join(c, o.o_custkey == c.c_custkey)
+
+    hits, errors = jx.join_growth(spark, linear, ratio_limit=30, min_rows=5000)
+    assert hits == [] and errors == []
+
+
 def test_skew_measures_window_partition_keys(spark):
     """A keyed window over a hot key must flag; a global window is
     window_audit matcher 1's job and must be skipped."""
