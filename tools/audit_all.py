@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Run the full scale-audit matrix (docs/SCALING.md table) in one
+command and summarize per-tool outcomes. Each tool is executed as its
+own process so a JVM-level failure in one sweep cannot mask the rest,
+and each keeps its own exit semantics (non-zero on unexpected hits).
+
+    python tools/audit_all.py             # everything (slow: ~1-2 h)
+    python tools/audit_all.py --fast      # skip the two-SF execution-heavy sweeps
+
+Exit code: number of failing tools (0 = the whole matrix is green).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# (script, args, two-SF execution-heavy)
+TOOLS = [
+    ("window_audit.py", [], False),
+    ("shuffle_audit.py", [], True),
+    ("plan_fingerprints.py", [], False),
+    ("repeat_stability.py", [], True),
+    ("collect_audit.py", [], True),
+    ("skew_audit.py", [], False),
+    ("broadcast_audit.py", [], True),
+    ("join_explosion_audit.py", [], True),
+    ("parity_sweep.py", [], True),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="skip the execution-heavy two-SF sweeps")
+    args = ap.parse_args()
+    fails, ran = [], 0
+    for script, extra, heavy in TOOLS:
+        if args.fast and heavy:
+            print(f"== {script}: skipped (--fast)")
+            continue
+        ran += 1
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, script), *extra],
+            capture_output=True, text=True,
+        )
+        tail = [ln for ln in r.stdout.splitlines() if ln.strip()][-1:] or ["(no output)"]
+        status = "ok" if r.returncode == 0 else f"FAIL rc={r.returncode}"
+        print(f"== {script}: {status} ({time.time() - t0:.0f}s) | {tail[0][:120]}")
+        if r.returncode != 0:
+            fails.append(script)
+            for ln in r.stdout.splitlines()[-15:]:
+                print("   ", ln[:160])
+    print(f"audit matrix: {ran - len(fails)}/{ran} run tools green, "
+          f"{len(TOOLS) - ran} skipped"
+          + (f"; failing: {fails}" if fails else ""))
+    return len(fails)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
