@@ -99,6 +99,28 @@ def test_low_card_lint_dedupes_repeated_keys(spark):
     assert len(hits) == 1 and hits[0][1] == 2, hits
 
 
+def test_batch_eval_python_flagged_in_live_plan(spark):
+    """Matcher 4: a row-at-a-time Python UDF plans as BatchEvalPython
+    and must be detectable in the executed-plan text; the Arrow path
+    (pandas_udf) must not trip it."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    df = spark.range(10)
+    slow = df.select(udf(lambda x: x + 1, "long")(F.col("id")).alias("y"))
+    p = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" in p
+
+    def _inc(s):
+        return s + 1
+
+    _inc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fast = df.select(pandas_udf(_inc, "long")(F.col("id")).alias("y"))
+    p = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" in p
+
+
 def test_format_agnostic_matcher_on_executed_descriptions():
     # status-store descriptions render the node differently (Arguments:
     # lines, numbered nodes) — the format-agnostic scanner must still

@@ -33,6 +33,14 @@
    micro-batch child plans can't be rebuilt as DataFrames from the
    status store; their window KEYS are still audited by matcher 1.
 
+4. ROW-AT-A-TIME PYTHON (round-7) — BatchEvalPython nodes anywhere,
+   batch plans AND executed streaming micro-batch plans. Every Python
+   boundary in this engine must be Arrow-vectorized
+   (ArrowEvalPython / ArrowAggregatePython / FlatMapGroupsInPandas /
+   MapInPandas); a row-pickling BatchEvalPython is a 10-100x
+   regression that correctness tests cannot see. No whitelist — there
+   is no legitimate use.
+
     python tools/window_audit.py          # exit 1 on unexpected hits
 """
 
@@ -314,16 +322,19 @@ def main() -> int:
                 # capture broke — a vacuously green audit is an error
                 errs.append((qid, "no executed plans captured"))
                 continue
-            hits, cart = [], False
+            hits, cart, rowpy = [], False, False
             for plan in plans:
                 hits.extend(unpartitioned_window_specs(plan))
                 cart = cart or "CartesianProduct" in plan
+                rowpy = rowpy or "BatchEvalPython" in plan
             if hits and qid not in WHITELIST:
                 unexpected.append((qid, hits[0]))
             elif hits:
                 print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
             if cart:
                 unexpected.append((qid, "CartesianProduct in executed plan"))
+            if rowpy:
+                unexpected.append((qid, "BatchEvalPython in executed plan"))
             continue
         try:
             df = fn(spark, SF_DIR)
@@ -338,6 +349,8 @@ def main() -> int:
             print(f"ok (whitelisted): {qid} — {WHITELIST[qid]}")
         if "CartesianProduct" in plan:
             unexpected.append((qid, "CartesianProduct in plan"))
+        if "BatchEvalPython" in plan:
+            unexpected.append((qid, "BatchEvalPython in plan (row-at-a-time Python)"))
         # matcher 3: low-cardinality keyed windows, measured on the
         # ACTUAL window input at sf0.01 (cardinality is SF-dependent;
         # the plan-construction SF above may be smaller). Gate on the
