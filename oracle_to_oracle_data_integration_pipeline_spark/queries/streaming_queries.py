@@ -109,13 +109,86 @@ def _drain_events_stream(
             pass
 
 
+# --- named builders + batch twins -------------------------------------
+#
+# Each _drain_events_stream qid's transformation is a named builder
+# taking a ``src()`` thunk, so the SAME logic can be applied to a
+# BATCH read of the events fixture. The batch twin is what the
+# logical-plan scale audits probe (window-key cardinality, hot keys,
+# join-output growth): executed micro-batch plans in the SQL status
+# store are text-only and cannot be rebuilt as DataFrames, but the
+# twin carries the identical windows/aggregations/joins. Fidelity is
+# pinned by tests/test_stream_batch_twins.py: twin results == drained
+# streaming results on the same fixture (watermarks are no-ops in
+# batch; availableNow drains everything, so the bounded-input results
+# coincide by construction).
+
+
+def _build_tumbling(src: Callable[[], DataFrame]) -> DataFrame:
+    return tumbling_agg(src(), "1 hour", by="event_type")
+
+
+def _build_sliding(src: Callable[[], DataFrame]) -> DataFrame:
+    return sliding_agg(src(), "2 hours", "1 hour")
+
+
+def _build_session(src: Callable[[], DataFrame]) -> DataFrame:
+    return session_agg(src(), "6 hours", key="user_id")
+
+
+def _build_stream_join(src: Callable[[], DataFrame]) -> DataFrame:
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(F.col("s_user").alias("user_id"), "s_ts", "p_ts", "value")
+
+
+def _build_stream_dedup(src: Callable[[], DataFrame]) -> DataFrame:
+    doubled = src().union(src())
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+BATCH_TWIN_BUILDERS: dict[str, Callable[[Callable[[], DataFrame]], DataFrame]] = {
+    "stream_tumbling": _build_tumbling,
+    "stream_sliding": _build_sliding,
+    "stream_session": _build_session,
+    "stream_join": _build_stream_join,
+    "stream_dedup": _build_stream_dedup,
+}
+
+
+def batch_twin(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
+    """The qid's streaming transformation applied to a BATCH events
+    read — the probeable plan equivalent of the streaming query."""
+    tune(spark)
+    df = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return BATCH_TWIN_BUILDERS[qid](lambda: df)
+
+
 # -- qid: stream_tumbling (true readStream execution) -----------------
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_events_stream(
         spark,
         sf_dir,
-        lambda src: tumbling_agg(src(), "1 hour", by="event_type"),
+        _build_tumbling,
         "complete",
         "events_stream_",
     )
@@ -140,7 +213,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_events_stream(
         spark,
         sf_dir,
-        lambda src: sliding_agg(src(), "2 hours", "1 hour"),
+        _build_sliding,
         "complete",
         "events_sliding_",
     )
@@ -167,7 +240,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_events_stream(
         spark,
         sf_dir,
-        lambda src: session_agg(src(), "6 hours", key="user_id"),
+        _build_session,
         "complete",
         "events_session_",
     )
@@ -208,27 +281,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode) drained with availableNow; the oracle is the equivalent batch
     interval join.
     """
-    def build(src):
-        signups = (
-            src()
-            .filter(F.col("event_type") == "signup")
-            .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
-            .withWatermark("s_ts", "1 hour")
-        )
-        purchases = (
-            src()
-            .filter(F.col("event_type") == "purchase")
-            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
-            .withWatermark("p_ts", "1 hour")
-        )
-        return signups.join(
-            purchases,
-            (F.col("s_user") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("s_ts"))
-            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
-        ).select(F.col("s_user").alias("user_id"), "s_ts", "p_ts", "value")
-
-    return _drain_events_stream(spark, sf_dir, build, "append", "events_sjoin_")
+    return _drain_events_stream(
+        spark, sf_dir, _build_stream_join, "append", "events_sjoin_"
+    )
 
 
 SQL_STREAM_JOIN = """
@@ -602,12 +657,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded streams pair it with withWatermark so old keys evict —
     the bounded availableNow drain here holds state for one run only.
     """
-    def build(src):
-        doubled = src().union(src())
-        deduped = doubled.dropDuplicates(["event_id"])
-        return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-
-    return _drain_events_stream(spark, sf_dir, build, "complete", "events_dedup_")
+    return _drain_events_stream(
+        spark, sf_dir, _build_stream_dedup, "complete", "events_dedup_"
+    )
 
 
 SQL_STREAM_DEDUP = """

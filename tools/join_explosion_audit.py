@@ -129,9 +129,19 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.streaming_queries import (
+        BATCH_TWIN_BUILDERS,
+        batch_twin,
+    )
+
     reg = q.all_queries()
+    # streaming qids probe through their batch twins (see skew_audit)
+    for twin_qid in BATCH_TWIN_BUILDERS:
+        reg[f"{twin_qid}[twin]"] = (
+            lambda s, d, _q=twin_qid: batch_twin(s, d, _q)
+        )
     qids = args.qids.split(",") if args.qids else [
-        k for k in reg if not k.startswith("stream_")
+        k for k in reg if not k.startswith("stream_") or k.endswith("[twin]")
     ]
     flags, errs = [], []
     for qid in qids:

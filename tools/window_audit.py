@@ -335,6 +335,36 @@ def main() -> int:
                 unexpected.append((qid, "CartesianProduct in executed plan"))
             if rowpy:
                 unexpected.append((qid, "BatchEvalPython in executed plan"))
+            # matcher 3 for streams via the BATCH TWIN: the executed
+            # micro-batch plans above are text-only, but the drain
+            # harness's builder applied to a batch read carries the
+            # identical windows (fidelity pinned by
+            # tests/test_stream_batch_twins.py)
+            from oracle_to_oracle_data_integration_pipeline_spark.queries.streaming_queries import (
+                BATCH_TWIN_BUILDERS,
+                batch_twin,
+            )
+
+            if qid in BATCH_TWIN_BUILDERS:
+                try:
+                    low, lerrs = low_card_window_keys(
+                        spark, batch_twin(spark, LINT_SF_DIR, qid)
+                    )
+                except Exception as e:  # noqa: BLE001 - report, don't die
+                    errs.append((qid, "twin lint: " + str(e).splitlines()[0][:100]))
+                    continue
+                for exprs, lerr in lerrs:
+                    errs.append((qid, f"twin probe failed for {exprs}: {lerr}"))
+                if low and qid not in LOW_CARD_WHITELIST:
+                    key, n = low[0]
+                    unexpected.append(
+                        (qid, f"LOW-CARD window key {key} (batch twin): "
+                              f"{n} distinct at sf0.01")
+                    )
+                elif low:
+                    print(
+                        f"ok (low-card whitelisted): {qid} — {LOW_CARD_WHITELIST[qid]}"
+                    )
             continue
         try:
             df = fn(spark, SF_DIR)
