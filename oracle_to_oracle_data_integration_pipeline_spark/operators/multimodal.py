@@ -156,9 +156,17 @@ def extract_media_metadata(df_with_payload: DataFrame, fake: bool = True) -> Dat
     """Arrow-batched metadata extraction over the binary column."""
     import pandas as pd
 
+    _missing = {"n_bytes": None, "width": None, "height": None, "fmt": None}
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            metas = [decode_media(p, fake=fake) for p in pdf["payload"]]
+            # a NULL payload (missing blob) is normal pipeline input at
+            # scale: propagate NULL metadata instead of crashing the
+            # executor (fuzz find, tools/fuzz_parity.py nulls profile)
+            metas = [
+                decode_media(p, fake=fake) if p is not None else dict(_missing)
+                for p in pdf["payload"]
+            ]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out[["doc_id", "n_bytes", "width", "height", "fmt"]]
@@ -205,15 +213,20 @@ def resize_media(
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
+            # NULL payload → NULL output raster (missing blob, not a crash)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": target_w,
-                    "height": target_h,
+                    "width": [None if p is None else target_w for p in pdf["payload"]],
+                    "height": [None if p is None else target_h for p in pdf["payload"]],
                     "n_bytes_out": [
-                        min(len(p), target_w * target_h)
-                        if fake
-                        else real_resize(p)
+                        None
+                        if p is None
+                        else (
+                            min(len(p), target_w * target_h)
+                            if fake
+                            else real_resize(p)
+                        )
                         for p in pdf["payload"]
                     ],
                 }
@@ -246,6 +259,8 @@ def sample_frames(
                 decode_media(b"", fake=False)
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # missing blob → no frames (1:N shape)
+                    continue
                 n = len(p)
                 n_frames = (n + frame_size - 1) // frame_size
                 for k, i in enumerate(range(0, n_frames, stride)):
@@ -276,7 +291,9 @@ def extract_features(
             if not fake:
                 decode_media(b"", fake=False)
             feats = [
-                [float((len(p) * (i + 1)) % 97) / 97.0 for i in range(dim)]
+                None
+                if p is None  # missing blob → NULL feature vector
+                else [float((len(p) * (i + 1)) % 97) / 97.0 for i in range(dim)]
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.operators.text import tokens_col
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import _nsize, tokens_col
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import davg, pround
 
 
@@ -63,10 +63,13 @@ def bm25_topk(
     def _eq(term):
         return lambda x: x == F.lit(term)
 
+    # _nsize: a NULL document must carry NULL dl/tf (skipped by avg and
+    # the df sum) exactly like the SQL twin — bare size() would inject
+    # -1 sentinels into avgdl and the scores (fuzz find, nulls profile)
     tf_cols = [
-        F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)
+        _nsize(F.filter(toks, _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)
     ]
-    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    base = docs.select("doc_id", _nsize(toks).alias("dl"), *tf_cols)
 
     # One-row corpus statistics: N, avgdl (exact integer sum / count),
     # and per-term document frequencies — all from the same slim

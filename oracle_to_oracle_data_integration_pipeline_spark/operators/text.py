@@ -66,23 +66,34 @@ def subword_count_col(text: str = "text") -> Column:
     return F.regexp_count(F.lower(F.col(text)), F.lit(BPE_ISH_PATTERN))
 
 
+def _nsize(arr: Column) -> Column:
+    """NULL-propagating array size: Spark's ``size(NULL)`` returns -1
+    (legacy SQL quirk), every DuckDB twin propagates NULL — so a NULL
+    document poisoned counts/averages with -1 sentinels (fuzz find,
+    tools/fuzz_parity.py nulls profile, the whole text cohort).
+    ``nullif(size(x), -1)`` is exact — a real array can never measure
+    -1 — and evaluates the (possibly expensive HOF) array expression
+    once, unlike a when(isNull) guard."""
+    return F.nullif(F.size(arr), F.lit(-1))
+
+
 def token_count_col(text: str = "text") -> Column:
-    return F.size(tokens_col(text))
+    return _nsize(tokens_col(text))
 
 
 def stopword_count_col(text: str = "text", stopwords: list[str] | None = None) -> Column:
     sw = stopwords or EN_STOPWORDS
-    return F.size(F.filter(tokens_col(text), lambda t: t.isin(*sw)))
+    return _nsize(F.filter(tokens_col(text), lambda t: t.isin(*sw)))
 
 
 def distinct_token_count_col(text: str = "text") -> Column:
-    return F.size(F.array_distinct(tokens_col(text)))
+    return _nsize(F.array_distinct(tokens_col(text)))
 
 
 def avg_token_len_col(text: str = "text") -> Column:
     toks = tokens_col(text)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks)
+    return total.cast("double") / _nsize(toks)
 
 
 def text_stats(df: DataFrame, text: str = "text") -> DataFrame:
@@ -109,7 +120,12 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     ratio.
     """
     n_tok = token_count_col(text)
-    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+    # NULL text must score NULL, not "wrong length": the bare
+    # otherwise(0.0) would swallow a NULL condition (fuzz find)
+    length_ok = (
+        F.when((n_tok >= 20) & (n_tok <= 400), F.lit(1.0))
+        .when(n_tok.isNotNull(), F.lit(0.0))
+    )
     diversity = distinct_token_count_col(text).cast("double") / n_tok
     sw_ratio = stopword_count_col(text).cast("double") / n_tok
     sw_ok = F.lit(1.0) - F.least(sw_ratio * 2, F.lit(1.0))

@@ -534,7 +534,10 @@ def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI window rank family in one qid (round 7: key widened from
     event_type alone — a 5-value key put 1/5 of events in each of 5
     window tasks, the low-cardinality hazard tools/window_audit.py
-    matcher 3 now flags; user_id scales with SF)."""
+    matcher 3 now flags; user_id scales with SF). The oracle pins
+    NULLS FIRST on the value sort key — Spark ASC defaults NULLS
+    FIRST, DuckDB NULLS LAST (fuzz find, tools/fuzz_parity.py nulls
+    profile)."""
     from pyspark.sql import Window
 
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import pround
@@ -560,7 +563,7 @@ SELECT event_id, event_type, user_id,
        floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
 FROM events
 WHERE user_id < {WPCT_USERS}
-WINDOW w AS (PARTITION BY event_type, user_id ORDER BY value, event_id)
+WINDOW w AS (PARTITION BY event_type, user_id ORDER BY value NULLS FIRST, event_id)
 """
 
 

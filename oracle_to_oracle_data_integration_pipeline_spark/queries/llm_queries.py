@@ -381,10 +381,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
 SELECT doc_id,
+       -- NULL text → NULL fingerprint (Spark's aggregate() propagates
+       -- NULL arrays; DuckDB's list_prepend(0, NULL) would fold to 0 —
+       -- fuzz find, tools/fuzz_parity.py nulls profile)
+       CASE WHEN ts IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
                       list_transform(ts, t -> CAST(length(t) * 7 + ascii(substring(t, 1, 1)) AS BIGINT))),
-         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
 FROM toks
 """
 
@@ -517,11 +521,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL = """
+-- NULL text → NULL payload → NULL metadata row (missing-blob
+-- propagation; fuzz find, tools/fuzz_parity.py nulls profile)
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
        CAST(octet_length(encode(text)) % 37 + 1 AS INT) AS height,
-       'fake' AS fmt
+       CASE WHEN text IS NULL THEN NULL ELSE 'fake' END AS fmt
 FROM documents
 """
 

@@ -38,7 +38,11 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_RESIZE = """
-SELECT doc_id, 32 AS width, 32 AS height,
+-- NULL text → NULL payload → NULL output raster (the operator carries
+-- missing blobs through instead of crashing; fuzz find, nulls profile)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE 32 END AS width,
+       CASE WHEN text IS NULL THEN NULL ELSE 32 END AS height,
        CAST(least(octet_length(encode(text)), 1024) AS INT) AS n_bytes_out
 FROM documents
 """
@@ -55,7 +59,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_FRAMES = """
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL),
 f AS (
   SELECT doc_id, n,
          unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1, 2)) AS frame_idx
@@ -90,6 +94,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_FEATURES = """
+-- no text filter: a NULL payload yields a row with NULL features
+-- (missing-blob propagation), so the oracle keeps the row too
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id,
        floor(CAST(n % 97 AS DOUBLE) / 97.0 * 1e6 + 0.5) / 1e6 AS f0,
@@ -120,7 +126,13 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -140,7 +152,7 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DECODE_BMP = """
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL),
 d AS (SELECT doc_id, n % 31 + 1 AS w, n % 17 + 1 AS h FROM p)
 SELECT doc_id, 'bmp' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes
@@ -181,7 +193,13 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -205,7 +223,7 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DECODE_PNG = f"""
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL)
 SELECT doc_id, 'png' AS fmt,
        CAST(n % {PNG_W_MOD} + 1 AS INT) AS width,
        CAST(n % {PNG_H_MOD} + 1 AS INT) AS height,
@@ -237,7 +255,13 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -261,7 +285,7 @@ WITH p AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
          octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, 8 AS width, 8 AS height,
        CAST(list_sum(list_transform(
@@ -286,7 +310,13 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -308,7 +338,7 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DECODE_WAV = """
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL),
 d AS (SELECT doc_id, n - n % 2 AS pcm FROM p)
 SELECT doc_id, 'wav' AS fmt, CAST(8000 AS INT) AS sample_rate,
        CAST(pcm // 2 AS INT) AS n_frames,
@@ -337,7 +367,13 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -367,7 +403,7 @@ SQL_MEDIA_FRAMES_REAL = """
 WITH p AS (
   SELECT doc_id, text,
          octet_length(encode(text)) // 2 AS n_samples
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 w AS (
   SELECT doc_id, text, n_samples,
@@ -403,7 +439,13 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_pixels,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         import math
@@ -439,7 +481,7 @@ WITH p AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
          octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        {_features_real_channel_sql(0)} AS r_mean,
@@ -630,7 +672,13 @@ def q_media_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mp4,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synth contract: a NULL document cannot be encoded into a payload
+    # (fuzz find, nulls profile) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def batches(it):
         for pdf in it:
@@ -674,7 +722,7 @@ def q_media_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DECODE_MP4 = f"""
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL)
 SELECT doc_id, 'mp4' AS fmt,
        CAST(n % {MP4_W_MOD} + 1 AS INT) AS width,
        CAST(n % {MP4_H_MOD} + 1 AS INT) AS height,

@@ -619,10 +619,16 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     One exchange end to end: rank() and the tie count share the same
     (user, ORDER BY value) window sort — the tie count is the
     RANGE-frame peer count, not a second partitioning — and the final
-    groupBy(user) rides the same hash partitioning."""
+    groupBy(user) rides the same hash partitioning.
+
+    NULL measurements are dropped explicitly (the standard missing-
+    data convention for rank tests) — an unfiltered NULL would take a
+    rank at whichever end each engine's null order puts it and bias U
+    (fuzz find, tools/fuzz_parity.py nulls profile)."""
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "error"))
+        .filter(F.col("value").isNotNull())
         .select("user_id", "event_type", "value")
     )
     w = Window.partitionBy("user_id").orderBy("value")
@@ -664,7 +670,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MANN_WHITNEY = """
 WITH e AS (
   SELECT user_id, event_type, value
-  FROM events WHERE event_type IN ('click', 'error')
+  FROM events WHERE event_type IN ('click', 'error') AND value IS NOT NULL
 ),
 r AS (
   SELECT user_id, event_type,

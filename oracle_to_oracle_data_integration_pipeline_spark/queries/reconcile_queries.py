@@ -427,10 +427,20 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only window runs over ≤|days| rows (whitelisted); the
     plan is O(days) driver-visible rows, and each chunk's WHERE range
-    is partition-prunable at execution time."""
+    is partition-prunable at execution time.
+
+    NULL-date contract (fuzz find, tools/fuzz_parity.py nulls
+    profile): rows with a NULL chunking date are EXCLUDED explicitly —
+    a date-range WHERE can never address them, so silently counting
+    them into a chunk whose range won't re-load them would corrupt the
+    backfill; they need a dedicated ``IS NULL`` pass. The explicit
+    filter also pins cross-engine behavior: an unfiltered cumulative
+    window would put the NULL day first in Spark (ASC NULLS FIRST) and
+    last in DuckDB (NULLS LAST), shifting every chunk boundary."""
     o = load(spark, sf_dir, "orders")
     days = (
-        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
@@ -459,7 +469,7 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BACKFILL_PLAN = f"""
 WITH days AS (
   SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 c AS (
   SELECT day, n,
@@ -897,8 +907,15 @@ def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     The log is synthesized from orders like cdc_op_priority's feed
     (key = o_orderkey % {CLC_KEYS}, op = f(o_orderkey)), with
     o_orderkey itself as the unique capture sequence — min_by/max_by
-    over a UNIQUE BIGINT sequence is the argmax-determinism idiom, and
-    op/price are never NULL so DuckDB arg_min/arg_max agree.
+    over a UNIQUE BIGINT sequence is the argmax-determinism idiom.
+
+    NULL payloads are carried faithfully: a real CDC feed can capture
+    a NULL column value in the last op, and the compacted row must
+    report THAT value, which is what Spark's ``max_by(price, seq)``
+    does. DuckDB's ``arg_max(price, seq)`` silently SKIPS rows whose
+    value argument is NULL (fuzz find, tools/fuzz_parity.py nulls
+    profile — it returned the price of an EARLIER op), so the oracle
+    reads last_price by joining back on seq_hi instead.
 
     Scale shape: ONE combinable groupBy — min_by/max_by/count/min/max
     all partial-aggregate map-side, so at 100 TB the shuffle carries
@@ -955,20 +972,22 @@ agg AS (
   SELECT merge_key,
          arg_min(op, seq) AS first_op,
          arg_max(op, seq) AS last_op,
-         arg_max(price, seq) AS last_price,
          count(*) AS n_ops_folded,
          min(seq) AS seq_lo,
          max(seq) AS seq_hi
   FROM log GROUP BY 1
 )
-SELECT merge_key, first_op, last_op,
+-- last_price via the seq_hi join, NOT arg_max(price, seq): DuckDB's
+-- arg_max skips NULL values, but compaction must carry the payload of
+-- the last op even when that payload is NULL (Spark max_by semantics)
+SELECT agg.merge_key, first_op, last_op,
        CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'none'
             WHEN first_op = 'I' THEN 'I'
             WHEN last_op = 'D' THEN 'D'
             ELSE 'U' END AS net_op,
-       CAST(last_price AS DOUBLE) AS last_price,
+       CAST(l.price AS DOUBLE) AS last_price,
        n_ops_folded, seq_lo, seq_hi
-FROM agg
+FROM agg JOIN log l ON l.merge_key = agg.merge_key AND l.seq = agg.seq_hi
 """
 
 QUERIES["cdc_log_compaction"] = q_cdc_log_compaction

@@ -237,7 +237,12 @@ SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue + lag per customer — analytic frame windows.
     Cumulative sums add left-to-right in window order in both engines,
-    so the doubles match bit-for-bit; rounded anyway."""
+    so the doubles match bit-for-bit; rounded anyway.
+
+    The oracle pins NULLS FIRST on the date sort key: Spark's ASC
+    default is NULLS FIRST, DuckDB's is NULLS LAST, and an unpinned
+    NULL order date would give the two engines different running
+    prefixes (fuzz find, tools/fuzz_parity.py nulls profile)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -251,11 +256,13 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       row_number() OVER w AS order_seq
 FROM orders WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 

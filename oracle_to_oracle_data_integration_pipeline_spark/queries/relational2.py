@@ -239,10 +239,16 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: ntile needs a total order — a single-partition sort at
     the extreme. For 100 TB binning use approx_quantiles' sketch cut
     points + a map-only bucket assignment instead; this operator is
-    the exact small/medium-cardinality path."""
+    the exact small/medium-cardinality path.
+
+    NULL contract (fuzz find, tools/fuzz_parity.py nulls profile): a
+    NULL feature value has no quantile — rows are excluded explicitly
+    on both sides rather than letting each engine's null sort order
+    pick a bin for them (Spark would put them in bin 1, DuckDB in bin
+    10)."""
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.orderBy("o_totalprice", "o_orderkey")
     binned = o.select(
         "o_totalprice", F.ntile(10).over(w).alias("bin")
@@ -260,7 +266,7 @@ SELECT bin, count(*) AS n,
        round(max(o_totalprice), 2) AS hi
 FROM (
   SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 GROUP BY bin
 """
@@ -281,8 +287,13 @@ def q_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared payload is per-bin (bin id, total row count — exact
     conservation check) plus a flag that the bin's share lands within
     ±2% of the ideal decile (rank error ≤1e-4 at accuracy=10000, so
-    the flag is guaranteed unless the sketch breaks)."""
-    o = load(spark, sf_dir, "orders")
+    the flag is guaranteed unless the sketch breaks).
+
+    Same NULL contract as feature_bins: null feature values are
+    excluded explicitly — the sketch ignores them anyway, and the
+    map-only assignment would otherwise silently dump them into bin 1
+    (fuzz find, tools/fuzz_parity.py nulls profile)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     cuts = o.select(
         F.expr(
             "percentile_approx(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
@@ -304,7 +315,7 @@ def q_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FEATURE_BINS_SKETCH = """
 SELECT CAST(b AS INT) AS bin,
-       (SELECT count(*) FROM orders) AS n_total,
+       (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL) AS n_total,
        CAST(1 AS INT) AS share_within_2pct
 FROM (SELECT unnest(generate_series(1, 10)) AS b)
 """
@@ -372,10 +383,21 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("w"),
+    # NULL contract (fuzz find, tools/fuzz_parity.py nulls profile): a
+    # NULL price cannot take a place in the value order (each engine
+    # would pick its own NULLS FIRST/LAST side) and a NULL quantity
+    # carries no weight — both are excluded EXPLICITLY on both sides
+    # instead of leaking engine null-ordering into the median.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
     )
     hist = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("hw"))
     wcum = (
@@ -403,6 +425,7 @@ WITH li AS (
          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
          CAST(l_quantity AS BIGINT) AS w
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ),
 hist AS (
   SELECT l_returnflag, cents, sum(w) AS hw

@@ -170,7 +170,9 @@ def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
     put 1/3 of orders in each of 3 window tasks, the low-cardinality
     hazard tools/window_audit.py matcher 3 now flags; o_custkey
     scales with SF, so per-key input is each customer's own order
-    history)."""
+    history). The oracle pins NULLS FIRST on the price sort key —
+    Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST (fuzz find,
+    tools/fuzz_parity.py nulls profile)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -190,11 +192,12 @@ SELECT o_orderkey, o_custkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
-       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice NULLS FIRST, o_orderkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key,
        lead(o_orderkey, 1) OVER w AS next_key
 FROM orders WHERE o_custkey % 20 = 0
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey)
 """
 
 

@@ -221,18 +221,28 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type. accuracy=10000 guarantees rank error ≤ 1e-4; the flag
     checks the sketch value lies inside the exact [p-0.01, p+0.01]
     rank envelope — a guaranteed-true bound that still catches a broken
-    sketch. Exact values are the hash-compared payload."""
+    sketch. Exact values are the hash-compared payload.
+
+    The envelope claim needs the ±0.01 rank band to span at least one
+    data element: the sketch returns an ELEMENT while percentile()
+    interpolates, so for a group of n non-null values the band is only
+    guaranteed to contain the element once 0.01·n ≥ ~1 (fuzz find,
+    tools/fuzz_parity.py nulls profile: a ~30-row NULL-type group put
+    the interpolated lower bound above the returned element). Small
+    groups assert trivially true — stated, not hidden: the envelope is
+    a LARGE-group sketch guarantee."""
     e = load(spark, sf_dir, "events")
     per = e.groupBy("event_type").agg(
         F.expr(
             "percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))"
         ).alias("ex"),
         F.expr("percentile_approx(value, array(0.5, 0.95), 10000)").alias("ap"),
+        F.count("value").alias("nv"),
     )
     in_env = (
         (F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[2])
         & (F.col("ap")[1] >= F.col("ex")[3]) & (F.col("ap")[1] <= F.col("ex")[5])
-    )
+    ) | (F.col("nv") < 1000)
     return per.select(
         "event_type",
         pround(F.col("ex")[1]).alias("p50"),
@@ -260,8 +270,14 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     has 5 distinct event types against 10000 tracked slots, so the
     sketch counts are provably EXACT and hash-compare directly against
     the exact GROUP BY — stronger than the gated pattern where
-    exactness is attainable."""
-    e = load(spark, sf_dir, "events")
+    exactness is attainable.
+
+    NULL items: approx_top_k counts non-null items only (sketch
+    semantics — a NULL is not an item), so the exact twin excludes the
+    NULL group explicitly; the filter is stated on both sides rather
+    than left to the fixture's accidental null-freeness (fuzz find,
+    tools/fuzz_parity.py nulls profile)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     sk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk")).select(
         F.explode("tk").alias("s")
     )
@@ -272,7 +288,8 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_APPROX_HEAVY_HITTERS = """
-SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+SELECT event_type, count(*) AS n_events FROM events
+WHERE event_type IS NOT NULL GROUP BY event_type
 """
 
 

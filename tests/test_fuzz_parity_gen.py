@@ -1,0 +1,127 @@
+"""Pin the adversarial-fixture generator (tools/fuzz_parity.py): every
+profile must preserve the schema CONTRACT the queries assume — arrow
+types bit-equal to the base fixture, unique primary keys, valid
+foreign keys, the documented non-null columns — while actually
+producing its hazard (ties / nulls / a hot key / near-empty groups).
+JVM-free: pure pyarrow + duckdb.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from tools.fuzz_parity import PROFILES, TABLES, build_fuzzed_dir
+
+BASE = "/root/testdata/sf0.001"
+
+PKS = [
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("events", "event_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+FKS = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+NON_NULL = [("events", "ts"), ("embeddings", "embedding"),
+            ("documents", "n_chars")]
+
+
+@pytest.fixture(scope="module", params=sorted(PROFILES))
+def fuzzed(request):
+    tmp = tempfile.mkdtemp(prefix=f"fuzzgen_{request.param}_")
+    build_fuzzed_dir(request.param, BASE, tmp, seed=1)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')")
+    yield request.param, tmp, con
+    con.close()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_schema_bit_equal(fuzzed):
+    profile, tmp, _ = fuzzed
+    for t in TABLES:
+        base = pq.read_schema(os.path.join(BASE, f"{t}.parquet"))
+        fz = pq.read_schema(os.path.join(tmp, f"{t}.parquet"))
+        assert fz.equals(base), f"{profile}/{t}: {fz} != {base}"
+
+
+def test_primary_keys_unique(fuzzed):
+    profile, _, con = fuzzed
+    for t, pk in PKS:
+        n, d = con.execute(f"SELECT count(*), count(DISTINCT {pk}) FROM {t}").fetchone()
+        assert n == d, f"{profile}/{t}.{pk}: {n} rows, {d} distinct"
+        assert n > 0, f"{profile}/{t}: profile emptied a table"
+
+
+def test_foreign_keys_valid(fuzzed):
+    profile, _, con = fuzzed
+    for child, fk, parent, pk in FKS:
+        bad = con.execute(
+            f"SELECT count(*) FROM {child} "
+            f"WHERE {fk} IS NOT NULL AND {fk} NOT IN (SELECT {pk} FROM {parent})"
+        ).fetchone()[0]
+        assert bad == 0, f"{profile}/{child}.{fk}: {bad} dangling"
+
+
+def test_non_null_contracts(fuzzed):
+    profile, _, con = fuzzed
+    for t, c in NON_NULL:
+        n = con.execute(f"SELECT count(*) FROM {t} WHERE {c} IS NULL").fetchone()[0]
+        assert n == 0, f"{profile}/{t}.{c}: {n} NULLs violate the stated contract"
+
+
+def test_deterministic(fuzzed):
+    """Same (profile, seed) must regenerate byte-identical content —
+    the sweep's failures have to be reproducible."""
+    profile, tmp, _ = fuzzed
+    tmp2 = tempfile.mkdtemp(prefix="fuzzgen_re_")
+    try:
+        build_fuzzed_dir(profile, BASE, tmp2, seed=1)
+        for t in TABLES:
+            a = pq.read_table(os.path.join(tmp, f"{t}.parquet"))
+            b = pq.read_table(os.path.join(tmp2, f"{t}.parquet"))
+            assert a.equals(b), f"{profile}/{t}: nondeterministic generation"
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_each_profile_produces_its_hazard():
+    probes = {
+        "ties": ("SELECT count(*) - count(DISTINCT l_extendedprice) FROM li",
+                 lambda v: v > 1000),
+        "nulls": ("SELECT count(*) FILTER (l_returnflag IS NULL) FROM li",
+                  lambda v: v > 50),
+        "skew": ("SELECT max(c) FROM (SELECT count(*) AS c FROM li GROUP BY l_suppkey)",
+                 lambda v: v > 2000),
+        "tiny": ("SELECT count(*) FROM li", lambda v: 0 < v < 1000),
+    }
+    for profile, (sql, check) in probes.items():
+        tmp = tempfile.mkdtemp(prefix="fuzzhaz_")
+        try:
+            build_fuzzed_dir(profile, BASE, tmp, seed=1)
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW li AS SELECT * FROM read_parquet('{tmp}/lineitem.parquet')")
+            v = con.execute(sql).fetchone()[0]
+            assert check(v), f"{profile}: hazard probe value {v}"
+            con.close()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,318 @@
+#!/usr/bin/env python
+"""Adversarial-fixture parity fuzz: regenerate the TPC-H-ish fixture
+under hostile data distributions and re-run EVERY oracle compare.
+
+Why this exists: every other correctness gate (driver window, sf0.01
+differential, sf0.1 parity sweep) runs on the SAME deterministic
+fixture, so a Spark query and its DuckDB oracle can agree for
+fixture-specific reasons — no ties in an ORDER BY column, no NULLs in
+an aggregate input, no hot key, no near-empty group — and silently
+disagree on real data. Each fuzz profile breaks exactly one such
+assumption while preserving the schema CONTRACT (arrow types bit-equal
+to the fixture, primary keys unique, foreign keys valid, event-time
+non-null):
+
+  ties   every continuous column quantized onto a coarse grid (massive
+         order-by ties), duplicate document texts and embedding
+         vectors (dedup/ANN tie probing)
+  nulls  NULLs injected into nullable measure/attribute columns,
+         including group keys (l_returnflag) and join-adjacent
+         attributes — probes null-group and null-propagation parity
+  skew   one hot key absorbs half of lineitem/orders/events FKs and
+         70% of customers/suppliers move to one nation — a result
+         must never depend on the key distribution
+  tiny   aggressive FK-cascaded downsample (3 nations, 4 suppliers,
+         near-empty groups everywhere) — probes empty-group /
+         single-row-frame edges
+
+Parity is the invariant under EVERY profile: both engines read the
+same fuzzed parquet, so any hash divergence is a real engine-semantics
+or oracle bug, never "the data changed". A qid whose result becomes
+0 rows under a profile passes vacuously and is reported so the profile
+can be tuned (SUSPECT_VACUOUS).
+
+Findings that are data-CONTRACT violations rather than bugs (a qid
+that documents "embedding NOT NULL" crashing under a null embedding)
+are whitelisted here with the stated contract, mirroring the window /
+skew / collect audit discipline.
+
+    python tools/fuzz_parity.py                  # all profiles, all qids
+    python tools/fuzz_parity.py --profile ties
+    python tools/fuzz_parity.py --qids weighted_median,listagg_order
+    python tools/fuzz_parity.py --seed 7         # different draw
+
+Exit code: number of (profile, qid) FAILs after whitelisting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (profile, qid) -> stated data contract that makes the divergence /
+# crash expected. Keep each entry a real sentence naming the contract.
+WHITELIST: dict[tuple[str, str], str] = {
+}
+
+
+# --- schema-preserving IO ----------------------------------------------
+
+def load_base(base_dir: str) -> tuple[dict[str, pd.DataFrame], dict[str, pa.Schema]]:
+    dfs, schemas = {}, {}
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(base_dir, f"{t}.parquet"))
+        schemas[t] = tab.schema
+        dfs[t] = tab.to_pandas()
+    return dfs, schemas
+
+
+def write_fuzzed(dfs: dict[str, pd.DataFrame], schemas: dict[str, pa.Schema],
+                 out_dir: str) -> None:
+    for t, df in dfs.items():
+        # route through object dtype so injected Nones become arrow
+        # NULLs (a NaN written through a float64 pandas column would
+        # stay a NaN value, not a NULL), then cast back to the base
+        # fixture's exact schema so every type is bit-identical
+        tab = pa.Table.from_pandas(
+            df.astype(object).where(pd.notna(df), None),
+            schema=schemas[t], preserve_index=False,
+        )
+        pq.write_table(tab, os.path.join(out_dir, f"{t}.parquet"))
+
+
+# --- per-profile transforms ---------------------------------------------
+
+def _quantize(s: pd.Series, step: float) -> pd.Series:
+    return (np.round(s.astype(float) / step) * step).astype(s.dtype)
+
+
+def _null_mask(rng: np.random.RandomState, n: int, rate: float) -> np.ndarray:
+    return rng.random_sample(n) < rate
+
+
+def _inject_nulls(df: pd.DataFrame, col: str, rng: np.random.RandomState,
+                  rate: float) -> None:
+    m = _null_mask(rng, len(df), rate)
+    vals = df[col].astype(object)
+    vals[m] = None
+    df[col] = vals
+
+
+def profile_ties(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    dfs["customer"]["c_acctbal"] = _quantize(dfs["customer"]["c_acctbal"], 100)
+    dfs["supplier"]["s_acctbal"] = _quantize(dfs["supplier"]["s_acctbal"], 100)
+    dfs["part"]["p_retailprice"] = _quantize(dfs["part"]["p_retailprice"], 100)
+    dfs["part"]["p_size"] = (dfs["part"]["p_size"] % 3 + 1) * 5
+    o = dfs["orders"]
+    o["o_totalprice"] = _quantize(o["o_totalprice"], 1000)
+    o["o_orderdate"] = pd.to_datetime(o["o_orderdate"]).dt.floor("7D")
+    li = dfs["lineitem"]
+    li["l_extendedprice"] = _quantize(li["l_extendedprice"], 500)
+    li["l_quantity"] = li["l_quantity"] % 5 + 1
+    li["l_discount"] = _quantize(li["l_discount"], 0.05)
+    li["l_tax"] = _quantize(li["l_tax"], 0.04)
+    li["l_shipdate"] = pd.to_datetime(li["l_shipdate"]).dt.floor("7D")
+    ev = dfs["events"]
+    ev["value"] = _quantize(ev["value"], 10)
+    ev["ts"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    ev["props"] = np.where(rng.random_sample(len(ev)) < 0.5,
+                           '{"k": 1}', '{"k": 2}')
+    # duplicate texts / vectors: copy the full derived row (text, lang,
+    # source, n_chars stay mutually consistent), keep the PK
+    doc = dfs["documents"]
+    donors = rng.randint(0, len(doc), size=len(doc))
+    dup = rng.random_sample(len(doc)) < 0.4
+    for c in ("text", "lang", "source", "n_chars"):
+        doc.loc[dup, c] = doc[c].to_numpy()[donors[dup]]
+    emb = dfs["embeddings"]
+    donors_e = rng.randint(0, len(emb), size=len(emb))
+    dup_e = rng.random_sample(len(emb)) < 0.4
+    for c in ("embedding", "label"):
+        emb.loc[dup_e, c] = pd.Series(
+            emb[c].to_numpy()[donors_e[dup_e]], index=emb.index[dup_e])
+
+
+def profile_nulls(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    plan = {
+        "customer": [("c_acctbal", 0.05), ("c_mktsegment", 0.05)],
+        "supplier": [("s_acctbal", 0.05)],
+        "part": [("p_retailprice", 0.05), ("p_size", 0.05), ("p_brand", 0.05)],
+        "orders": [("o_totalprice", 0.05), ("o_orderpriority", 0.05),
+                   ("o_orderdate", 0.02)],
+        "lineitem": [("l_quantity", 0.05), ("l_extendedprice", 0.05),
+                     ("l_discount", 0.05), ("l_tax", 0.05),
+                     ("l_shipdate", 0.02), ("l_returnflag", 0.03),
+                     ("l_linestatus", 0.03)],
+        "events": [("value", 0.05), ("props", 0.05), ("event_type", 0.03)],
+        "documents": [("text", 0.02), ("lang", 0.05), ("source", 0.05)],
+        "embeddings": [("label", 0.05)],
+        # contracts kept non-null: every PK/FK, events.ts (event time),
+        # embeddings.embedding (vector NOT NULL), documents.n_chars
+    }
+    for t, cols in plan.items():
+        for col, rate in cols:
+            _inject_nulls(dfs[t], col, rng, rate)
+
+
+def profile_skew(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    def hot(df, col, donor_col_df, donor_col, frac):
+        hot_key = donor_col_df[donor_col].min()
+        m = rng.random_sample(len(df)) < frac
+        df.loc[m, col] = hot_key
+
+    hot(dfs["lineitem"], "l_suppkey", dfs["supplier"], "s_suppkey", 0.5)
+    hot(dfs["lineitem"], "l_partkey", dfs["part"], "p_partkey", 0.5)
+    hot(dfs["orders"], "o_custkey", dfs["customer"], "c_custkey", 0.5)
+    hot(dfs["events"], "user_id", dfs["events"], "user_id", 0.6)
+    hot(dfs["customer"], "c_nationkey", dfs["nation"], "n_nationkey", 0.7)
+    hot(dfs["supplier"], "s_nationkey", dfs["nation"], "n_nationkey", 0.7)
+    hot(dfs["documents"], "source", dfs["documents"], "source", 0.7)
+
+
+def profile_tiny(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    keep_nations = dfs["nation"]["n_nationkey"] < 3
+    dfs["nation"] = dfs["nation"][keep_nations].reset_index(drop=True)
+    nat = set(dfs["nation"]["n_nationkey"])
+    cust = dfs["customer"]
+    cust = cust[cust["c_nationkey"].isin(nat)].head(12).reset_index(drop=True)
+    dfs["customer"] = cust
+    sup = dfs["supplier"]
+    sup = sup[sup["s_nationkey"].isin(nat)].head(4).reset_index(drop=True)
+    if len(sup) == 0:  # guarantee at least one supplier in a kept nation
+        sup = dfs["supplier"].head(1).copy().reset_index(drop=True)
+        sup["s_nationkey"] = min(nat)
+    dfs["supplier"] = sup
+    dfs["part"] = dfs["part"].head(15).reset_index(drop=True)
+    orders = dfs["orders"]
+    orders = orders[orders["o_custkey"].isin(set(cust["c_custkey"]))]
+    orders = orders.head(40).reset_index(drop=True)
+    dfs["orders"] = orders
+    li = dfs["lineitem"]
+    li = li[li["l_orderkey"].isin(set(orders["o_orderkey"]))].reset_index(drop=True)
+    # remap (not filter) the part/supplier FKs into the kept key sets so
+    # FK validity survives the downsample without emptying the table
+    pk = dfs["part"]["p_partkey"].to_numpy()
+    sk = dfs["supplier"]["s_suppkey"].to_numpy()
+    li["l_partkey"] = pk[li["l_partkey"].to_numpy() % len(pk)]
+    li["l_suppkey"] = sk[li["l_suppkey"].to_numpy() % len(sk)]
+    dfs["lineitem"] = li
+    ev = dfs["events"]
+    ev = ev[(ev["user_id"] < 4) & (ev["event_type"] != "click")]
+    dfs["events"] = ev.head(60).reset_index(drop=True)
+    dfs["documents"] = dfs["documents"].head(6).reset_index(drop=True)
+    dfs["embeddings"] = dfs["embeddings"].head(10).reset_index(drop=True)
+
+
+PROFILES = {
+    "ties": profile_ties,
+    "nulls": profile_nulls,
+    "skew": profile_skew,
+    "tiny": profile_tiny,
+}
+
+
+def build_fuzzed_dir(profile: str, base_dir: str, out_dir: str, seed: int) -> None:
+    """Deterministic for (profile, base_dir, seed); schema bit-equal."""
+    dfs, schemas = load_base(base_dir)
+    rng = np.random.RandomState(seed * 1009 + sorted(PROFILES).index(profile))
+    PROFILES[profile](dfs, rng)
+    write_fuzzed(dfs, schemas, out_dir)
+
+
+# --- sweep ----------------------------------------------------------------
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", choices=sorted(PROFILES) + ["all"], default="all")
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("--qids", default="",
+                    help="comma-separated subset (default: every oracle qid)")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--out", default="docs/FUZZ.json")
+    args = ap.parse_args()
+
+    from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+    from oracle_to_oracle_data_integration_pipeline_spark.session import get_spark
+    from tests.duck_compare import compare, duck_connection
+
+    spark = get_spark(app_name="o2o_fuzz_parity", cpus=16,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs, osql = q.all_queries(), q.all_oracle_sql()
+    subset = [s for s in args.qids.split(",") if s] or sorted(osql)
+    profiles = sorted(PROFILES) if args.profile == "all" else [args.profile]
+
+    results, fails, vacuous = [], [], []
+    for profile in profiles:
+        tmp = tempfile.mkdtemp(prefix=f"o2o_fuzz_{profile}_")
+        try:
+            build_fuzzed_dir(profile, args.base, tmp, args.seed)
+            con = duck_connection(tmp)
+            for qid in subset:
+                if qid not in osql:
+                    continue
+                t0 = time.time()
+                try:
+                    df = qs[qid](spark, tmp)
+                    ok, msg = compare(df, con, osql[qid])
+                    nrows = None
+                    if ok:
+                        nrows = con.sql(
+                            f"SELECT count(*) FROM ({osql[qid]})").fetchone()[0]
+                except Exception as e:
+                    ok, msg, nrows = False, (
+                        f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"), None
+                wl = WHITELIST.get((profile, qid))
+                status = ("ok" if ok else
+                          ("whitelisted" if wl else "FAIL"))
+                if ok and nrows == 0:
+                    status, msg = "VACUOUS", "oracle returned 0 rows under fuzz"
+                    vacuous.append((profile, qid))
+                results.append({"profile": profile, "qid": qid,
+                                "status": status, "rows": nrows,
+                                "msg": None if ok else msg,
+                                "contract": wl, "sec": round(time.time() - t0, 2)})
+                if status == "FAIL":
+                    fails.append((profile, qid))
+                print(f"{profile}/{qid} {status} {time.time() - t0:.1f}s"
+                      + ("" if ok else f"  {msg[:140]}"), flush=True)
+            con.close()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    summary = {
+        "profiles": profiles, "seed": args.seed, "base": args.base,
+        "checked": len(results), "fails": [f"{p}/{k}" for p, k in fails],
+        "vacuous": [f"{p}/{k}" for p, k in vacuous],
+        "whitelisted": sorted(f"{p}/{k}" for (p, k) in WHITELIST
+                              if any(r["profile"] == p and r["qid"] == k
+                                     for r in results)),
+        "results": results,
+    }
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(f"fuzz parity: {len(results)} compares over {profiles}; "
+          f"{len(fails)} FAIL {fails[:20]}; {len(vacuous)} vacuous")
+    return len(fails)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
