@@ -262,12 +262,19 @@ def minmax_downsample(
     A single groupBy with ``min_by``/``max_by`` on a (value, id)
     struct: one map-side-combinable shuffle, deterministic under value
     ties via the id tiebreak, no window sort over the full series.
+
+    NULL measurements are excluded explicitly: they are not plottable
+    witness points, and Spark's struct ordering ranks a NULL field
+    SMALLEST, so an unfiltered NULL row would win ``min_by`` and
+    report a witness id whose value is not the reported min (fuzz
+    find, tools/fuzz_parity.py nulls profile).
     """
     sec = F.unix_timestamp(F.col(ts))
     bucket = (sec - (sec % F.lit(bucket_seconds))).alias("bucket_start")
     v = F.col(value).cast("double")
     return (
-        df.select(F.col(key), bucket, v.alias("v"), F.col(id_col).alias("pid"))
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(key), bucket, v.alias("v"), F.col(id_col).alias("pid"))
         .groupBy(key, "bucket_start")
         .agg(
             F.count(F.lit(1)).alias("n_points"),

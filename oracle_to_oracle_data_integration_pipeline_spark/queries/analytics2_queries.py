@@ -60,9 +60,16 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude before the merge. The oracle runs the
     single-window form — the local pre-filter must not change the
     answer, which IS the differential check.
+
+    NULL contract (fuzz find, tools/fuzz_parity.py nulls profile):
+    dominance is undefined for a point missing either coordinate —
+    incomplete tuples are excluded explicitly on both sides (the
+    standard skyline convention); otherwise each engine's null sort
+    order decides whether the NULL-price point "wins" the staircase.
     """
     per_price = (
         load(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
         .groupBy("p_retailprice")
         .agg(F.max("p_size").alias("best_size"))
     )
@@ -94,7 +101,9 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SKYLINE_FRONTIER = """
 WITH per_price AS (
   SELECT p_retailprice, max(p_size) AS best_size
-  FROM part GROUP BY p_retailprice
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  GROUP BY p_retailprice
 ),
 st AS (
   SELECT p_retailprice, best_size,

@@ -190,7 +190,12 @@ SELECT a_id, b_id,
        floor(d2_orig * 1e6 + 0.5) / 1e6 AS d2_orig,
        floor(d2_proj * 1e6 + 0.5) / 1e6 AS d2_proj,
        floor(d2_proj / d2_orig * 1e6 + 0.5) / 1e6 AS ratio,
-       CAST(CASE WHEN d2_proj / d2_orig > 0.25 AND d2_proj / d2_orig < 1.75
+       -- coincident points (d2_orig = 0, possible under duplicated
+       -- embeddings — fuzz ties profile) carry no distortion
+       -- information: ratio and flag are NULL, matching Spark's
+       -- 0.0/0.0 → NULL; the bare ELSE 0 misread NULL as "outside"
+       CAST(CASE WHEN d2_orig = 0 THEN NULL
+                 WHEN d2_proj / d2_orig > 0.25 AND d2_proj / d2_orig < 1.75
             THEN 1 ELSE 0 END AS INT) AS within_075
 FROM d
 """

@@ -715,7 +715,16 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact microsecond gap while the oracle's date_diff('second')
     counts second boundaries; truncation makes both sides split on
     identical whole-second arithmetic (same convention as sessionize's
-    epoch_seconds)."""
+    epoch_seconds).
+
+    Boundary semantics: Spark's session_window is END-INCLUSIVE — an
+    event landing EXACTLY gap seconds after the previous one extends
+    the session (verified empirically), so the islands oracle splits
+    on gap > timeout, not >=. The manual `sessionize` qid deliberately
+    keeps the exclusive (>=) rule on both its sides — the two
+    conventions only diverge on exact-gap ties, which never occur in
+    the microsecond fixture and constantly occur under the hour-floored
+    ties fuzz profile that exposed this (tools/fuzz_parity.py)."""
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < SESSION_USERS)
     ev = ev.withColumn("ts", F.date_trunc("second", F.col("ts")))
     return (
@@ -735,7 +744,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR date_diff('second',
                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                ts) >= {SESSION_GAP_S}
+                                ts) > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s,
          event_id
   FROM events WHERE user_id < {SESSION_USERS}
@@ -980,9 +989,17 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("decile") + 1).alias("decile"), F.col("_avg_spend").alias("_prev_avg")
     )
     per = per.join(F.broadcast(prev), "decile", "left")
+    # the ±2% ideal-tenth bound needs the integer rounding slack
+    # ceil(n/10)/n − 1/10 to fit inside 0.02, i.e. n ≥ ~45: below 50
+    # customers the flag asserts trivially true (stated, not hidden —
+    # same convention as approx_quantiles' envelope; fuzz find,
+    # tools/fuzz_parity.py tiny profile with 11 customers)
     share_ok = (
-        F.abs(F.col("_n") - F.col("n_total_customers") / 10)
-        <= F.col("n_total_customers") * 0.02
+        (
+            F.abs(F.col("_n") - F.col("n_total_customers") / 10)
+            <= F.col("n_total_customers") * 0.02
+        )
+        | (F.col("n_total_customers") < 50)
     ).cast("int")
     mono_ok = (
         F.col("_prev_avg").isNull()

@@ -516,6 +516,14 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey % 3 = 0
   AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 9 = 0)
+  -- a NULL price is NOT moved by the delta's +1.0 (NULL + 1 = NULL),
+  -- so a matched key whose only would-be change is the price update
+  -- genuinely did not change and the feed must stay silent — the
+  -- store's null-safe row digest gets this right; the old oracle's
+  -- "the delta always moves the price" assumption did not (fuzz find,
+  -- tools/fuzz_parity.py nulls profile). The %9 tombstone keys still
+  -- change (is_deleted N -> Y) even with a NULL price.
+  AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 0 AND o_totalprice IS NULL)
 """
 
 
@@ -572,19 +580,41 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Derives every outcome from the audit RULE itself (published iff the
+# batch's own status_null count is zero; versions count published
+# batches; final state = last published batch) instead of hardcoding
+# "b1 never publishes": on data without %51 keys b1 is genuinely
+# clean and MUST publish — the gate's behavior, not the fixture's
+# accident, is the contract (fuzz find, tools/fuzz_parity.py tiny
+# profile, where the hardcoded form failed).
 SQL_WAP_PUBLISH = """
-WITH odd AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
-dirty AS (SELECT count(*) AS v FROM odd WHERE o_orderkey % 51 = 0),
-fin AS (SELECT count(*) AS final_rows FROM odd)
-SELECT t.batch, t.published, t.n_violations,
-       fin.final_rows, 1 AS latest_version
-FROM (
-  SELECT 'b0_clean' AS batch, 1 AS published, CAST(0 AS BIGINT) AS n_violations
+WITH even AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+odd  AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+b AS (
+  SELECT 'b0_clean' AS batch, 0 AS ord,
+         (SELECT count(*) FROM even WHERE o_orderstatus IS NULL) AS n_violations,
+         (SELECT count(*) FROM even) AS batch_rows
   UNION ALL
-  SELECT 'b1_dirty', 0, (SELECT CAST(v AS BIGINT) FROM dirty)
+  SELECT 'b1_dirty', 1,
+         (SELECT count(*) FROM odd
+          WHERE o_orderkey % 51 = 0 OR o_orderstatus IS NULL),
+         (SELECT count(*) FROM odd)
   UNION ALL
-  SELECT 'b2_clean', 1, CAST(0 AS BIGINT)
-) t CROSS JOIN fin
+  SELECT 'b2_clean', 2,
+         (SELECT count(*) FROM odd WHERE o_orderstatus IS NULL),
+         (SELECT count(*) FROM odd)
+),
+pub AS (SELECT *, CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS published FROM b),
+st AS (
+  SELECT CAST(sum(published) - 1 AS INT) AS latest_version,
+         max(CASE WHEN published = 1 THEN ord END) AS last_ord
+  FROM pub
+)
+SELECT pub.batch, pub.published, CAST(pub.n_violations AS BIGINT) AS n_violations,
+       (SELECT CAST(batch_rows AS BIGINT) FROM pub p2
+        WHERE p2.ord = st.last_ord) AS final_rows,
+       st.latest_version
+FROM pub CROSS JOIN st
 """
 
 QUERIES["snapshot_cdf"] = q_snapshot_cdf

@@ -223,8 +223,12 @@ FROM firsts
 # -- qid: sessionize (batch islands) ----------------------------------
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag + gap>threshold + cumulative sum → session id per event
-    (batch twin of session_window; one shuffle on the key)."""
+    """lag + gap>=threshold + cumulative sum → session id per event —
+    the manual islands formulation (one shuffle on the key). Boundary
+    NOTE: this qid deliberately starts a NEW session when the gap
+    EQUALS the threshold (exclusive rule, same on both sides), which
+    differs from Spark's built-in session_window (end-INCLUSIVE — see
+    q_session_window_batch) exactly on exact-gap ties."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_sec = epoch_seconds(F.col("ts"))

@@ -39,11 +39,15 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_RESIZE = """
 -- NULL text → NULL payload → NULL output raster (the operator carries
--- missing blobs through instead of crashing; fuzz find, nulls profile)
+-- missing blobs through instead of crashing; fuzz find, nulls profile).
+-- n_bytes_out needs its own guard: DuckDB's least() IGNORES NULL
+-- operands (least(NULL, 1024) = 1024) where Spark's propagates NULL.
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE 32 END AS width,
        CASE WHEN text IS NULL THEN NULL ELSE 32 END AS height,
-       CAST(least(octet_length(encode(text)), 1024) AS INT) AS n_bytes_out
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(least(octet_length(encode(text)), 1024) AS INT)
+       END AS n_bytes_out
 FROM documents
 """
 
@@ -606,7 +610,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        "doc_id",
+        "source",
+        # nullif(-1): size(NULL)=-1 would poison per-source token sums
+        # (fuzz find, nulls profile); the SQL twin yields NULL naturally
+        F.nullif(F.size(F.split(F.trim("text"), r"\s+")), F.lit(-1)).alias("n_tokens")
     )
     packed = pack_sequences(
         d, "n_tokens", capacity=256, shard_cols=["source"], order_cols=["doc_id"]

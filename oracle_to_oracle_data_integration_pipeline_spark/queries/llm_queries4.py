@@ -117,7 +117,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import mixture_sample
 
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        "doc_id",
+        "source",
+        # nullif(-1): size(NULL)=-1 would poison per-source token sums
+        # (fuzz find, nulls profile); the SQL twin yields NULL naturally
+        F.nullif(F.size(F.split(F.trim("text"), r"\s+")), F.lit(-1)).alias("n_tokens")
     )
     out = mixture_sample(
         d, {s: 3.0 for s in _UPWEIGHTED}, MIXTURE_BUDGET
@@ -573,17 +577,28 @@ def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < FA_NQ)
     exact = cosine_topk_bruteforce(corpus, queries, k=FA_K)
     approx = ivf_topk(corpus, queries, k=FA_K, n_cells=8, nprobe=FA_NPROBE)
+    # recall denominator = |exact pairs| measured from data, NOT the
+    # NQ·K literal: when the FILTERED corpus holds fewer than K
+    # eligible neighbors, exact legitimately returns fewer rows and
+    # dividing by NQ·K understates recall (the standard recall@k
+    # definition divides by the true-neighbor count; fuzz find,
+    # tools/fuzz_parity.py tiny profile with a 4-vector corpus)
+    matched = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
     recall = (
-        exact.select("query_id", "neighbor_id")
-        .join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .agg(
+        exact.agg(F.count(F.lit(1)).alias("_n_true"))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
             (
-                F.count(F.lit(1)) / F.lit(float(FA_NQ * FA_K))
-                >= FA_RECALL_MIN
+                (F.col("_n_true") == 0)
+                | (
+                    F.col("_n_hit").cast("double")
+                    / F.col("_n_true").cast("double")
+                    >= FA_RECALL_MIN
+                )
             )
             .cast("int")
             .alias("ivf_recall_ok")

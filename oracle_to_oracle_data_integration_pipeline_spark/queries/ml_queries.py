@@ -443,7 +443,12 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(text) vs rows), and mean tokens per doc — the summary table a
     dataset release ships next to the shards (order_index/domain_cap
     produce the shards; this is the datasheet). ONE scan, GROUPING
-    SETS expand ×3, every aggregate combinable."""
+    SETS expand ×3, every aggregate combinable.
+
+    nullif(size(...), -1): Spark's size(NULL) is -1, which silently
+    UNDERCOUNTED token sums by 1 per NULL document where the DuckDB
+    twin's len(NULL) propagates NULL and is skipped by sum() — fuzz
+    find, tools/fuzz_parity.py nulls profile."""
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import tune
 
     tune(spark)
@@ -453,11 +458,11 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN grouping(source) = 0 THEN source ELSE '(all)' END AS src,
                CASE WHEN grouping(lang) = 0 THEN lang ELSE '(all)' END AS lng,
                count(*) AS n_docs,
-               CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(nullif(size(split(text, ' ')), -1)) AS BIGINT) AS n_tokens,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                count(DISTINCT md5(text)) AS n_unique_texts,
                floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS dup_rate,
-               floor(CAST(sum(size(split(text, ' '))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_tokens
+               floor(CAST(sum(nullif(size(split(text, ' ')), -1)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_tokens
         FROM cc_documents
         GROUP BY GROUPING SETS ((source), (lang), ())
         """

@@ -215,16 +215,24 @@ WITH l0 AS (
   FROM (SELECT count(*) AS sz FROM customer
         GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT))
 ),
+-- the sign bucket keeps NULL balances as their OWN equivalence class
+-- (three-valued: 1 / 0 / NULL): a missing quasi-identifier is still an
+-- attacker-observable value and must not silently merge into the
+-- negative class — and Spark's (x >= 0)::int is NULL for NULL anyway
+-- (fuzz find, tools/fuzz_parity.py nulls profile)
 l1 AS (
   SELECT 1, count(*), min(sz), max(sz)
   FROM (SELECT count(*) AS sz FROM customer
-        GROUP BY c_nationkey, CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+        GROUP BY c_nationkey,
+                 CASE WHEN c_acctbal >= 0 THEN 1
+                      WHEN c_acctbal < 0 THEN 0 END)
 ),
 l2 AS (
   SELECT 2, count(*), min(sz), max(sz)
   FROM (SELECT count(*) AS sz FROM customer
         GROUP BY CAST(floor(c_nationkey / 5) AS BIGINT),
-                 CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+                 CASE WHEN c_acctbal >= 0 THEN 1
+                      WHEN c_acctbal < 0 THEN 0 END)
 ),
 l3 AS (
   SELECT 3, count(*), min(sz), max(sz)

@@ -218,9 +218,14 @@ WITH delta AS (
 ),
 ranked AS (
   SELECT *,
+         -- NULLS LAST pinned explicitly (Spark's DESC default): with a
+         -- NULL op_ts in play, DuckDB 1.0's parallel window sort places
+         -- unpinned NULLs nondeterministically per run (measured: 45
+         -- distinct result sets over 50 executions on fuzzed data —
+         -- tools/fuzz_parity.py nulls profile)
          row_number() OVER (
            PARTITION BY merge_key
-           ORDER BY op_ts DESC,
+           ORDER BY op_ts DESC NULLS LAST,
                     CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC,
                     o_orderkey DESC
          ) AS rn,
@@ -697,9 +702,19 @@ def q_incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-prunable date predicate); the stale carry is a scan of
     the stored AGGREGATE (days, not orders). Both aggregations are
     combinable.
+
+    NULL-date contract (fuzz find, tools/fuzz_parity.py nulls
+    profile): an undated order can be addressed by neither the carry
+    (NOT in_horizon) nor the recompute window — an unfiltered NULL
+    silently falls out of BOTH branches in Spark (three-valued
+    where()) but lands in the oracle's CASE ELSE arm, so the
+    exclusion is stated explicitly on both sides; undated rows need
+    their own repair pass, like backfill_plan.
     """
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", F.to_date("o_orderdate").alias("day"), "o_totalprice")
     )
     cutoff = o.agg(F.max("day").alias("max_day"))
     ob = o.crossJoin(F.broadcast(cutoff)).withColumn(
@@ -753,7 +768,7 @@ cur AS (
                    AND CAST(o_orderdate AS DATE)
                        >= (SELECT max_day FROM c) - {IL_LOOKBACK_DAYS}
               THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 )
 SELECT day, count(*) AS n_orders,
        CAST(round(sum(CAST(price AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,

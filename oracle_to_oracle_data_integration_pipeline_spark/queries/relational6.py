@@ -432,8 +432,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain round() diverges between engines when a price sits at the
     half-way point of the 4th decimal — a real flip surfaced at sf0.1.
     Ordering ties broken by s_suppkey.
+
+    Lineitems with a NULL price or quantity carry no observable unit
+    price and are excluded explicitly — an all-NULL offer would
+    otherwise win the min under Spark's ASC NULLS FIRST and lose it
+    under DuckDB's NULLS LAST (fuzz find, tools/fuzz_parity.py nulls
+    profile).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -464,6 +472,7 @@ WITH offer AS (
            min(l_extendedprice / l_quantity) AS unit_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 5
+      AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     GROUP BY p_partkey, p_name, l_suppkey
 ), best AS (
     SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY unit_price, l_suppkey) AS rn

@@ -249,8 +249,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSION = f"""
 WITH ordered AS (
   SELECT user_id, ts, value,
+         -- strictly-greater split: Spark's session_window is
+         -- END-INCLUSIVE (an event exactly gap after the previous one
+         -- extends the session) — see q_session_window_batch; exposed
+         -- by the hour-floored ties fuzz profile
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),

@@ -490,7 +490,7 @@ SQL_MINMAX_DOWNSAMPLE = f"""
 WITH e AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
          date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
-  FROM events WHERE user_id < {DOWNSAMPLE_USERS}
+  FROM events WHERE user_id < {DOWNSAMPLE_USERS} AND value IS NOT NULL
 ),
 b AS (
   SELECT user_id, event_id, v, sec - (sec % {DOWNSAMPLE_BUCKET}) AS bucket_start

@@ -84,10 +84,14 @@ def _update_exact(key, pdfs: Iterator, state: GroupState):
     q = Decimal("0.000001")
     n, micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
+        # NULL measurements: counted in n_events (count(*) semantics),
+        # skipped by the value sum (SQL sum skips NULL) — a NaN reaching
+        # Decimal() crashed the executor before (fuzz find,
+        # tools/fuzz_parity.py nulls profile)
         n += len(pdf)
         micros += sum(
             int(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
-            for v in pdf["value"]
+            for v in pdf["value"].dropna()
         )
     state.update((n, micros))
     # final rounding in the decimal domain too: python round() is

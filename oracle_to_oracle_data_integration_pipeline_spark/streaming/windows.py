@@ -65,8 +65,10 @@ def sliding_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
 
 def session_agg(events: DataFrame, gap: str = "6 hours", key: str = "user_id") -> DataFrame:
     """Gap-based session windows per key: a session extends while the
-    next event arrives strictly within ``gap``; session end = last
-    event + gap."""
+    next event arrives within ``gap`` INCLUSIVE — an event exactly gap
+    after the previous one still extends the session (verified against
+    Spark's session_window; exact-gap ties are real under coarse
+    timestamps); session end = last event + gap."""
     w = F.session_window(F.col("ts"), gap)
     return (
         events.groupBy(w.alias("w"), F.col(key))

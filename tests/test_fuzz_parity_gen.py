@@ -103,6 +103,24 @@ def test_deterministic(fuzzed):
         shutil.rmtree(tmp2, ignore_errors=True)
 
 
+def test_oracle_connection_pins_determinism_settings():
+    """duckdb 1.0.0's statistics_propagation optimizer mishandles NULL
+    ordering through partitioned window sorts (NULL-key rows win a
+    `ORDER BY ts DESC NULLS LAST` + `WHERE rn = 1` latest-per-key, and
+    flap run to run under parallelism) — the oracle connection must
+    disable that rule and stay single-threaded, or null-fuzzed
+    compares are wrong and unstable."""
+    from tests.duck_compare import duck_connection
+
+    con = duck_connection(BASE)
+    assert con.execute("SELECT current_setting('threads')").fetchone()[0] == 1
+    assert (
+        "statistics_propagation"
+        in con.execute("SELECT current_setting('disabled_optimizers')").fetchone()[0]
+    )
+    con.close()
+
+
 def test_each_profile_produces_its_hazard():
     probes = {
         "ties": ("SELECT count(*) - count(DISTINCT l_extendedprice) FROM li",

@@ -31,6 +31,7 @@ TOOLS = [
     ("broadcast_audit.py", [], True),
     ("join_explosion_audit.py", [], True),
     ("parity_sweep.py", [], True),
+    ("fuzz_parity.py", [], True),
 ]
 
 

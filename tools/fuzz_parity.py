@@ -69,6 +69,21 @@ TABLES = [
 # (profile, qid) -> stated data contract that makes the divergence /
 # crash expected. Keep each entry a real sentence naming the contract.
 WHITELIST: dict[tuple[str, str], str] = {
+    # qids whose ORACLE legitimately returns 0 rows on ANY input —
+    # "vacuous" is their contract, not a profile-tuning gap
+    ("__intended_empty__", "empty_clone"): (
+        "an empty staging clone IS the result: the qid verifies schema "
+        "replication with zero rows by definition"
+    ),
+    ("nulls", "lm_perplexity"): (
+        "JVM-vs-libm ln() differs by 1 ulp; the per-term 6-dp HALF_UP "
+        "rounding (see operators/retrieval.unigram_nll) collapses that "
+        "gap unless a term lands EXACTLY on a rounding half-boundary, "
+        "which this fuzzed corpus happens to produce for one group "
+        "(final avg differs by exactly 1e-6). Inherent cross-engine "
+        "float noise, not a semantics gap — the clean fixture is "
+        "boundary-free at all three SFs."
+    ),
 }
 
 
@@ -125,7 +140,10 @@ def profile_ties(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> No
     o["o_orderdate"] = pd.to_datetime(o["o_orderdate"]).dt.floor("7D")
     li = dfs["lineitem"]
     li["l_extendedprice"] = _quantize(li["l_extendedprice"], 500)
-    li["l_quantity"] = li["l_quantity"] % 5 + 1
+    # keep the original 1..50 magnitude (sum-threshold filters like
+    # q18's HAVING > 150 must stay satisfiable) while collapsing onto
+    # 5 tie values
+    li["l_quantity"] = np.maximum(_quantize(li["l_quantity"], 10), 10)
     li["l_discount"] = _quantize(li["l_discount"], 0.05)
     li["l_tax"] = _quantize(li["l_tax"], 0.04)
     li["l_shipdate"] = pd.to_datetime(li["l_shipdate"]).dt.floor("7D")
@@ -191,7 +209,7 @@ def profile_tiny(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> No
     dfs["nation"] = dfs["nation"][keep_nations].reset_index(drop=True)
     nat = set(dfs["nation"]["n_nationkey"])
     cust = dfs["customer"]
-    cust = cust[cust["c_nationkey"].isin(nat)].head(12).reset_index(drop=True)
+    cust = cust[cust["c_nationkey"].isin(nat)].head(25).reset_index(drop=True)
     dfs["customer"] = cust
     sup = dfs["supplier"]
     sup = sup[sup["s_nationkey"].isin(nat)].head(4).reset_index(drop=True)
@@ -202,7 +220,7 @@ def profile_tiny(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> No
     dfs["part"] = dfs["part"].head(15).reset_index(drop=True)
     orders = dfs["orders"]
     orders = orders[orders["o_custkey"].isin(set(cust["c_custkey"]))]
-    orders = orders.head(40).reset_index(drop=True)
+    orders = orders.head(150).reset_index(drop=True)
     dfs["orders"] = orders
     li = dfs["lineitem"]
     li = li[li["l_orderkey"].isin(set(orders["o_orderkey"]))].reset_index(drop=True)
@@ -214,10 +232,10 @@ def profile_tiny(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> No
     li["l_suppkey"] = sk[li["l_suppkey"].to_numpy() % len(sk)]
     dfs["lineitem"] = li
     ev = dfs["events"]
-    ev = ev[(ev["user_id"] < 4) & (ev["event_type"] != "click")]
-    dfs["events"] = ev.head(60).reset_index(drop=True)
-    dfs["documents"] = dfs["documents"].head(6).reset_index(drop=True)
-    dfs["embeddings"] = dfs["embeddings"].head(10).reset_index(drop=True)
+    ev = ev[(ev["user_id"] < 6) & (ev["event_type"] != "click")]
+    dfs["events"] = ev.head(150).reset_index(drop=True)
+    dfs["documents"] = dfs["documents"].head(30).reset_index(drop=True)
+    dfs["embeddings"] = dfs["embeddings"].head(40).reset_index(drop=True)
 
 
 PROFILES = {
@@ -282,8 +300,11 @@ def main() -> int:
                 status = ("ok" if ok else
                           ("whitelisted" if wl else "FAIL"))
                 if ok and nrows == 0:
-                    status, msg = "VACUOUS", "oracle returned 0 rows under fuzz"
-                    vacuous.append((profile, qid))
+                    if ("__intended_empty__", qid) in WHITELIST:
+                        status = "ok"  # empty IS the qid's contract
+                    else:
+                        status, msg = "VACUOUS", "oracle returned 0 rows under fuzz"
+                        vacuous.append((profile, qid))
                 results.append({"profile": profile, "qid": qid,
                                 "status": status, "rows": nrows,
                                 "msg": None if ok else msg,
