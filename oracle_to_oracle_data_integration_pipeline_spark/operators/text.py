@@ -58,12 +58,44 @@ _WS = " \\t\\n\\r\\x0b\\x0c"
 BPE_ISH_PATTERN = rf"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS}']+|[{_WS}]+"
 
 
+# ASCII-only case fold: Java (Spark) applies FULL Unicode case mapping
+# ('İ' -> 'i' + combining dot, upper('ß') -> 'SS', context-sensitive
+# final sigma) while DuckDB's utf8proc applies SIMPLE per-codepoint
+# mapping ('İ' -> 'i', 'ß' -> 'ß') — lower()/upper() on non-ASCII text
+# silently diverge between the engines (fuzz find, unicode profile:
+# 'İstanbul' survived the [a-z0-9] word filter only in DuckDB).
+# translate() is a 1:1 codepoint map with identical semantics in both
+# engines; non-ASCII passes through untouched on both sides, so every
+# cross-engine case-insensitive surface folds ASCII only.
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UP = _ASCII_LO.upper()
+
+
+def ascii_lower_col(col: Column) -> Column:
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
+def ascii_upper_col(col: Column) -> Column:
+    return F.translate(col, _ASCII_LO, _ASCII_UP)
+
+
+def sql_ascii_lower(expr: str) -> str:
+    """The DuckDB twin of :func:`ascii_lower_col`."""
+    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
+def sql_ascii_upper(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_LO}', '{_ASCII_UP}')"
+
+
 def subword_count_col(text: str = "text") -> Column:
     """BPE-ish token count: number of pre-tokenizer matches on the
-    lower-cased text. A real BPE vocab then splits each match into
-    learned merges; match count is the standard cheap proxy for token
-    budget in corpus curation (pure JVM regexp_count — no UDF)."""
-    return F.regexp_count(F.lower(F.col(text)), F.lit(BPE_ISH_PATTERN))
+    ASCII-case-folded text. A real BPE vocab then splits each match
+    into learned merges; match count is the standard cheap proxy for
+    token budget in corpus curation (pure JVM regexp_count — no UDF).
+    ASCII fold, not lower(): full-vs-simple Unicode case mapping
+    diverges between the engines (see ascii_lower_col)."""
+    return F.regexp_count(ascii_lower_col(F.col(text)), F.lit(BPE_ISH_PATTERN))
 
 
 def _nsize(arr: Column) -> Column:
@@ -277,10 +309,18 @@ def bpe_train(df: DataFrame, text: str = "text", n_merges: int = 5) -> DataFrame
     the k-means centroid refresh); ``localCheckpoint`` keeps the
     iterated plan O(1) per round.
     """
+    # filter the RAW token, then lowercase: the admission test runs on
+    # bytes both engines see identically, and lower() on the surviving
+    # pure-ASCII words is engine-independent. Filtering AFTER lower()
+    # diverged ('İ' full-maps to 'i' + combining dot in Java but
+    # simple-maps to plain 'i' in utf8proc, so 'İstanbul' entered only
+    # DuckDB's vocabulary — fuzz find, unicode profile). \\A/\\z are
+    # Java's true string anchors ($ would also match before a trailing
+    # newline, which RE2's regexp_full_match never does).
     words = (
-        df.select(F.explode(F.split(F.lower(F.col(text)), " ")).alias("w"))
-        .where(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
+        df.select(F.explode(F.split(F.col(text), " ")).alias("w0"))
+        .where(F.col("w0").rlike(r"\A[a-zA-Z0-9]+\z"))
+        .groupBy(F.lower(F.col("w0")).alias("w"))
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -337,12 +377,14 @@ def bpe_apply(
     (same pipe-anchored replaces as training), which then broadcasts
     back over the exploded corpus — the corpus is touched once and the
     chained-replace work is O(|vocab|·|merges|), not O(corpus). Words
-    outside the training alphabet ([a-z0-9]+) are excluded on both
-    train and apply, keeping the two phases consistent.
+    are admitted by the RAW-token test ([a-zA-Z0-9]+, engine-portable)
+    and lowercased after it, exactly like training — see the
+    case-mapping note in :func:`bpe_train`.
     """
     words = (
-        df.select(F.explode(F.split(F.lower(F.col(text)), " ")).alias("w"))
-        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        df.select(F.explode(F.split(F.col(text), " ")).alias("w0"))
+        .where(F.col("w0").rlike(r"\A[a-zA-Z0-9]+\z"))
+        .select(F.lower(F.col("w0")).alias("w"))
         .distinct()
     )
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -356,9 +398,11 @@ def bpe_apply(
             F.size(F.expr("filter(split(_enc, '\\\\|'), x -> x != '')")).alias("nt"),
         )
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text)), " ")).alias("w")
-    ).where(F.col("w").rlike("^[a-z0-9]+$"))
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w0"))
+        .where(F.col("w0").rlike(r"\A[a-zA-Z0-9]+\z"))
+        .select(F.col(id_col), F.lower(F.col("w0")).alias("w"))
+    )
     return (
         exploded.join(F.broadcast(vocab), "w")
         .groupBy(id_col)
@@ -377,16 +421,19 @@ def normalize_text_col(col: Column) -> Column:
     dedup over the normalized form catches case/punct/number variants
     of the same boilerplate.
 
-    ASCII character classes only ([^a-z0-9 ], [0-9]+, " +") — Java
+    ASCII character classes only ([^a-zA-Z0-9 ], [0-9]+, " +") — Java
     regex (Spark) and RE2 (DuckDB) interpret these identically; \\s
     and Unicode classes deliberately avoided (the engines' \\s sets
-    differ by \\x0b, the BPE_ISH_PATTERN lesson above).
-    SQL twin: trim(regexp_replace(regexp_replace(regexp_replace(
-    lower(x), '[^a-z0-9 ]', ' ', 'g'), '[0-9]+', '0', 'g'),
+    differ by \\x0b, the BPE_ISH_PATTERN lesson above). Non-ASCII is
+    stripped BEFORE lower(), so the case fold only ever sees ASCII —
+    lowering first diverged between Java's full case mapping and
+    utf8proc's simple mapping (see ascii_lower_col).
+    SQL twin: trim(regexp_replace(regexp_replace(lower(regexp_replace(
+    x, '[^a-zA-Z0-9 ]', ' ', 'g')), '[0-9]+', '0', 'g'),
     ' +', ' ', 'g')).
     """
-    x = F.lower(col)
-    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(col, "[^a-zA-Z0-9 ]", " ")
+    x = F.lower(x)
     x = F.regexp_replace(x, "[0-9]+", "0")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
@@ -401,7 +448,10 @@ def normalize_url_col(col: Column) -> Column:
     as ``HTTPS://WWW.Site.com/a?utm_source=feed&id=1#frag`` and
     ``https://site.com/a?id=1``:
 
-    - scheme and host lowercased (case-insensitive per RFC 3986);
+    - scheme and host ASCII-lowercased (case-insensitive per RFC
+      3986; non-ASCII host bytes pass through untouched — IDN hosts
+      are punycoded upstream of this normalizer, and a full-Unicode
+      lower() diverges between the engines, see ascii_lower_col);
       path and query values left as-is (case-significant);
     - a single leading ``www.`` stripped from the host;
     - the fragment dropped;
@@ -419,8 +469,12 @@ def normalize_url_col(col: Column) -> Column:
     SQL_URL_NORMALIZE).
     """
     no_frag = F.regexp_replace(col, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    scheme = ascii_lower_col(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = ascii_lower_col(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)

@@ -170,11 +170,17 @@ def _bpe_chain(carry_word: bool) -> str:
     join the fully-merged vocabulary back onto the corpus.
     """
     wcol = "w, " if carry_word else ""
+    # admission runs on the RAW token (engine-portable bytes), lower()
+    # only on the surviving pure-ASCII words — mirrors bpe_train's
+    # filter-then-fold order (fuzz find, unicode profile: Java vs
+    # utf8proc case mapping disagreed on 'İ' before the reorder)
     blocks = [f"""
 WITH words AS (
   SELECT w, count(*) AS freq FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
-  ) WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w
+    SELECT lower(w0) AS w FROM (
+      SELECT unnest(string_split(text, ' ')) AS w0 FROM documents
+    ) WHERE regexp_full_match(w0, '[a-zA-Z0-9]+')
+  ) GROUP BY w
 ),
 v0 AS (
   SELECT {wcol}freq,
@@ -253,9 +259,9 @@ vt AS (
   FROM v{BPE_MERGES}
 ),
 ft AS (
-  SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
-  ) WHERE regexp_full_match(w, '[a-z0-9]+')
+  SELECT doc_id, lower(w0) AS w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents
+  ) WHERE regexp_full_match(w0, '[a-zA-Z0-9]+')
 )
 SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
 FROM ft JOIN vt USING (w) GROUP BY doc_id

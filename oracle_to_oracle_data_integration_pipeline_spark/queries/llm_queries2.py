@@ -440,6 +440,7 @@ def _sql_curation_pipeline() -> str:
         BPE_ISH_PATTERN,
         PII_EMAIL_PATTERN,
         PII_PHONE_PATTERN,
+        sql_ascii_lower,
     )
 
     email = PII_EMAIL_PATTERN.replace("'", "''")
@@ -466,7 +467,7 @@ deduped AS (
   ) WHERE rn = 1
 )
 SELECT lang, count(*) AS n_docs,
-       CAST(sum(CAST(len(regexp_extract_all(lower(text), '{bpe}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
+       CAST(sum(CAST(len(regexp_extract_all({sql_ascii_lower('text')}, '{bpe}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
 FROM deduped
 GROUP BY lang
 ORDER BY lang
@@ -495,11 +496,12 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern text; DuckDB default strings treat backslash literally, which
 # is exactly what RE2 should see.
 from oracle_to_oracle_data_integration_pipeline_spark.operators.text import BPE_ISH_PATTERN as _BPE
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import sql_ascii_lower as _sal
 
 SQL_TOKEN_COUNT_BPE = (
     "SELECT doc_id,\n"
     "       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,\n"
-    "       CAST(len(regexp_extract_all(lower(text), "
+    f"       CAST(len(regexp_extract_all({_sal('text')}, "
     f"'{_BPE.replace(chr(39), chr(39) * 2)}')) AS INT) AS n_bpe_tokens\n"
     "FROM documents"
 )

@@ -244,10 +244,12 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize a PNG from the document bytes, DECODE it (zlib inflate +
     unfilter), nearest-neighbor resample the raster to 8×8, RE-ENCODE
     as PNG, and decode the result through the dispatch. The oracle
-    recomputes every sampled byte of the resized raster from the text
-    (fixtures are pure ASCII, so byte == codepoint), so the checksum
-    only matches if decode, resample index arithmetic, and re-encode
-    all round-trip exactly."""
+    recomputes every sampled byte of the resized raster from
+    hex(encode(text)) — true UTF-8 byte reads, so the checksum only
+    matches if decode, resample index arithmetic, and re-encode all
+    round-trip exactly on ANY text (the earlier ascii(substr(...))
+    form assumed byte == codepoint and broke on multi-byte documents
+    — fuzz find, unicode profile)."""
     import pandas as pd
 
     from oracle_to_oracle_data_integration_pipeline_spark.operators.media_codecs import (
@@ -286,7 +288,7 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_RESIZE_REAL = f"""
 WITH p AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
          octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
          octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
   FROM documents WHERE text IS NOT NULL
@@ -295,7 +297,7 @@ SELECT doc_id, 8 AS width, 8 AS height,
        CAST(list_sum(list_transform(
          generate_series(0, 191),
          k -> CASE WHEN ((k // 24) * h // 8 * w + (k % 24) // 3 * w // 8) * 3 + k % 3 < n
-                   THEN ascii(substr(text, ((k // 24) * h // 8 * w + (k % 24) // 3 * w // 8) * 3 + k % 3 + 1, 1))
+                   THEN CAST(('0x' || substr(hx, 2 * (((k // 24) * h // 8 * w + (k % 24) // 3 * w // 8) * 3 + k % 3) + 1, 2)) AS INT)
                    ELSE 0 END)) AS BIGINT) AS checksum
 FROM p
 """
@@ -358,10 +360,13 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling with the REAL audio kernel: document bytes become
     16-bit mono PCM in a RIFF/WAVE container, the codec decodes it, and
     windows of 64 samples are sliced every 2nd window (max 4/doc) with
-    an exact per-window sample sum. The oracle recomputes each sample
-    (lo + 256·hi from the ASCII bytes; high bytes < 128 so values stay
-    positive int16) — a wrong slice boundary or byte order fails the
-    hash. Same 1:N Arrow batch shape as the fake-kernel `media_frames`."""
+    an exact per-window sample sum. The oracle recomputes each SIGNED
+    int16 sample (lo + 256·hi from true hex(encode(text)) byte reads,
+    wrapped past 32767 — multi-byte UTF-8 high bytes ≥ 0x80 produce
+    negative samples, which the earlier ASCII-assuming form missed:
+    fuzz find, unicode profile) — a wrong slice boundary or byte
+    order fails the hash. Same 1:N Arrow batch shape as the
+    fake-kernel `media_frames`."""
     import struct as _struct
 
     import pandas as pd
@@ -405,12 +410,12 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_FRAMES_REAL = """
 WITH p AS (
-  SELECT doc_id, text,
+  SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) // 2 AS n_samples
   FROM documents WHERE text IS NOT NULL
 ),
 w AS (
-  SELECT doc_id, text, n_samples,
+  SELECT doc_id, hx, n_samples,
          unnest(generate_series(0, CAST(ceil(n_samples / 64.0) AS INT) - 1, 2)) AS win
   FROM p WHERE n_samples > 0
 ),
@@ -421,7 +426,9 @@ SELECT doc_id, CAST(win AS INT) AS frame_idx,
        CAST(least(64, n_samples - win * 64) AS INT) AS n_samples,
        CAST(list_sum(list_transform(
          generate_series(win * 64, CAST(least((win + 1) * 64, n_samples) AS BIGINT) - 1),
-         i -> ascii(substr(text, 2 * i + 1, 1)) + 256 * ascii(substr(text, 2 * i + 2, 1))
+         i -> ((CAST(('0x' || substr(hx, 4 * i + 1, 2)) AS INT)
+                + 256 * CAST(('0x' || substr(hx, 4 * i + 3, 2)) AS INT)
+                + 32768) % 65536) - 32768
        )) AS BIGINT) AS sample_sum
 FROM k WHERE rk <= 4
 """
@@ -474,15 +481,20 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _features_real_channel_sql(c: int) -> str:
+    # true byte reads via hex(encode(text)) — ascii(substr(...)) gave
+    # codepoints at character positions, valid only for ASCII text
+    # (fuzz find, unicode profile)
     return f"""floor(CAST(list_sum(list_transform(
          generate_series(0, w * h - 1),
-         j -> CASE WHEN 3 * j + {c} < n THEN ascii(substr(text, 3 * j + {c} + 1, 1)) ELSE 0 END
+         j -> CASE WHEN 3 * j + {c} < n
+                   THEN CAST(('0x' || substr(hx, 2 * (3 * j + {c}) + 1, 2)) AS INT)
+                   ELSE 0 END
        )) AS DOUBLE) / (w * h) * 1e6 + 0.5) / 1e6"""
 
 
 SQL_MEDIA_FEATURES_REAL = f"""
 WITH p AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
          octet_length(encode(text)) % {PNG_W_MOD} + 1 AS w,
          octet_length(encode(text)) % {PNG_H_MOD} + 1 AS h
   FROM documents WHERE text IS NOT NULL

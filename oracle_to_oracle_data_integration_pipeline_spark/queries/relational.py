@@ -378,12 +378,21 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard: Spark's get_json_object returns NULL on malformed
+# JSON, DuckDB's ->> raises — the guard pins the oracle to Spark's
+# null-on-malformed semantics (fuzz find, unicode profile; verified
+# the guard also mirrors the '{"k": "12"}' string-number coercion)
 SQL_JSON_EXTRACT = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CASE WHEN json_valid(props) THEN props ->> '$.k' END AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-       round(CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k,
        count(*) AS n
-FROM events GROUP BY event_type
+FROM e GROUP BY event_type
 """
 
 

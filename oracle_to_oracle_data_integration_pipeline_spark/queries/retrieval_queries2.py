@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+    sql_ascii_lower,
+    sql_ascii_upper,
+)
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
 
 # -- qid: inverted_index -----------------------------------------------
@@ -237,9 +241,12 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# strip-then-lower mirrors normalize_text_col: the case fold only ever
+# sees ASCII (full-vs-simple Unicode case mapping diverges, see
+# operators/text.ascii_lower_col)
 _NORM = (
-    "trim(regexp_replace(regexp_replace(regexp_replace(lower({col}),"
-    " '[^a-z0-9 ]', ' ', 'g'), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(regexp_replace({col},"
+    " '[^a-zA-Z0-9 ]', ' ', 'g')), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))"
 )
 
 SQL_TEXT_NORMALIZE = f"""
@@ -290,7 +297,10 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule is live, and the malformed arm proves the NULL-quarantine
     path). Map-only whole-stage-codegen regex/array algebra
     (operators/text.normalize_url_col)."""
-    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import normalize_url_col
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+        ascii_upper_col,
+        normalize_url_col,
+    )
 
     d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -303,7 +313,10 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("https")),
             F.lit("://"),
             F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-            F.upper("source"),
+            # ASCII fold, not upper(): Java full-maps 'ß' to 'SS'
+            # where utf8proc keeps it — the synthesized URL itself
+            # must be engine-identical (fuzz find, unicode profile)
+            ascii_upper_col(F.col("source")),
             F.lit(".Example.COM/"),
             F.col("lang"),
             F.lit("/doc/"),
@@ -323,11 +336,11 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RAW_URL = """CASE WHEN doc_id % 7 = 0 THEN 'doc:' || CAST(doc_id AS VARCHAR)
+_RAW_URL = f"""CASE WHEN doc_id % 7 = 0 THEN 'doc:' || CAST(doc_id AS VARCHAR)
   ELSE (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
              WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END)
     || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
-    || upper(source) || '.Example.COM/' || lang || '/doc/'
+    || {sql_ascii_upper('source')} || '.Example.COM/' || lang || '/doc/'
     || CAST(doc_id AS VARCHAR) || '?utm_source=feed&z=' || lang
     || '&id=' || CAST(doc_id AS VARCHAR)
     || (CASE WHEN doc_id % 2 = 0 THEN '&ref=rss' ELSE '' END) || '#sec'
@@ -339,9 +352,9 @@ s1 AS (SELECT doc_id, raw_url,
               regexp_replace(raw_url, '#.*$', '') AS no_frag FROM r),
 s2 AS (
   SELECT doc_id, raw_url, no_frag,
-         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         {sql_ascii_lower("regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)")} AS scheme,
          regexp_replace(
-           lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           {sql_ascii_lower("regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)")},
            '^www\\.', '') AS host,
          regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
          regexp_extract(no_frag, '\\?([^#]*)', 1) AS query

@@ -106,13 +106,18 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Aggregates per event_type over the extracted field. Whole plan is
     codegen'd JVM columnar; the VARIANT never round-trips through
-    Python."""
+    Python. try_parse_json / try_variant_get, not the throwing forms:
+    one malformed payload row must shred to NULL, not kill a 100 TB
+    job (fuzz find, unicode profile — parse_json FAILFAST crashed on
+    a truncated JSON document; the oracle mirrors with a json_valid
+    guard, and the string-number coercion '{"k": "12"}' -> 12 was
+    verified identical on both engines)."""
     tune(spark)
     e = load(spark, sf_dir, "events").select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
     )
     shredded = e.select(
-        "event_type", F.expr("variant_get(v, '$.k', 'int')").alias("k")
+        "event_type", F.expr("try_variant_get(v, '$.k', 'int')").alias("k")
     )
     return (
         shredded.groupBy("event_type")
@@ -132,7 +137,9 @@ SELECT event_type,
        count(k) AS n_with_k,
        CAST(sum(k) AS BIGINT) AS sum_k,
        max(k) AS max_k
-FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events) t
+FROM (SELECT event_type,
+             CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS INTEGER) AS k
+      FROM events) t
 GROUP BY event_type
 ORDER BY event_type
 """

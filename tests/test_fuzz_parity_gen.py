@@ -143,3 +143,72 @@ def test_each_profile_produces_its_hazard():
             con.close()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_unicode_profile_hazards():
+    tmp = tempfile.mkdtemp(prefix="fuzzhaz_uni_")
+    try:
+        build_fuzzed_dir("unicode", BASE, tmp, seed=1)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW doc AS SELECT * FROM read_parquet('{tmp}/documents.parquet')")
+        con.execute(
+            f"CREATE VIEW ev AS SELECT * FROM read_parquet('{tmp}/events.parquet')")
+        # non-ASCII text actually landed
+        non_ascii = con.execute(
+            "SELECT count(*) FROM doc "
+            "WHERE octet_length(encode(text)) != length(text)").fetchone()[0]
+        assert non_ascii > 50, f"only {non_ascii} non-ASCII texts"
+        # derived-column contract survives the rewrite (code-point length)
+        bad_nchars = con.execute(
+            "SELECT count(*) FROM doc WHERE n_chars != length(text)").fetchone()[0]
+        assert bad_nchars == 0
+        # collation-hostile group keys present
+        assert con.execute(
+            "SELECT count(DISTINCT source) FROM doc "
+            "WHERE source IN ('SRC0', 'srcß', 'src x', 'src,|;')"
+        ).fetchone()[0] == 4
+        # malformed AND nested JSON both present
+        bad_json = con.execute(
+            "SELECT count(*) FROM ev WHERE NOT json_valid(props)").fetchone()[0]
+        nested = con.execute(
+            "SELECT count(*) FROM ev WHERE json_valid(props) "
+            "AND json_extract(props, '$.nested') IS NOT NULL").fetchone()[0]
+        assert bad_json > 20, f"only {bad_json} malformed props"
+        assert nested > 50, f"only {nested} nested props"
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_boundary_profile_hazards():
+    tmp = tempfile.mkdtemp(prefix="fuzzhaz_bnd_")
+    try:
+        build_fuzzed_dir("boundary", BASE, tmp, seed=1)
+        con = duckdb.connect()
+        for t in ("lineitem", "customer", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')")
+        # exact 2-dp rounding half-boundaries exist (x.125 / x.375 / ...)
+        halves = con.execute(
+            "SELECT count(*) FROM lineitem "
+            "WHERE (l_extendedprice * 1000) % 10 = 5").fetchone()[0]
+        assert halves > 1000, f"only {halves} half-boundary prices"
+        # degenerate multipliers and weights
+        assert con.execute(
+            "SELECT count(*) FROM lineitem WHERE l_discount = 1.0").fetchone()[0] > 50
+        assert con.execute(
+            "SELECT count(*) FROM lineitem WHERE l_quantity = 0.0").fetchone()[0] > 50
+        # negative-heavy balances
+        neg, total = con.execute(
+            "SELECT count(*) FILTER (c_acctbal < 0), count(*) FROM customer"
+        ).fetchone()
+        assert neg > 0.25 * total
+        # duplicate (user_id, ts) ordering ties exist
+        dup = con.execute(
+            "SELECT count(*) - count(DISTINCT (user_id, ts)) FROM events"
+        ).fetchone()[0]
+        assert dup > 50, f"only {dup} duplicate (user_id, ts) pairs"
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -24,6 +24,24 @@ non-null):
   tiny   aggressive FK-cascaded downsample (3 nations, 4 suppliers,
          near-empty groups everywhere) — probes empty-group /
          single-row-frame edges
+  unicode hostile text and JSON: CJK / emoji / combining marks /
+         exotic whitespace / regex metacharacters / markup specials /
+         separator characters injected into documents.text (n_chars
+         recomputed to keep the derived-column contract), mixed-case
+         and non-ASCII group keys in documents.source, and
+         events.props rewritten to nested / unicode-escaped /
+         type-shifted / MALFORMED JSON — probes Java-regex-vs-RE2,
+         case mapping, code-point-length, JSON-parse and collation
+         parity
+  boundary rounding half-boundaries and sign/time edges: prices on an
+         exact 1/8 grid (x.125 is a representable round-to-2dp half —
+         HALF_UP engines agree, banker's-rounding pandas arms do
+         not), discount/tax exactly 0 and 1, zero quantities, 40%
+         negative and 5% exactly-zero account balances, month-end
+         order dates, first-of-month ship dates (inclusive/exclusive
+         range edges), duplicate (user_id, ts) event pairs (ordering
+         tie-breaks), and events.ts on exact 5-minute window
+         boundaries
 
 Parity is the invariant under EVERY profile: both engines read the
 same fuzzed parquet, so any hash divergence is a real engine-semantics
@@ -238,18 +256,171 @@ def profile_tiny(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> No
     dfs["embeddings"] = dfs["embeddings"].head(40).reset_index(drop=True)
 
 
+# Hostile text snippets: each targets a cross-engine semantics class
+# (Java regex vs RE2, simple-vs-full case mapping, code-point length,
+# exotic whitespace tokenization, markup/separator escaping).
+_UNI_SNIPPETS = [
+    "naïve café – résumé",                        # latin-1 accents
+    "ΣΊΣΥΦΟΣ σίσυφος ς",                          # greek final sigma casing
+    "İstanbul ıssız I i",                          # turkish dotted/dotless i
+    "straße GROSS ß",                              # sharp-s upper-casing
+    "東京 データ 処理中",                           # CJK
+    "🚀🔥 emoji… 👩‍👩‍👧‍👧 zwj",   # astral emoji + ZWJ family
+    "a b c　d",                      # NBSP, em-space, ideographic space
+    "line1\nline2\ttab\r\ncrlf",                   # control whitespace
+    "regex .*+?()[]{}|\\^$ meta",                  # regex metacharacters
+    "quotes \"double\" 'single' `back`",           # quote soup
+    "xml & < > &amp; <tag attr=\"v\"/>",           # markup specials
+    "comma, semi; pipe| sep",                      # listagg separator candidates
+    "é combining vs é precomposed",     # NFD vs NFC
+]
+
+_HOSTILE_SOURCES = ["SRC0", "srcß", "src x", "src,|;"]
+
+
+def _hostile_props(r: float, k: int) -> str | None:
+    """Deterministic hostile-JSON rewrite for events.props (r in [0,1)).
+    Returns None to keep the original flat {"k": int}."""
+    if r < 0.20:   # nested object/array with separator+quote payload
+        return ('{"k": %d, "nested": {"a": [1, 2, {"b": "x,y"}], "n": null},'
+                ' "s": "va\\"l|ue"}' % k)
+    if r < 0.28:   # unicode escapes AND literal unicode values
+        return '{"k": %d, "u": "\\u00e9\\u6771", "t": "東🚀 ß"}' % k
+    if r < 0.33:   # number-as-string (extraction/cast parity)
+        return '{"k": "%d"}' % k
+    if r < 0.38:   # explicit JSON null
+        return '{"k": null}'
+    if r < 0.43:   # key missing entirely
+        return '{"x": 1}'
+    if r < 0.47:   # truncated / malformed
+        return '{"k": %d' % k
+    if r < 0.49:
+        return "not json at all"
+    if r < 0.51:   # array root
+        return "[1, 2, 3]"
+    if r < 0.54:   # int64-magnitude neighbor key (precision parity)
+        return '{"k": %d, "big": 1234567890123456789}' % k
+    return None
+
+
+def profile_unicode(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    doc = dfs["documents"]
+    n = len(doc)
+    pick = rng.randint(0, len(_UNI_SNIPPETS), size=n)
+    mode = rng.random_sample(n)
+    text = doc["text"].astype(object).to_numpy()
+    for i in range(n):
+        snip = _UNI_SNIPPETS[pick[i]]
+        if mode[i] < 0.10:
+            text[i] = snip                      # hostile-only short doc
+        elif mode[i] < 0.25:
+            text[i] = snip + " " + text[i]
+        elif mode[i] < 0.40:
+            text[i] = text[i] + " " + snip
+    doc["text"] = text
+    # preserve the derived-column contract the base fixture carries
+    # (n_chars == code-point length; Python len, Spark length() and
+    # DuckDB length() all count code points)
+    doc["n_chars"] = doc["text"].str.len().astype("int64")
+    src = doc["source"].astype(object).to_numpy()
+    srcm = rng.random_sample(n)
+    for i in range(n):
+        if srcm[i] < 0.15:   # collation-hostile group keys
+            src[i] = _HOSTILE_SOURCES[pick[i] % len(_HOSTILE_SOURCES)]
+    doc["source"] = src
+    ev = dfs["events"]
+    pr = rng.random_sample(len(ev))
+    kdraw = rng.randint(0, 100, size=len(ev))
+    props = ev["props"].astype(object).to_numpy()
+    for i in range(len(ev)):
+        h = _hostile_props(pr[i], int(kdraw[i]))
+        if h is not None:
+            props[i] = h
+    ev["props"] = props
+
+
+def profile_boundary(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    li = dfs["lineitem"]
+    # exact 1/8 grid: x.125 values are representable doubles whose
+    # 2-dp rounding is a true half-boundary — HALF_UP (Spark round,
+    # DuckDB round) agree at 0.13; banker's (numpy/pandas .round)
+    # yields 0.12, so any pandas-UDF arm that rounds diverges here
+    li["l_extendedprice"] = np.round(li["l_extendedprice"].astype(float) * 8) / 8
+    qmask = rng.random_sample(len(li))
+    q = li["l_quantity"].astype(float).to_numpy()
+    q[qmask < 0.05] = 0.0                       # zero quantity / weight
+    li["l_quantity"] = q
+    d = (np.round(li["l_discount"].astype(float) / 0.05) * 0.05).to_numpy()
+    dmask = rng.random_sample(len(li))
+    d[dmask < 0.05] = 1.0                       # (1 - d) == 0 revenue
+    d[(dmask >= 0.05) & (dmask < 0.15)] = 0.0
+    li["l_discount"] = d
+    t = li["l_tax"].astype(float).to_numpy()
+    t[rng.random_sample(len(li)) < 0.10] = 0.0
+    li["l_tax"] = t
+    sd = pd.to_datetime(li["l_shipdate"])
+    sdm = rng.random_sample(len(li))
+    # exact first-of-month midnights: >= vs > range-edge probes
+    sd[sdm < 0.10] = sd[sdm < 0.10].dt.to_period("M").dt.to_timestamp()
+    li["l_shipdate"] = sd
+    for tname, col in (("customer", "c_acctbal"), ("supplier", "s_acctbal")):
+        tb = dfs[tname]
+        bal = tb[col].astype(float).to_numpy()
+        bm = rng.random_sample(len(tb))
+        neg = bm < 0.40
+        bal[neg] = -np.abs(bal[neg])
+        bal[(bm >= 0.40) & (bm < 0.45)] = 0.0
+        tb[col] = bal
+    o = dfs["orders"]
+    od = pd.to_datetime(o["o_orderdate"])
+    om = rng.random_sample(len(o))
+    od[om < 0.15] = od[om < 0.15] + pd.offsets.MonthEnd(0)   # month-end clamp edges
+    o["o_orderdate"] = od
+    tp = o["o_totalprice"].astype(float).to_numpy()
+    tp[rng.random_sample(len(o)) < 0.05] = 0.0
+    o["o_totalprice"] = tp
+    ev = dfs["events"]
+    v = ev["value"].astype(float).to_numpy()
+    vm = rng.random_sample(len(ev))
+    v[vm < 0.30] = np.round(v[vm < 0.30])       # exact-integer doubles
+    v[(vm >= 0.30) & (vm < 0.40)] = -np.abs(v[(vm >= 0.30) & (vm < 0.40)])
+    v[(vm >= 0.40) & (vm < 0.45)] = 0.0
+    ev["value"] = v
+    ts = pd.to_datetime(ev["ts"]).copy()
+    tm = rng.random_sample(len(ev))
+    # duplicate (user_id, ts) pairs: every masked row collapses onto
+    # its user's minimum timestamp — many-way ordering ties
+    user_min = ts.groupby(ev["user_id"]).transform("min")
+    dup = tm < 0.20
+    ts[dup] = user_min[dup]
+    onb = (tm >= 0.20) & (tm < 0.35)
+    ts[onb] = ts[onb].dt.floor("5min")          # exact window-boundary stamps
+    ev["ts"] = ts
+
+
 PROFILES = {
     "ties": profile_ties,
     "nulls": profile_nulls,
     "skew": profile_skew,
     "tiny": profile_tiny,
+    "unicode": profile_unicode,
+    "boundary": profile_boundary,
+}
+
+# Pinned per-profile rng salts. The first four values are the sorted
+# indices the recorded FUZZ.json sweeps were generated with — adding a
+# profile must NOT silently re-draw the historical profiles, so salts
+# are frozen here instead of derived from sort order.
+PROFILE_SALT = {
+    "nulls": 0, "skew": 1, "ties": 2, "tiny": 3,
+    "unicode": 4, "boundary": 5,
 }
 
 
 def build_fuzzed_dir(profile: str, base_dir: str, out_dir: str, seed: int) -> None:
     """Deterministic for (profile, base_dir, seed); schema bit-equal."""
     dfs, schemas = load_base(base_dir)
-    rng = np.random.RandomState(seed * 1009 + sorted(PROFILES).index(profile))
+    rng = np.random.RandomState(seed * 1009 + PROFILE_SALT[profile])
     PROFILES[profile](dfs, rng)
     write_fuzzed(dfs, schemas, out_dir)
 
