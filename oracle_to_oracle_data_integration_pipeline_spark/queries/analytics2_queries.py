@@ -701,7 +701,11 @@ SQL_CONCURRENCY_PEAK = """
 WITH e AS (
   SELECT event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS t0,
-         CAST(floor(value) AS BIGINT) % 3600 + 60 AS dur_s
+         -- pmod twin: Spark's pmod is always non-negative while SQL %
+         -- follows the dividend's sign, so a negative event value gave
+         -- the two engines different durations (fuzz find, boundary
+         -- profile)
+         ((CAST(floor(value) AS BIGINT) % 3600) + 3600) % 3600 + 60 AS dur_s
   FROM events WHERE value IS NOT NULL
 ),
 iv AS (SELECT *, t0 + dur_s AS t1 FROM e),

@@ -433,14 +433,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-way point of the 4th decimal — a real flip surfaced at sf0.1.
     Ordering ties broken by s_suppkey.
 
-    Lineitems with a NULL price or quantity carry no observable unit
-    price and are excluded explicitly — an all-NULL offer would
-    otherwise win the min under Spark's ASC NULLS FIRST and lose it
-    under DuckDB's NULLS LAST (fuzz find, tools/fuzz_parity.py nulls
-    profile).
+    Lineitems with a NULL price or quantity — or a ZERO quantity —
+    carry no observable unit price and are excluded explicitly: both
+    engines evaluate double division by zero to NULL, so a qty-0 row
+    re-creates the all-NULL offer AFTER the null filter, and that
+    offer would win the min under Spark's ASC NULLS FIRST and lose it
+    under DuckDB's NULLS LAST (fuzz finds: nulls profile for the NULL
+    inputs, boundary profile for the zero-quantity division).
     """
     li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") != 0)
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     s = load(spark, sf_dir, "supplier")
@@ -473,6 +477,7 @@ WITH offer AS (
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 5
       AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_quantity <> 0
     GROUP BY p_partkey, p_name, l_suppkey
 ), best AS (
     SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY unit_price, l_suppkey) AS rn
