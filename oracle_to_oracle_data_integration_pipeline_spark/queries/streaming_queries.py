@@ -163,12 +163,24 @@ def _build_stream_dedup(src: Callable[[], DataFrame]) -> DataFrame:
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# Twin registry: the drain-family entries share the qid's own builder
+# (same transformation object); the custom-harness entries registered
+# further down (stream_incremental / stream_stateful / stream_ewma /
+# stream_watermark_late) are semantically-exact batch re-expressions
+# whose fidelity to the streamed rows is pinned by
+# tests/test_stream_batch_twins.py. Still twin-less (and stated so in
+# docs/SCALING.md): stream_cdc_feed (Python DataSource input, not the
+# events table) and stream_snapshot_sink (foreachBatch side effects).
 BATCH_TWIN_BUILDERS: dict[str, Callable[[Callable[[], DataFrame]], DataFrame]] = {
     "stream_tumbling": _build_tumbling,
     "stream_sliding": _build_sliding,
     "stream_session": _build_session,
     "stream_join": _build_stream_join,
     "stream_dedup": _build_stream_dedup,
+    # stream_incremental applies the SAME tumbling transformation; the
+    # qid's subject is the 8-micro-batch state merge, which complete
+    # mode makes row-identical to the one-shot batch aggregate
+    "stream_incremental": _build_tumbling,
 }
 
 
@@ -887,3 +899,55 @@ ORACLE_SQL = {
     "stream_cdc_feed": SQL_STREAM_CDC_FEED,
     "stream_snapshot_sink": SQL_STREAM_SNAPSHOT_SINK,
 }
+
+
+# -- custom-harness batch twins (registered late: they need the
+#    constants and stateful kernels defined above) ---------------------
+
+def _build_stateful_twin(src: Callable[[], DataFrame]) -> DataFrame:
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import (
+        running_totals_exact_batch,
+    )
+
+    return running_totals_exact_batch(src())
+
+
+def _build_ewma_twin(src: Callable[[], DataFrame]) -> DataFrame:
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.timeseries_queries import (
+        EWMA_ALPHA,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.stateful import (
+        ewma_batch_twin,
+    )
+
+    return ewma_batch_twin(src(), alpha=EWMA_ALPHA)
+
+
+def _build_wm_late_twin(src: Callable[[], DataFrame]) -> DataFrame:
+    """Batch re-expression of the watermark choreography: drop the
+    late-echo set (their sealed windows evicted them in the stream),
+    aggregate, keep only windows the final watermark — max(ts) − delay
+    over ALL input, late echoes can't advance it — has sealed. Same
+    rules the qid's oracle states in SQL."""
+    df = src()
+    late_cond = (F.col("ts") < F.lit(WM_LATE_BEFORE).cast("timestamp")) & (
+        F.col("event_id") % 7 == 0
+    )
+    agg = tumbling_agg(df.where(~late_cond), "1 hour")
+    wm = df.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("__wm")
+    )
+    return (
+        agg.join(F.broadcast(wm))
+        .where(F.col("window_end") <= F.col("__wm"))
+        .drop("__wm")
+    )
+
+
+BATCH_TWIN_BUILDERS.update(
+    {
+        "stream_stateful": _build_stateful_twin,
+        "stream_ewma": _build_ewma_twin,
+        "stream_watermark_late": _build_wm_late_twin,
+    }
+)

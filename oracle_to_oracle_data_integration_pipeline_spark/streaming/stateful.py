@@ -70,35 +70,49 @@ EXACT_STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_exact(key, pdfs: Iterator, state: GroupState):
-    """Accumulates value as integer micro-units via decimal HALF_UP
-    quantization — the same rounding Spark/DuckDB apply when casting a
-    double to DECIMAL(24,6), so the running float state is exact and
-    ORDER-INDEPENDENT: any micro-batch split of the stream yields
-    bit-identical totals (the property the stream_stateful qid's
-    differential oracle checks)."""
+def _micros_of(values) -> int:
+    """Sum a pandas value column as integer micro-units via decimal
+    HALF_UP quantization — the same rounding Spark/DuckDB apply when
+    casting a double to DECIMAL(24,6), so the accumulated state is
+    exact and ORDER-INDEPENDENT. NULL measurements are skipped (SQL
+    sum semantics) — a NaN reaching Decimal() crashed the executor
+    before (fuzz find, tools/fuzz_parity.py nulls profile)."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    q = Decimal("0.000001")
+    return sum(
+        int(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
+        for v in values.dropna()
+    )
+
+
+def _total_of(micros: int) -> float:
+    """Final rounding in the decimal domain too: python round() is
+    half-even, the engines' decimal round is HALF_UP — micros ending
+    in exactly 5000 would diverge."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        (Decimal(micros) / 1_000_000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _update_exact(key, pdfs: Iterator, state: GroupState):
+    """Accumulates via the shared decimal-exact fold (_micros_of), so
+    any micro-batch split of the stream yields bit-identical totals
+    (the property the stream_stateful qid's differential oracle
+    checks). NULLs count in n_events (count(*) semantics) but not the
+    sum."""
     import pandas as pd
 
-    q = Decimal("0.000001")
     n, micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
-        # NULL measurements: counted in n_events (count(*) semantics),
-        # skipped by the value sum (SQL sum skips NULL) — a NaN reaching
-        # Decimal() crashed the executor before (fuzz find,
-        # tools/fuzz_parity.py nulls profile)
         n += len(pdf)
-        micros += sum(
-            int(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
-            for v in pdf["value"].dropna()
-        )
+        micros += _micros_of(pdf["value"])
     state.update((n, micros))
-    # final rounding in the decimal domain too: python round() is
-    # half-even, the engines' decimal round is HALF_UP — micros ending
-    # in exactly 5000 would diverge
-    total = float((Decimal(micros) / 1_000_000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [_total_of(micros)]}
+    )
 
 
 def running_totals_exact(events: DataFrame) -> DataFrame:
@@ -110,6 +124,33 @@ def running_totals_exact(events: DataFrame) -> DataFrame:
         stateStructType=EXACT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_totals_exact_batch(events: DataFrame) -> DataFrame:
+    """BATCH TWIN of :func:`running_totals_exact` — the identical
+    decimal-exact fold (_micros_of / _total_of) applied to each user's
+    complete history in one grouped-map ``applyInPandas`` pass. The
+    accumulator is order-independent, so this equals the streamed
+    final state under ANY micro-batch split (fidelity pinned by
+    tests/test_stream_batch_twins.py). It exists so the scale audits
+    can probe a batch plan with the SAME grouped-python shape and the
+    SAME state key (user_id) as the unprobeable executed micro-batch
+    plan."""
+
+    def _fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [_total_of(_micros_of(pdf["value"]))],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        _fold, OUTPUT_SCHEMA
     )
 
 
@@ -200,3 +241,30 @@ def ewma_state(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_batch_twin(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """BATCH TWIN of :func:`ewma_state` — the identical fold
+    (_ewma_fold_batch, seedless) applied to each user's complete
+    history in one grouped-map ``applyInPandas`` pass. The stream
+    continues the recursion across event-time-ordered micro-batches by
+    seeding each fold with the prior state; folding the whole ordered
+    history once runs the same IEEE op sequence, so the results are
+    bit-identical (fidelity pinned by tests/test_stream_batch_twins.py).
+    Same grouped-python shape and state key (user_id) as the executed
+    micro-batch plan, so the scale audits can probe this plan as its
+    stand-in. A user whose every measurement is NULL emits nothing on
+    both sides."""
+    a = float(alpha)
+
+    def _fold(pdf):
+        import pandas as pd
+
+        s, n = _ewma_fold_batch([pdf], None, 0, a)
+        if not n:
+            return pd.DataFrame({"user_id": [], "n_points": [], "ewma": []})
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_points": [n], "ewma": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandas(_fold, EWMA_OUTPUT_SCHEMA)
