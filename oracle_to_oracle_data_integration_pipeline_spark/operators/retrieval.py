@@ -146,6 +146,13 @@ def knn_classify(
     each query takes the majority label of its k cosine-nearest
     candidates (tie → smallest label).
 
+    UNLABELED candidates are excluded from the pool entirely — an
+    example without a label cannot train a classifier, and letting a
+    NULL-label group vote made the prediction depend on engine NULL
+    ordering (Spark's ASC NULLS FIRST elected NULL, DuckDB's NULLS
+    LAST a real label — fuzz find, nulls profile at seed 2). A query's
+    true_label may still be NULL; that is data, not a vote.
+
     Output: query_id, predicted_label, votes, true_label.
     """
     from oracle_to_oracle_data_integration_pipeline_spark.operators.similarity import (
@@ -153,7 +160,9 @@ def knn_classify(
     )
 
     q = embeddings.filter(F.col("vec_id") < n_queries)
-    cand = embeddings.filter(F.col("vec_id") >= n_queries)
+    cand = embeddings.filter(
+        (F.col("vec_id") >= n_queries) & F.col("label").isNotNull()
+    )
     topk = cosine_topk_bruteforce(cand, q, k=k)
     # broadcast the |Q|·k top-k result against the full label table —
     # never the candidate pool, which is the big side at scale

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import ascii_lower_col
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, pround
 
 
@@ -227,7 +228,10 @@ def bigram_topk(df: DataFrame, text: str = "text", top_k: int = 20) -> DataFrame
     shuffle); only the (bigram → count) aggregation shuffles, keyed on
     the bigram itself.
     """
-    toks = F.split(F.lower(F.col(text)), " ")
+    # ASCII fold, not lower(): token strings are GROUP KEYS here, and
+    # full-vs-simple Unicode case mapping diverges between the engines
+    # (fuzz find, unicode profile — see operators/text.ascii_lower_col)
+    toks = F.split(ascii_lower_col(F.col(text)), " ")
     bigrams = F.expr(
         "zip_with(slice(_toks, 1, size(_toks) - 1), "
         "slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"
@@ -323,7 +327,10 @@ def pmi_bigrams(
     low-frequency tail before scoring; ranking uses the portably
     rounded PMI so ordering can't straddle a ulp.
     """
-    toks = F.split(F.lower(F.col(text)), " ")
+    # ASCII fold, not lower(): token strings are GROUP KEYS here, and
+    # full-vs-simple Unicode case mapping diverges between the engines
+    # (fuzz find, unicode profile — see operators/text.ascii_lower_col)
+    toks = F.split(ascii_lower_col(F.col(text)), " ")
     uni = (
         df.select(F.explode(toks).alias("tok"))
         .groupBy("tok")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import ascii_lower_col
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load
 
 # -- qid: rolling_median -----------------------------------------------
@@ -229,7 +230,7 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BIGRAM_FREQ = f"""
-WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+WITH t AS (SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS tk FROM documents),
 b AS (
   SELECT unnest(list_transform(range(1, len(tk)),
                                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
@@ -777,7 +778,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PMI_BIGRAMS = f"""
-WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+WITH t AS (SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS tk FROM documents),
 uc AS (
   SELECT tok, count(*) AS c
   FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok
@@ -1248,7 +1249,10 @@ def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < HASH_DOCS)
     toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        # ASCII fold: token strings feed the md5 bucket hash, and Unicode
+        # case mapping diverges between the engines (fuzz find, unicode
+        # profile at seed 2 — final sigma / dotted-I md5 to different buckets)
+        "doc_id", F.explode(F.split(ascii_lower_col(F.col("text")), " ")).alias("tok")
     )
     return (
         toks.withColumn("bucket", hash_bucket_col(F.col("tok"), HASH_BUCKETS))
@@ -1259,7 +1263,7 @@ def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HASHING_TRICK = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
   FROM documents WHERE doc_id < {HASH_DOCS}
 )
 SELECT doc_id,

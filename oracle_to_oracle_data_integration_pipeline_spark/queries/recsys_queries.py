@@ -253,10 +253,14 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select(
             "doc_id",
+            # strip non-ASCII BEFORE lower(): full-vs-simple Unicode
+            # case mapping diverges between the engines (see
+            # operators/text.ascii_lower_col); after the strip the
+            # fold only ever sees ASCII letters
             F.posexplode(
                 F.split(
                     F.trim(
-                        F.regexp_replace(F.lower("text"), "[^a-z ]", " ")
+                        F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " "))
                     ),
                     " +",
                 )
@@ -282,10 +286,10 @@ WITH toks AS (
   FROM documents,
        LATERAL (
          SELECT unnest(string_split_regex(
-                  trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+                  trim(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g'))),
                   ' +')) AS tok,
                 generate_subscripts(string_split_regex(
-                  trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+                  trim(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g'))),
                   ' +'), 1) AS pos
        ) t
   WHERE text IS NOT NULL

@@ -116,8 +116,11 @@ q AS (
   FROM e WHERE vec_id < {KNN_QUERIES}
 ),
 c AS (
+  -- unlabeled candidates are not in the pool (see operators/retrieval
+  -- knn_classify: a NULL-label vote group flips winners between the
+  -- engines' NULL orderings)
   SELECT vec_id AS neighbor_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn, label
-  FROM e WHERE vec_id >= {KNN_QUERIES}
+  FROM e WHERE vec_id >= {KNN_QUERIES} AND label IS NOT NULL
 ),
 scored AS (
   SELECT query_id, neighbor_id, label,
