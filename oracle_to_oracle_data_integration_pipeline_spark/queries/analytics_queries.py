@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.operators.text import ascii_lower_col
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+    ascii_lower_col,
+    sql_ascii_lower,
+)
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import dsum, load
 
 # -- qid: rolling_median -----------------------------------------------
@@ -230,7 +233,7 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BIGRAM_FREQ = f"""
-WITH t AS (SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS tk FROM documents),
+WITH t AS (SELECT string_split({sql_ascii_lower('text')}, ' ') AS tk FROM documents),
 b AS (
   SELECT unnest(list_transform(range(1, len(tk)),
                                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
@@ -778,7 +781,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PMI_BIGRAMS = f"""
-WITH t AS (SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS tk FROM documents),
+WITH t AS (SELECT string_split({sql_ascii_lower('text')}, ' ') AS tk FROM documents),
 uc AS (
   SELECT tok, count(*) AS c
   FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok
@@ -1263,7 +1266,7 @@ def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HASHING_TRICK = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
+  SELECT doc_id, unnest(string_split({sql_ascii_lower('text')}, ' ')) AS tok
   FROM documents WHERE doc_id < {HASH_DOCS}
 )
 SELECT doc_id,

@@ -19,7 +19,7 @@ import tempfile
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import normalize_events_ts, tune
@@ -792,6 +792,16 @@ WM_SPLIT_TS = "2024-01-16 00:00:00"   # batch boundary (event-time range split)
 WM_LATE_BEFORE = "2024-01-08 00:00:00"  # the late echoes' event-time ceiling
 
 
+def _wm_late_cond() -> Column:
+    """The late-echo membership predicate — shared by the stream
+    harness (file-3 selection) and the batch twin so they cannot
+    drift (tests/test_stream_batch_twins.py only catches a split when
+    it runs)."""
+    return (F.col("ts") < F.lit(WM_LATE_BEFORE).cast("timestamp")) & (
+        F.col("event_id") % 7 == 0
+    )
+
+
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA DROP semantics, end to end, across 3 real
     micro-batches: batch 1 = early punctual rows (ts < Jan 16, minus
@@ -816,9 +826,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         src_n = normalize_events_ts(src_df)
-        late_cond = (F.col("ts") < F.lit(WM_LATE_BEFORE).cast("timestamp")) & (
-            F.col("event_id") % 7 == 0
-        )
+        late_cond = _wm_late_cond()
         early = F.col("ts") < F.lit(WM_SPLIT_TS).cast("timestamp")
         file1 = src_n.where(early & ~late_cond)
         file2 = src_n.where(~early)              # punctual tail: seals early windows
@@ -930,12 +938,9 @@ def _build_wm_late_twin(src: Callable[[], DataFrame]) -> DataFrame:
     over ALL input, late echoes can't advance it — has sealed. Same
     rules the qid's oracle states in SQL."""
     df = src()
-    late_cond = (F.col("ts") < F.lit(WM_LATE_BEFORE).cast("timestamp")) & (
-        F.col("event_id") % 7 == 0
-    )
-    agg = tumbling_agg(df.where(~late_cond), "1 hour")
+    agg = tumbling_agg(df.where(~_wm_late_cond()), "1 hour")
     wm = df.agg(
-        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("__wm")
+        (F.max("ts") - F.expr(f"INTERVAL {WM_DELAY}")).alias("__wm")
     )
     return (
         agg.join(F.broadcast(wm))
