@@ -164,12 +164,17 @@ def q_checksum_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a drift-mod key is 'changed' only when the +1.0 actually changes the
+# digested value: NULL + 1.0 = NULL is NOT a change, and the engine's
+# digest correctly stays silent on it (fuzz find, nulls profile at
+# seed 3 — the same hardcoded-outcome class as snapshot_cdf)
 SQL_CHECKSUM_DRILL = f"""
 SELECT o_orderkey,
        CASE WHEN o_orderkey % {CKD_DROP_MOD} = 0 THEN 'source_only'
             ELSE 'changed' END AS status
 FROM orders
-WHERE o_orderkey % {CKD_DROP_MOD} = 0 OR o_orderkey % {CKD_DRIFT_MOD} = 0
+WHERE o_orderkey % {CKD_DROP_MOD} = 0
+   OR (o_orderkey % {CKD_DRIFT_MOD} = 0 AND o_totalprice IS NOT NULL)
 """
 
 
