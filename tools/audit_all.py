@@ -39,9 +39,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="skip the execution-heavy two-SF sweeps")
+    ap.add_argument("--fuzz-seeds", default="1",
+                    help="comma-separated fuzz_parity seeds (default: the "
+                         "recorded seed 1; pass e.g. 1,2,3 for a "
+                         "draw-independence matrix — extra seeds write "
+                         "their records to /tmp, never docs/FUZZ.json)")
     args = ap.parse_args()
+    seeds = [s for s in args.fuzz_seeds.split(",") if s]
+    tools = [t for t in TOOLS if t[0] != "fuzz_parity.py"]
+    for i, seed in enumerate(seeds):
+        extra = ["--seed", seed] + (
+            [] if i == 0 and seed == "1"
+            else ["--out", f"/tmp/FUZZ_seed{seed}.json"]
+        )
+        tools.append(("fuzz_parity.py", extra, True))
     fails, ran = [], 0
-    for script, extra, heavy in TOOLS:
+    for script, extra, heavy in tools:
         if args.fast and heavy:
             print(f"== {script}: skipped (--fast)")
             continue
@@ -59,7 +72,7 @@ def main() -> int:
             for ln in r.stdout.splitlines()[-15:]:
                 print("   ", ln[:160])
     print(f"audit matrix: {ran - len(fails)}/{ran} run tools green, "
-          f"{len(TOOLS) - ran} skipped"
+          f"{len(tools) - ran} skipped"
           + (f"; failing: {fails}" if fails else ""))
     return len(fails)
 
