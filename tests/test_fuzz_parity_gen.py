@@ -209,6 +209,13 @@ def test_boundary_profile_hazards():
             "SELECT count(*) - count(DISTINCT (user_id, ts)) FROM events"
         ).fetchone()[0]
         assert dup > 50, f"only {dup} duplicate (user_id, ts) pairs"
+        con.execute(
+            f"CREATE VIEW emb AS SELECT * FROM read_parquet('{tmp}/embeddings.parquet')")
+        # zero-norm vectors exist (0/0 cosine denominators), most are not
+        nz, n = con.execute(
+            "SELECT count(*) FILTER (list_sum(list_transform(embedding,"
+            " x -> abs(x))) = 0), count(*) FROM emb").fetchone()
+        assert 0 < nz < n // 2, f"{nz}/{n} zero-norm vectors"
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

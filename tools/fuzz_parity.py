@@ -396,6 +396,17 @@ def profile_boundary(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -
     onb = (tm >= 0.20) & (tm < 0.35)
     ts[onb] = ts[onb].dt.floor("5min")          # exact window-boundary stamps
     ev["ts"] = ts
+    # zero-norm embedding vectors: cosine's 0/0 and quantization's
+    # max|x| = 0 denominators — representable real data (a failed
+    # encoder emits zeros), NOT a contract violation like NULL
+    emb = dfs["embeddings"]
+    em = rng.random_sample(len(emb))
+    zvec = emb["embedding"].iloc[0]
+    zero = [0.0] * len(zvec)
+    col = emb["embedding"].astype(object)
+    col[em < 0.03] = pd.Series([zero] * int((em < 0.03).sum()),
+                               index=emb.index[em < 0.03])
+    emb["embedding"] = col
 
 
 PROFILES = {
