@@ -631,8 +631,157 @@ FROM (
 """
 
 
+# -- qid: curation_release (dedup → gate → mixture → shard, ONE plan) --
+
+RELEASE_GATE = 0.5       # quality_score floor, same formula as budget_select
+RELEASE_BUDGET = 6000    # mixture token budget over the gated corpus
+RELEASE_SHARD = 8000     # shard byte budget (fixture corpus ≈ 150 kB)
+
+
+def q_curation_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release manifest a training run actually consumes, as ONE
+    Spark plan with no driver round-trips: exact dedup (lowest doc_id
+    per distinct text) → quality gate (``operators/text.quality_score``
+    ≥ RELEASE_GATE) → domain-mixture sampling to RELEASE_BUDGET tokens
+    (``operators/curation.mixture_sample``, 3× the five upweighted
+    sources, md5-ppm deterministic) → byte-budget shard assignment in
+    the md5-shuffled order (``operators/curation.shard_plan``, two-pass
+    bucket histogram — no global window) → per-shard release card.
+
+    This is the composition proof for the curation operators the
+    registry already verifies individually: the oracle twin is the
+    composition of their existing SQL twins, so a semantic drift in any
+    stage (gate formula, ppm bucket, cumulative-order tie-break) breaks
+    the value hash. Scale shape: one text-keyed shuffle (dedup), two
+    doc_id equi-joins (metric re-attach; co-partitioned on the unique
+    id), the mixture rate table broadcast, and shard_plan's
+    histogram machinery — nothing single-partitions the corpus.
+
+    Stage persistence is load-bearing, not an optimization: each
+    downstream operator references its input DataFrame 2-3× (mixture's
+    rate table, shard_plan's histogram, the final re-attach), and
+    Catalyst does not dedupe common subplans — the unpersisted DAG
+    re-scans documents 18× and re-runs the dedup window 18×
+    (measured via tools/plan_fingerprints.py). MEMORY_AND_DISK
+    persists on the stage outputs (deduped / gated / kept — each ≤ the
+    corpus, the latter two ≤ the release budget) make every reuse an
+    InMemoryTableScan, so execution scans the corpus once — exactly
+    how a production curation run materializes between stages. (The
+    textual plan fingerprint still counts 18 "Scan parquet" because
+    each InMemoryTableScan REPRINTS its cached child plan; the
+    execution-level proof is the flat repeat timings in
+    tools/repeat_stability.py and the InMemoryTableScan nodes at every
+    reuse point.) The caches are LRU-evictable and release-set-sized;
+    like the shared shingle cache in operators/dedup.py they are not
+    explicitly unpersisted — the returned DataFrame still references
+    them, and eviction degrades to recompute, not wrong answers.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
+        mixture_sample,
+        shard_plan,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        d.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gated = (
+        quality_score(deduped)
+        .filter(F.col("quality") >= RELEASE_GATE)
+        .select("doc_id", "n_tokens")
+        .join(deduped.select("doc_id", "source", "n_chars"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kept = mixture_sample(gated, {s: 3.0 for s in _UPWEIGHTED}, RELEASE_BUDGET).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shards = shard_plan(kept, budget=RELEASE_SHARD)
+    return (
+        shards.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_bytes").cast("bigint").alias("shard_bytes"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_CURATION_RELEASE = f"""
+WITH deduped AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT doc_id, source, n_chars, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, source, n_chars, string_split(text, ' ') AS ts FROM deduped
+),
+feat AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(ts) AS INT) AS n_tokens,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS diversity,
+         CAST(len(list_filter(ts, t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+           / len(ts) AS sw_ratio,
+         CASE WHEN len(ts) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM toks
+),
+gated AS (
+  SELECT doc_id, source, n_chars, n_tokens FROM (
+    SELECT *, round((length_ok + diversity
+                     + (1.0 - least(sw_ratio * 2, 1.0))) / 3, 6) AS quality
+    FROM feat
+  ) WHERE quality >= {RELEASE_GATE}
+),
+a AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+         CASE WHEN source IN {_UPWEIGHTED} THEN 3.0 ELSE 1.0 END AS w
+  FROM gated GROUP BY source
+),
+r AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               CAST(floor((w / (SELECT sum(w) FROM a)) * {RELEASE_BUDGET}.0
+                          * 1000000.0 / avail) AS BIGINT)) AS rate_ppm
+  FROM a
+),
+kept AS (
+  SELECT g.doc_id, g.source, g.n_chars
+  FROM gated g JOIN r USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 1000000 < r.rate_ppm
+),
+o AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS doc_bytes,
+         CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM kept WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT CAST(cum_before // {RELEASE_SHARD} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_bytes) AS BIGINT) AS shard_bytes,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM o GROUP BY 1
+"""
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
+    "curation_release": q_curation_release,
     "quality_classifier": q_quality_classifier,
     "weighted_sample": q_weighted_sample,
     "domain_cap": q_domain_cap,
@@ -649,6 +798,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "curation_release": SQL_CURATION_RELEASE,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,

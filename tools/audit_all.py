@@ -45,7 +45,15 @@ def main() -> int:
                          "draw-independence matrix — extra seeds write "
                          "their records to /tmp, never docs/FUZZ.json)")
     args = ap.parse_args()
-    seeds = [s for s in args.fuzz_seeds.split(",") if s]
+    # Validate loudly: an empty value would silently drop fuzz_parity
+    # from the matrix while the summary still reported all-green, and a
+    # non-integer seed would only fail far downstream inside the tool.
+    try:
+        seeds = [str(int(s)) for s in args.fuzz_seeds.split(",") if s.strip()]
+    except ValueError:
+        ap.error(f"--fuzz-seeds must be comma-separated integers, got {args.fuzz_seeds!r}")
+    if not seeds:
+        ap.error(f"--fuzz-seeds parsed to an empty seed list from {args.fuzz_seeds!r}")
     tools = [t for t in TOOLS if t[0] != "fuzz_parity.py"]
     for i, seed in enumerate(seeds):
         extra = ["--seed", seed] + (

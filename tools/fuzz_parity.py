@@ -305,6 +305,14 @@ def _hostile_props(r: float, k: int) -> str | None:
 
 def profile_unicode(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
     doc = dfs["documents"]
+    # The snippet-concat branches and the n_chars recompute below assume
+    # non-null text — true of the base fixture, asserted so a future
+    # nullable-text fixture fails loudly instead of with a pandas
+    # traceback deep in .str.len().astype("int64").
+    assert doc["text"].notna().all(), (
+        "profile_unicode assumes documents.text is non-null in the base "
+        "fixture; got nulls — extend the profile to preserve them"
+    )
     n = len(doc)
     pick = rng.randint(0, len(_UNI_SNIPPETS), size=n)
     mode = rng.random_sample(n)

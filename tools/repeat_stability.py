@@ -57,6 +57,9 @@ DEFAULT_QIDS = [
     # sink stage/publish lifecycle (both collect eagerly per run)
     "snapshot_merge",
     "pysink_audit",
+    # round-8: stage-persisted composition qid (3 MEMORY_AND_DISK
+    # caches per run, never unpersisted — watched for compounding)
+    "curation_release",
 ]
 
 

@@ -73,6 +73,9 @@ WHITELIST = {
     "rank_fusion": "rank windows run AFTER limit(pool=50)/limit(k=10): <=50 rows",
     "shard_plan": "offset prefix-sum over the bucket byte HISTOGRAM: <=256 rows "
     "(the corpus cumsum window itself is keyed by __bucket__)",
+    "curation_release": "same shard_plan histogram machinery (offset "
+    "prefix-sum over <=256 bucket rows); the dedup window is keyed by "
+    "text (corpus-scaling)",
     "skyline_frontier": "global merge window runs over the UNION OF LOCAL "
     "FRONTIERS (each partition pre-filtered to its monotone staircase by a "
     "__pid__-keyed window); worst case O(n) like every skyline algorithm",
