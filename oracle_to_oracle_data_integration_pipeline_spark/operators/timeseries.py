@@ -162,6 +162,7 @@ def time_weighted_avg(
     key: str,
     ts: str = "ts",
     value: str = "value",
+    seq: str | None = None,
 ) -> DataFrame:
     """Per-key time-weighted average: Σ vᵢ·Δtᵢ / ΣΔtᵢ where Δtᵢ is the
     gap to the next observation (the last point carries no duration) —
@@ -170,13 +171,21 @@ def time_weighted_avg(
     rides the same partitioning; Δt is exact integer seconds, the v·Δt
     terms go through the portable-round + exact-decimal-sum path so the
     result is partial-agg-order independent.
+
+    ``seq``: a NEVER-NULL unique column that breaks timestamp ties
+    deterministically. Without it the window tie-breaks on ``value`` —
+    nullable, and Spark's ASC NULLS FIRST vs DuckDB's NULLS LAST makes
+    every null-valued tie a cross-engine coin flip (eventstorm fuzz
+    find, round 8). Pass the event/row id whenever the source can
+    carry duplicate timestamps per key.
     """
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
         dsum,
         pround,
     )
 
-    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    tie = F.col(seq) if seq else F.col(value)
+    w = Window.partitionBy(key).orderBy(F.col(ts), tie)
     sec = F.unix_timestamp(F.col(ts))
     dt = (F.lead(sec).over(w) - sec).alias("dt")
     terms = (
@@ -199,19 +208,22 @@ def counter_agg(
     key: str,
     ts: str = "ts",
     value: str = "value",
+    seq: str | None = None,
 ) -> DataFrame:
     """Monotonic-counter delta aggregation with reset detection
     (Prometheus ``increase`` / TimescaleDB ``counter_agg`` shape): a
     negative step means the counter restarted, contributing the new
     reading instead of the (negative) delta. One key-partitioned lag
-    window; the reduction rides the same exchange.
+    window; the reduction rides the same exchange. ``seq``: never-null
+    unique tie-break for duplicate timestamps (see time_weighted_avg).
     """
     from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
         dsum,
         pround,
     )
 
-    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    tie = F.col(seq) if seq else F.col(value)
+    w = Window.partitionBy(key).orderBy(F.col(ts), tie)
     v = F.col(value).cast("double")
     delta = (v - F.lag(v).over(w)).alias("delta")
     steps = df.select(F.col(key), v.alias("v"), delta).where(
@@ -230,14 +242,18 @@ def state_durations(
     key: str,
     state: str,
     ts: str = "ts",
+    seq: str | None = None,
 ) -> DataFrame:
     """Total seconds spent in each state across all keys: each event
     opens an interval in its state that the key's next event closes
     (the final open interval is excluded). The per-key lead window and
     the (state) rollup are the only exchanges; durations are exact
-    integer seconds so no rounding discipline is needed.
+    integer seconds so no rounding discipline is needed. ``seq``:
+    never-null unique tie-break for duplicate timestamps (see
+    time_weighted_avg).
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(state))
+    tie = F.col(seq) if seq else F.col(state)
+    w = Window.partitionBy(key).orderBy(F.col(ts), tie)
     sec = F.unix_timestamp(F.col(ts))
     iv = df.select(
         F.col(state).alias("state"),

@@ -20,11 +20,19 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each click, the user's most recent purchase at or before
-    the click (classic point-in-time semantics)."""
+    the click (classic point-in-time semantics). Purchases tied on
+    (user, ts) resolve to the greatest event_id (the operator's
+    deterministic tie contract); NULL user_ids match nothing —
+    both per SQL join semantics (eventstorm fuzz finds)."""
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    out = asof_join(clicks, purchases, on="user_id", ts="ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        right_cols=["ts", "value"], tie="p_event_id",
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -34,10 +42,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# p1 collapses (user_id, ts) purchase ties to the max-event_id row
+# BEFORE the ASOF JOIN — DuckDB's ASOF picks an arbitrary row among
+# equal timestamps, the engine's tie contract picks the greatest
+# event_id; the row_number form (not max_by) is deliberate: max_by
+# skips NULL values, this must carry the winning row's value even
+# when it is NULL. ASOF's equality key already drops NULL user_ids.
 SQL_ASOF = """
+WITH p1 AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
 SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN p1 p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 

@@ -380,20 +380,22 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_weighted_avg,
     )
 
-    return time_weighted_avg(load(spark, sf_dir, "events"), "user_id")
+    return time_weighted_avg(load(spark, sf_dir, "events"), "user_id", seq="event_id")
 
 
 SQL_TIME_WEIGHTED_AVG = """
 WITH e AS (
-  SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
          date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
   FROM events
 ),
 iv AS (
   -- order by the full-precision ts (the truncated sec would reorder
-  -- same-second events relative to the Spark window)
+  -- same-second events relative to the Spark window); event_id is the
+  -- never-null unique tie-break (nullable v would flip on the
+  -- engines' opposite NULL-order defaults — eventstorm fuzz find)
   SELECT user_id, v,
-         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, v) - sec AS dt
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) - sec AS dt
   FROM e
 )
 SELECT user_id,
@@ -416,17 +418,18 @@ def q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         counter_agg,
     )
 
-    return counter_agg(load(spark, sf_dir, "events"), "user_id")
+    return counter_agg(load(spark, sf_dir, "events"), "user_id", seq="event_id")
 
 
 SQL_COUNTER_AGG = """
 WITH e AS (
-  SELECT user_id, ts, CAST(value AS DOUBLE) AS v
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v
   FROM events
 ),
 d AS (
+  -- event_id tie-break: never-null, unique (eventstorm fuzz find)
   SELECT user_id, v,
-         v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, v) AS delta
+         v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
   FROM e
 )
 SELECT user_id,
@@ -449,18 +452,19 @@ def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_durations,
     )
 
-    return state_durations(load(spark, sf_dir, "events"), "user_id", "event_type")
+    return state_durations(load(spark, sf_dir, "events"), "user_id", "event_type", seq="event_id")
 
 
 SQL_STATE_DURATIONS = """
 WITH e AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_id, event_type, ts,
          date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
   FROM events
 ),
 iv AS (
+  -- event_id tie-break: never-null, unique (eventstorm fuzz find)
   SELECT event_type AS state,
-         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_type) - sec AS dur
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) - sec AS dur
   FROM e
 )
 SELECT state, count(*) AS n_intervals, CAST(sum(dur) AS BIGINT) AS total_seconds

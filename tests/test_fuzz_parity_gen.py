@@ -219,3 +219,52 @@ def test_boundary_profile_hazards():
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_eventstorm_profile_hazards():
+    tmp = tempfile.mkdtemp(prefix="fuzzhaz_es_")
+    try:
+        build_fuzzed_dir("eventstorm", BASE, tmp, seed=1)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')")
+        n = con.execute("SELECT count(*) FROM events").fetchone()[0]
+        # exact hour-boundary stamps (window-assignment edges)
+        on_hour = con.execute(
+            "SELECT count(*) FROM events WHERE date_trunc('hour', ts) = ts"
+        ).fetchone()[0]
+        assert on_hour > 0.15 * n, f"only {on_hour}/{n} on-boundary stamps"
+        # +-1us epsilons around hour boundaries
+        eps = con.execute(
+            "SELECT count(*) FROM events WHERE ts - date_trunc('hour', ts)"
+            " = INTERVAL 1 MICROSECOND OR date_trunc('hour',"
+            " ts + INTERVAL 1 MICROSECOND) = ts + INTERVAL 1 MICROSECOND"
+            " AND ts != date_trunc('hour', ts)").fetchone()[0]
+        assert eps > 0.05 * n, f"only {eps}/{n} boundary epsilons"
+        # the late-echo storm: the stream_watermark_late predicate's
+        # population must be a flood, not a trickle
+        late = con.execute(
+            "SELECT count(*) FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-08' AND event_id % 7 = 0"
+        ).fetchone()[0]
+        assert late > 0.02 * n, f"late-echo set only {late}/{n}"
+        # duplicate (user_id, ts) collision clusters (order-tie stress)
+        dup = con.execute(
+            "SELECT count(*) - count(DISTINCT (user_id, ts)) FROM events"
+            " WHERE user_id IS NOT NULL").fetchone()[0]
+        assert dup > 50, f"only {dup} duplicate (user_id, ts) pairs"
+        # global max(ts) pinned to an exact hour (seal-equality case)
+        mx_on_hour = con.execute(
+            "SELECT date_trunc('hour', max(ts)) = max(ts) FROM events"
+        ).fetchone()[0]
+        assert mx_on_hour, "max(ts) not on an exact hour boundary"
+        # null group keys present; event_id (tie-break) stays non-null
+        nulls = con.execute(
+            "SELECT count(*) FILTER (user_id IS NULL),"
+            " count(*) FILTER (event_type IS NULL),"
+            " count(*) FILTER (event_id IS NULL) FROM events").fetchone()
+        assert nulls[0] > 0.02 * n and nulls[1] > 0.02 * n, nulls
+        assert nulls[2] == 0, "event_id must stay non-null"
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

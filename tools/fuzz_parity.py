@@ -417,6 +417,56 @@ def profile_boundary(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -
     emb["embedding"] = col
 
 
+def profile_eventstorm(dfs: dict[str, pd.DataFrame], rng: np.random.RandomState) -> None:
+    """Hostile EVENT-TIME shapes, aimed at the streaming family's
+    semantics (VERDICT r7 ask #4) but swept over every oracle qid that
+    touches events: exact hour-boundary stamps (window-assignment
+    edges), ±1µs epsilons around boundaries (seal comparisons at the
+    micros resolution watermarks track), a LATE-ECHO STORM (the
+    stream_watermark_late predicate's population — ts < Jan 8 with
+    event_id % 7 == 0 — grows by every storm row, so batch 3 of that
+    harness becomes a flood instead of a trickle), midnight collision
+    clusters (many-way order ties stressing the (ts, event_id) sort
+    contract in the EWMA kernel and every event-time window), the
+    global max(ts) pinned to an exact hour (the watermark-seal
+    ``window_end <= max(ts) - 1h`` EQUALITY case), and null group keys
+    (user_id / event_type — keyed streaming state with a null key).
+    events-only by design: the other tables' hostile shapes are owned
+    by the other profiles, and event_id (the ewma tie-break and the
+    late-set selector) stays unique and non-null."""
+    ev = dfs["events"]
+    n = len(ev)
+    ts = pd.to_datetime(ev["ts"]).copy()
+    r = rng.random_sample(n)
+    hour = ts.dt.floor("h")
+    ts[r < 0.20] = hour[r < 0.20]                        # exact hour boundary
+    m = (r >= 0.20) & (r < 0.25)
+    ts[m] = hour[m] + pd.Timedelta(microseconds=1)       # first tick inside
+    m = (r >= 0.25) & (r < 0.30)
+    ts[m] = hour[m] - pd.Timedelta(microseconds=1)       # last tick of previous
+    # late-echo storm: only rows ALREADY in the %7 selector move early,
+    # so the late set explodes without touching event_id uniqueness
+    eid = ev["event_id"].to_numpy()
+    storm = (eid % 7 == 0) & (r >= 0.30) & (r < 0.55)
+    offs = pd.to_timedelta(eid % (5 * 86400), unit="s")  # Jan 2 .. Jan 7
+    ts[storm] = (pd.Timestamp("2024-01-02") + offs)[storm]
+    # midnight collision clusters: every band row collapses onto its
+    # user's min-ts DAY at 00:00 — same-user band rows collide EXACTLY
+    # (a plain per-row day-floor only collides same-user-same-day rows:
+    # ~38 pairs at sf0.001, too thin to stress the tie-break contract)
+    m = (r >= 0.55) & (r < 0.70)
+    user_day = ts.groupby(ev["user_id"]).transform("min").dt.floor("D")
+    ts[m] = user_day[m]
+    # pin the global max to an exact hour: watermark = max(ts) - delay
+    # lands exactly ON a window boundary, probing the <= vs < seal edge
+    imax = ts.idxmax()
+    ts.loc[imax] = ts.loc[imax].ceil("h")
+    ev["ts"] = ts.astype("datetime64[us]")
+    _inject_nulls(ev, "user_id", rng, 0.05)
+    _inject_nulls(ev, "event_type", rng, 0.05)
+    _inject_nulls(ev, "value", rng, 0.04)
+
+
 PROFILES = {
     "ties": profile_ties,
     "nulls": profile_nulls,
@@ -424,6 +474,7 @@ PROFILES = {
     "tiny": profile_tiny,
     "unicode": profile_unicode,
     "boundary": profile_boundary,
+    "eventstorm": profile_eventstorm,
 }
 
 # Pinned per-profile rng salts. The first four values are the sorted
@@ -432,7 +483,7 @@ PROFILES = {
 # are frozen here instead of derived from sort order.
 PROFILE_SALT = {
     "nulls": 0, "skew": 1, "ties": 2, "tiny": 3,
-    "unicode": 4, "boundary": 5,
+    "unicode": 4, "boundary": 5, "eventstorm": 6,
 }
 
 

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Super-decade scaling probe (VERDICT r7 ask #3): /root/testdata tops
+out at sf0.1, so every SCALING.md ratio is measured over one decade
+(0.01→0.1). This tool synthesizes a ~10× sf0.1 fixture for the tables
+a target qid reads — K key-shifted copies, so JOIN/GROUP key
+cardinality scales with the data instead of multiplying per-key row
+counts — and measures the single-query ratio t(10×)/t(sf0.1) in one
+warm session. A plan that is linear-at-worst must come in at or under
+the data ratio; the two standing worst ratios (salted_join 3.4×,
+json_extract 2.6× over 0.01→0.1) are overhead-dominated suspicions
+this probe confirms or refutes one decade further out.
+
+    python tools/superdecade_probe.py            # both target qids
+    python tools/superdecade_probe.py salted_join
+
+Key shifting: copy i of a table adds i * 10^9 to every key column
+named in SHIFT_COLS, keeping FK pairs (l_orderkey ↔ o_orderkey)
+consistent within a copy and disjoint across copies. Non-key columns
+replicate unchanged — same value distributions, same skew shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from oracle_to_oracle_data_integration_pipeline_spark import queries as q
+from oracle_to_oracle_data_integration_pipeline_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("COPIES", "10"))
+REPEATS = int(os.environ.get("REPEATS", "3"))
+SHIFT = 10**9
+
+# qid -> {table: [key columns to shift]}
+TARGETS = {
+    "salted_join": {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+    },
+    "json_extract": {
+        "events": ["event_id"],
+    },
+}
+
+
+def blow_up(spark, table: str, shift_cols: list[str], out_dir: str) -> int:
+    src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+    copies = []
+    for i in range(COPIES):
+        c = src
+        for col in shift_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    path = os.path.join(out_dir, f"{table}.parquet")
+    big.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def median_secs(fn, n: int) -> float:
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def main() -> int:
+    qids = sys.argv[1:] or sorted(TARGETS)
+    spark = get_spark(app_name="o2o_superdecade", cpus=32,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    queries = q.all_queries()
+    worst = 0.0
+    for qid in qids:
+        big_dir = tempfile.mkdtemp(prefix=f"o2o_super_{qid}_")
+        try:
+            rows = {
+                t: blow_up(spark, t, cols, big_dir)
+                for t, cols in TARGETS[qid].items()
+            }
+            run_base = lambda: queries[qid](spark, BASE).collect()  # noqa: E731
+            run_big = lambda: queries[qid](spark, big_dir).collect()  # noqa: E731
+            run_base()  # warm-up: JIT + codegen before any timed run
+            t_base = median_secs(run_base, REPEATS)
+            t_big = median_secs(run_big, REPEATS)
+            ratio = t_big / t_base
+            worst = max(worst, ratio)
+            print(f"{qid}: base {t_base:.2f}s -> {COPIES}x {t_big:.2f}s "
+                  f"= {ratio:.2f}x (data {COPIES}x, rows {rows})", flush=True)
+        finally:
+            shutil.rmtree(big_dir, ignore_errors=True)
+    print(f"worst ratio {worst:.2f}x vs data ratio {COPIES}x: "
+          + ("OK (at-worst-linear)" if worst <= COPIES else "SUPERLINEAR"))
+    return 0 if worst <= COPIES else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
