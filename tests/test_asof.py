@@ -57,3 +57,45 @@ def test_asof_latest_wins_among_many(spark):
     )
     [row] = asof_join(left, right, on="user_id", ts="ts").collect()
     assert row["value_asof"] == 8.0
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join equality: a NULL key matches nothing — neither a
+    NULL-key right row (filtered from the fill side) nor another
+    NULL-key left row (its partition has no right rows to carry).
+    Eventstorm fuzz find, round 8 (DIVERGENCES.md 13b)."""
+    left = spark.createDataFrame(
+        [(1, None, TS(2024, 1, 2)), (2, 5, TS(2024, 1, 2))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, TS(2024, 1, 1), 1.0), (5, TS(2024, 1, 1), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    inner = {r["event_id"] for r in
+             asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert inner == {2}, "NULL-key left row must not match the NULL-key right row"
+    outer = {r["event_id"]: r["value_asof"] for r in
+             asof_join(left, right, on="user_id", ts="ts", inner=False).collect()}
+    assert outer == {1: None, 2: 2.0}
+
+
+def test_asof_tie_contract_greatest_wins(spark):
+    """With tie=, multiple right rows at the same (key, ts) resolve to
+    the GREATEST tie value deterministically — including when the
+    winning row's payload is NULL (DIVERGENCES.md 13c)."""
+    left = spark.createDataFrame(
+        [(1, 5, TS(2024, 1, 2))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, TS(2024, 1, 1), 1.0),
+         (30, 5, TS(2024, 1, 1), None),   # greatest tie: must win, NULL and all
+         (20, 5, TS(2024, 1, 1), 2.0)],
+        "rid long, user_id long, ts timestamp, value double",
+    )
+    [row] = asof_join(
+        left, right, on="user_id", ts="ts",
+        right_cols=["ts", "value"], tie="rid",
+    ).collect()
+    assert row["value_asof"] is None  # rid=30's payload, not 1.0/2.0
+    assert "rid_asof" not in row.asDict() and "__tie__" not in row.asDict()

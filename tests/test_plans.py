@@ -1164,3 +1164,22 @@ def test_quantile_normalize_index_equijoin(spark, sf_dir):
     join_lines = [ln for ln in p.splitlines() if "Join [" in ln]
     assert any("idx#" in ln and "ref_rn#" in ln for ln in join_lines), join_lines
     assert "CartesianProduct" not in p
+
+
+def test_curation_release_stage_persists_pinned(spark, sf_dir):
+    """The composition qid is only scale-safe WITH its stage persists:
+    Catalyst does not dedupe common subplans, so dropping them silently
+    reintroduces an 18x re-scan of documents (round-8 fingerprint
+    find). The signal is InMemoryTableScan/InMemoryRelation nodes at
+    every stage-reuse point — the textual parquet-scan count is NOT a
+    signal (each InMemoryTableScan reprints its cached child plan, so
+    it reads 18 either way)."""
+    p = plan_str(spark, sf_dir, "curation_release")
+    # three persisted stages (deduped / gated / kept), each reused 2-3x
+    assert p.count("InMemoryTableScan") >= 6, (
+        "stage persists dropped: curation_release would re-scan the "
+        "corpus once per operator reference"
+    )
+    # the final card re-attach joins shard rows to kept rows on the
+    # unique doc id - a hash join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in p.split("InMemoryRelation")[0]

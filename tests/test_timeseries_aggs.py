@@ -97,3 +97,30 @@ def test_fuzzy_dedup_blocks_and_verifies(spark):
     # only the 1-edit pair survives; 'blue bolt' is 3 edits from both,
     # 'red widget' sits in another block, duplicates don't inflate
     assert got == {("rad bolt", "red bolt"): 1}
+
+
+def test_seq_tiebreak_is_deterministic_under_null_value_ties(spark):
+    """Duplicate timestamps whose value column is NULL made the
+    interval order an engine coin flip (NULLS FIRST vs LAST); with
+    seq= the sequence is pinned by the never-null unique id
+    (eventstorm fuzz find, DIVERGENCES.md 13a). Hand-computed: order
+    by (ts, event_id) gives intervals v=NULL(10s), v=30(0s), v=5(20s)
+    for twa; counter deltas NULL->30->5; states a(10s), b(0s), c(20s)."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), None, "a"),
+         (2, 1, _ts(10), 30.0, "b"),   # same-instant pair: event_id orders it
+         (3, 1, _ts(10), 5.0, "c"),
+         (4, 1, _ts(30), 7.0, "d")],
+        "event_id int, user_id int, ts timestamp, value double, event_type string",
+    )
+    twa = time_weighted_avg(df, "user_id", seq="event_id").collect()[0]
+    assert twa["n_intervals"] == 3 and twa["total_seconds"] == 30
+    # terms: NULL*10 (null), 30*0, 5*20 -> 100 / 30
+    assert abs(twa["twa"] - round(100.0 / 30, 6)) < 1e-9
+    ca = counter_agg(df, "user_id", seq="event_id").collect()[0]
+    # deltas: 30-NULL (null, dropped by lag null), 5-30=-25 (reset,
+    # contributes v=5), 7-5=2 -> n_steps counts non-null deltas = 2
+    assert ca["n_resets"] == 1 and ca["total_increase"] == 7.0
+    sd = {r["state"]: r["total_seconds"]
+          for r in state_durations(df, "user_id", "event_type", seq="event_id").collect()}
+    assert sd == {"a": 10, "b": 0, "c": 20}
