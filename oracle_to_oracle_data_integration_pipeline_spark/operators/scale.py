@@ -353,23 +353,90 @@ def join_size_sampled(
     a_key: str,
     b_key: str,
     rate_inv: int = 16,
+    heavy_denom: int = 256,
 ) -> DataFrame:
-    """Sampled estimate of the same quantity: hash-sample each side at
-    1/rate_inv with INDEPENDENT seeds (correlated samples would bias a
-    self-join), join the samples, scale by rate_inv². The samples are
-    deterministic (xxhash64 gates, no rand()), so the estimate replays
-    identically — the cheap pre-flight when even the key-count tables
-    are too big to join exactly. One row: (est_size)."""
+    """END-BIASED sampled estimate of the same quantity: heavy keys
+    contribute EXACTLY, only the light tail is sampled. Plain
+    key-sampling is worthless under skew — a key holding half the
+    table is either in the sample (estimate ~rate_inv²× its true
+    share) or out (estimate misses half the join), so the estimate's
+    error is unbounded no matter the rate; the skew fuzz profile at
+    the sf0.01 base caught exactly that (round 8 — at the sf0.001
+    base the size-adaptive rate was 1 and the gate was vacuous).
+
+    Shape (all bounded, no full count-table join):
+    1. per-side key counts (map-side-combinable groupBys — the same
+       stats pass a planner runs; what this sketch AVOIDS is joining
+       the two full count tables on a huge key domain);
+    2. heavy set H = keys with count > n/heavy_denom on EITHER side —
+       ≤ heavy_denom rows per side by construction, broadcast;
+    3. exact part: Σ ca·cb over H (two broadcast semi-joins of the
+       count tables against H, then a ≤|H|-row join);
+    4. light part: H anti-joined away, keys gated at 1/rate_inv with
+       INDEPENDENT xxhash64 seeds (correlated gates would bias a
+       self-join), Σ ca·cb scaled by rate_inv². Light keys have
+       per-key contribution < (n_a·n_b)/heavy_denom², so the sampled
+       sum concentrates — the variance the heavy keys used to blow up
+       is gone by construction.
+
+    With no heavy keys the estimate is BIT-IDENTICAL to plain
+    key-sampling (same gates, same scaling), so unskewed estimates are
+    unchanged. Deterministic end to end (hash gates, no rand()). One
+    row: (est_size).
+
+    The two count tables are persisted (MEMORY_AND_DISK): the estimate
+    references each 4× (total, heavy filter, exact part, light tail)
+    and Catalyst does not dedupe common subplans — unpersisted, each
+    reference re-scans the fact side (the curation_release lesson,
+    docs/ROUND8_NOTES.md §3). LRU-evictable; eviction degrades to
+    recompute."""
+    from pyspark.storagelevel import StorageLevel
+
+    ca = (
+        a.groupBy(F.col(a_key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cb = (
+        b.groupBy(F.col(b_key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    na = ca.agg(F.sum("ca").alias("na"))
+    nb = cb.agg(F.sum("cb").alias("nb"))
+    ha = (
+        ca.crossJoin(F.broadcast(na))
+        .filter(F.col("ca") * heavy_denom > F.col("na"))
+        .select("k")
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(nb))
+        .filter(F.col("cb") * heavy_denom > F.col("nb"))
+        .select("k")
+    )
+    heavy = ha.unionByName(hb).distinct()  # <= 2*heavy_denom rows
+    heavy_part = (
+        ca.join(F.broadcast(heavy), "k")
+        .join(cb.join(F.broadcast(heavy), "k"), "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("heavy_size"))
+    )
     # hash the key as-is: xxhash64 takes any type, and casting (e.g. a
     # string key to long) would hash NULL for every row, collapsing the
     # gate to all-or-nothing
-    sa = a.where(F.pmod(F.xxhash64(F.col(a_key), F.lit(11)), F.lit(rate_inv)) == 0)
-    sb = b.where(F.pmod(F.xxhash64(F.col(b_key), F.lit(23)), F.lit(rate_inv)) == 0)
-    joined = sa.select(F.col(a_key).alias("k")).join(
-        sb.select(F.col(b_key).alias("k")), "k"
+    la = ca.join(F.broadcast(heavy), "k", "left_anti").where(
+        F.pmod(F.xxhash64(F.col("k"), F.lit(11)), F.lit(rate_inv)) == 0
     )
-    return joined.agg(
-        (F.count(F.lit(1)) * F.lit(rate_inv * rate_inv)).cast("long").alias("est_size")
+    lb = cb.join(F.broadcast(heavy), "k", "left_anti").where(
+        F.pmod(F.xxhash64(F.col("k"), F.lit(23)), F.lit(rate_inv)) == 0
+    )
+    light_part = la.join(lb, "k").agg(
+        (
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            * F.lit(rate_inv * rate_inv)
+        ).alias("light_size")
+    )
+    return heavy_part.crossJoin(light_part).select(
+        (F.col("heavy_size") + F.col("light_size")).cast("long").alias("est_size")
     )
 
 

@@ -759,12 +759,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     work on the same two nation-keyed rank shuffles
     (tests/test_plans.py pins the join keys, not just the exchange
     count)."""
-    c = load(spark, sf_dir, "customer").select(
+    # NULL balances have no quantile: they are excluded from BOTH
+    # distributions (a NULL customer balance cannot be mapped; a NULL
+    # supplier balance is not part of the reference). Ranking over the
+    # nullable cents column instead would make every rank after the
+    # NULLs flip on the engines' opposite NULL-order defaults — caught
+    # by the nulls fuzz profile only at the sf0.01 base (at sf0.001
+    # most nations have m <= 1 supplier, pinning idx and hiding the
+    # rank drift — a size-dependent coincidence; round 8).
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull()).select(
         "c_custkey",
         F.col("c_nationkey").alias("nation"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
-    s = load(spark, sf_dir, "supplier").select(
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal").isNotNull()).select(
         F.col("s_nationkey").alias("nation"),
         F.col("s_suppkey"),
         F.round(F.col("s_acctbal") * 100).cast("long").alias("ref_cents"),
@@ -810,9 +818,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUANTILE_NORMALIZE = """
 WITH c AS (
+  -- NULL balances have no quantile (engine twin filters identically)
   SELECT c_custkey, c_nationkey AS nation,
          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ),
 rc AS (
   SELECT *,
@@ -823,7 +832,7 @@ rc AS (
 s AS (
   SELECT s_nationkey AS nation, s_suppkey,
          CAST(round(s_acctbal * 100) AS BIGINT) AS ref_cents
-  FROM supplier
+  FROM supplier WHERE s_acctbal IS NOT NULL
 ),
 m_per_nation AS (
   SELECT nation, count(*) AS m FROM s GROUP BY nation

@@ -60,6 +60,8 @@ DEFAULT_QIDS = [
     # round-8: stage-persisted composition qid (3 MEMORY_AND_DISK
     # caches per run, never unpersisted — watched for compounding)
     "curation_release",
+    # round-8: end-biased estimator persists its two count tables
+    "join_size_estimate",
 ]
 
 
