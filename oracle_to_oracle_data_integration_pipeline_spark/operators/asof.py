@@ -65,6 +65,13 @@ def asof_join(
     """
     right_cols = right_cols or [c for c in right.columns if c != on]
     carried = [c for c in right_cols if c != ts]
+    reserved = {"__side__", "__r__", "__tie__"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} in the input frames"
+        )
     lhs = left.withColumn("__side__", F.lit(1))
     # Pack the WHOLE right row into one struct and carry that: filling
     # each column independently would tear rows apart when a carried
@@ -74,7 +81,11 @@ def asof_join(
     # NULL keys match nothing (join equality): filtered from the right
     # side here; NULL-key left rows land in the NULL window partition
     # alone, get no fill, and behave like unmatched join rows.
-    rhs = right.filter(F.col(on).isNotNull()).select(
+    # NULL-ts right rows likewise match nothing: "right.ts <= left.ts"
+    # is unknowable, and a NULL ts sorts NULLS FIRST in the window, so
+    # without the filter its payload would be carried onto left rows
+    # that precede any real right row under inner=False (ADVICE r8).
+    rhs = right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull()).select(
         on,
         F.col(ts).alias(ts),
         F.struct(F.col(ts).alias(ts), *[F.col(c) for c in carried]).alias("__r__"),

@@ -347,6 +347,28 @@ def join_size_exact(a: DataFrame, b: DataFrame, a_key: str, b_key: str) -> DataF
     )
 
 
+# count tables persisted by join_size_sampled, released on demand: the
+# returned plan references them so they outlive the call; a long-lived
+# session calls release_estimator_caches() once the estimate is
+# collected (blocking=False — eviction is async, correctness-neutral)
+_ESTIMATOR_CACHES: list[DataFrame] = []
+
+
+def release_estimator_caches() -> int:
+    """Unpersist every count table cached by prior
+    ``join_size_sampled`` calls; returns how many were released.
+    Safe to call while other plans are running — an unpersisted table
+    recomputes on next reference."""
+    n = len(_ESTIMATOR_CACHES)
+    for df in _ESTIMATOR_CACHES:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _ESTIMATOR_CACHES.clear()
+    return n
+
+
 def join_size_sampled(
     a: DataFrame,
     b: DataFrame,
@@ -389,7 +411,12 @@ def join_size_sampled(
     and Catalyst does not dedupe common subplans — unpersisted, each
     reference re-scans the fact side (the curation_release lesson,
     docs/ROUND8_NOTES.md §3). LRU-evictable; eviction degrades to
-    recompute."""
+    recompute. Because the RETURNED plan still references the caches,
+    they cannot be released before the caller's action runs; each call
+    registers them in a module registry instead — long-lived sessions
+    call ``release_estimator_caches()`` after collecting the estimate
+    (ADVICE r8: per-call persists otherwise accumulate for the session
+    lifetime)."""
     from pyspark.storagelevel import StorageLevel
 
     ca = (
@@ -402,6 +429,7 @@ def join_size_sampled(
         .agg(F.count(F.lit(1)).alias("cb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _ESTIMATOR_CACHES.extend((ca, cb))
     na = ca.agg(F.sum("ca").alias("na"))
     nb = cb.agg(F.sum("cb").alias("nb"))
     ha = (

@@ -1012,3 +1012,280 @@ FROM agg JOIN log l ON l.merge_key = agg.merge_key AND l.seq = agg.seq_hi
 
 QUERIES["cdc_log_compaction"] = q_cdc_log_compaction
 ORACLE_SQL["cdc_log_compaction"] = SQL_CDC_LOG_COMPACTION
+
+
+# -- qid: replication_audit (feed → dedupe → merge → reconcile → FK, ONE plan)
+
+RA_N_ROWS = 1000
+RA_N_KEYS = 100
+RA_SPLIT = "2024-01-01 00:08:20"   # feed row i carries ts 2024-01-01 + i s; i < 500 is the initial load
+RA_STUCK_MOD = 13                  # delta loses keys ÷13 (a stuck capture partition)
+RA_DIM_MOD = 17                    # dimension lags keys ÷17 (independent watermark)
+RA_BUCKETS = 16
+
+
+def q_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-side composition proof (round-9 twin of
+    ``curation_release``): the reference's whole replication run —
+    capture feed → per-key dedupe → soft-delete MERGE → post-merge
+    verification (`/root/reference/scripts/03_cdc_etl.py:259-351`
+    runs these as sequential steps with driver round-trips between
+    them) — expressed as ONE Spark plan over operators the registry
+    already verifies individually:
+
+    1. **Feed**: the Python DataSource CDC feed (sources/pydatasource,
+       the ``pysource_changefeed`` generator — rows are a pure md5
+       function of the row index, so DuckDB regenerates the identical
+       feed). The initial load is everything before {RA_SPLIT}; the
+       delta batch is the rest MINUS keys ÷{RA_STUCK_MOD} — a stuck
+       capture partition, the drift the audit must surface.
+    2. **Dedupe**: ``operators/cdc.latest_per_key`` on each slice
+       (ts is unique per key by construction — the never-null unique
+       tie-break contract). The initial load drops keys whose last
+       pre-split op is D (the insert gate applied at first load).
+    3. **Merge**: ``operators/cdc.merge_soft_delete`` — delta wins on
+       match, soft-delete flags flip, never-seen deletes drop.
+    4. **Reconcile**: ``operators/reconcile.table_checksum_diff``
+       between SOURCE-LIVE (latest non-D op per key over the FULL
+       feed — what the source database holds now) and REPLICA-LIVE
+       (merged rows with is_deleted='N'). Convergence is provable:
+       every bucket untouched by the stuck keys must match, and only
+       buckets holding a stuck key whose state changed post-split may
+       flag — the merge algebra itself is what keeps them equal.
+    5. **FK report**: the ``fk_integrity`` edge shape — replica-live
+       keys against a LAGGED dimension (keys ÷{RA_DIM_MOD} absent),
+       per-table watermarks advancing independently.
+
+    Output: the audit summary in long form (section, metric, value) —
+    12 rows. The oracle recomputes the ENTIRE composition in DuckDB
+    from the stage twins' SQL, so a semantic drift in ANY stage (gate,
+    tie-break, digest arithmetic, join flavor) flips the value hash.
+
+    Stage persists are load-bearing (the curation_release lesson —
+    Catalyst does not dedupe common subplans): feed feeds 3 stages,
+    merged/replica_live are each referenced by 2-3 audit sections.
+    All cached frames are ≤ |keys| rows except the 1000-row feed.
+
+    Scale shape: every stage is keyed algebra — two row_number windows
+    and the merge's full-outer join all hash-partition on the SAME key
+    (exchange reuse), the checksum compare ships {RA_BUCKETS} digest
+    rows per side, the FK edge pre-aggregates the child to one row per
+    key. Nothing collects, nothing single-partitions.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
+        latest_per_key,
+        merge_soft_delete,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    feed = (
+        spark.read.format("cdc_feed")
+        .option("n_rows", RA_N_ROWS)
+        .option("n_keys", RA_N_KEYS)
+        .option("n_parts", 4)
+        .load()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    split = F.lit(RA_SPLIT).cast("timestamp")
+    pre = feed.filter(F.col("ts") < split)
+    post = feed.filter(
+        (F.col("ts") >= split) & (F.col("id") % RA_STUCK_MOD != 0)
+    )
+    target0 = (
+        latest_per_key(pre, ["id"], order_cols=[F.col("ts").desc()])
+        .filter(F.col("op") != "D")
+        .select("id", "val", "ts", F.lit("N").alias("is_deleted"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    delta = (
+        latest_per_key(post, ["id"], order_cols=[F.col("ts").desc()])
+        .select(
+            "id",
+            "val",
+            "ts",
+            F.when(F.col("op") == "D", F.lit("Y")).otherwise(F.lit("N")).alias(
+                "is_deleted"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merged = merge_soft_delete(target0, delta, pk=["id"]).df.persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    replica_live = (
+        merged.filter(F.col("is_deleted") == "N")
+        .select("id", "val")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    source_live = (
+        latest_per_key(feed, ["id"], order_cols=[F.col("ts").desc()])
+        .filter(F.col("op") != "D")
+        .select("id", "val")
+    )
+    ck = table_checksum_diff(
+        source_live, replica_live, keys=["id"], digest_cols=["val"],
+        n_buckets=RA_BUCKETS,
+    )
+
+    def count_metric(section: str, metric: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+            F.lit(section).alias("section"), F.lit(metric).alias("metric"), "value"
+        )
+
+    ck_metrics = ck.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("digests_match"), F.lit(0)).alias("m"),
+        F.coalesce(F.sum("n_source"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum("n_target"), F.lit(0)).alias("t"),
+    ).select(
+        F.lit("checksum").alias("section"),
+        F.expr(
+            "stack(4, 'n_buckets', CAST(b AS BIGINT),"
+            " 'n_buckets_match', CAST(m AS BIGINT),"
+            " 'n_source_rows', CAST(s AS BIGINT),"
+            " 'n_replica_rows', CAST(t AS BIGINT)) AS (metric, value)"
+        ),
+    )
+    dim = feed.select("id").where(F.col("id") % RA_DIM_MOD != 0).distinct()
+    fk_join = (
+        replica_live.groupBy(F.col("id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(dim.select(F.col("id").alias("k")).withColumn("_p", F.lit(1)), "k", "full_outer")
+    )
+    fk_metrics = fk_join.agg(
+        F.coalesce(F.sum(F.when(F.col("n_rows").isNotNull(), 1)), F.lit(0)).alias("c"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows").isNotNull() & F.col("_p").isNotNull(), 1)),
+            F.lit(0),
+        ).alias("m"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1)), F.lit(0)).alias("o"),
+        F.coalesce(F.sum(F.when(F.col("n_rows").isNull(), 1)), F.lit(0)).alias("p"),
+    ).select(
+        F.lit("fk").alias("section"),
+        F.expr(
+            "stack(4, 'n_child_keys', CAST(c AS BIGINT),"
+            " 'n_matched_keys', CAST(m AS BIGINT),"
+            " 'n_orphan_keys', CAST(o AS BIGINT),"
+            " 'n_childless_parents', CAST(p AS BIGINT)) AS (metric, value)"
+        ),
+    )
+    return (
+        count_metric("merge", "n_target_rows", target0)
+        .unionByName(count_metric("merge", "n_delta_keys", delta))
+        .unionByName(count_metric("merge", "n_merged_rows", merged))
+        .unionByName(count_metric("merge", "n_replica_live", replica_live))
+        .unionByName(ck_metrics)
+        .unionByName(fk_metrics)
+    )
+
+
+_RA_ID_LP = _lp("CAST(id AS VARCHAR)")
+_RA_ROW_LP = ", ".join(_lp(e) for e in ["CAST(id AS VARCHAR)", "val"])
+
+SQL_REPLICATION_AUDIT = f"""
+WITH g AS (SELECT unnest(generate_series(0, {RA_N_ROWS - 1})) AS i),
+feed AS (
+  SELECT CASE WHEN instr('0123456789abcdef',
+                         substring(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 < 8 THEN 'I'
+              WHEN instr('0123456789abcdef',
+                         substring(md5(CAST(i AS VARCHAR)), 1, 1)) - 1 < 14 THEN 'U'
+              ELSE 'D' END AS op,
+         CAST(i % {RA_N_KEYS} AS BIGINT) AS id,
+         substring(md5(CAST(i AS VARCHAR)), 1, 8) AS val,
+         TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS ts
+  FROM g
+),
+pre AS (SELECT * FROM feed WHERE ts < TIMESTAMP '{RA_SPLIT}'),
+post AS (SELECT * FROM feed
+         WHERE ts >= TIMESTAMP '{RA_SPLIT}' AND id % {RA_STUCK_MOD} <> 0),
+target0 AS (
+  SELECT id, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC) AS rn FROM pre
+  ) WHERE rn = 1 AND op <> 'D'
+),
+delta AS (
+  SELECT id, val, CASE WHEN op = 'D' THEN 'Y' ELSE 'N' END AS is_deleted FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC) AS rn FROM post
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(d.id, t.id) AS id,
+         CASE WHEN d.id IS NOT NULL THEN d.val ELSE t.val END AS val,
+         CASE WHEN d.id IS NOT NULL THEN d.is_deleted ELSE 'N' END AS is_deleted
+  FROM target0 t FULL OUTER JOIN delta d ON t.id = d.id
+  WHERE t.id IS NOT NULL OR d.is_deleted = 'N'
+),
+replica_live AS (SELECT id, val FROM merged WHERE is_deleted = 'N'),
+source_live AS (
+  SELECT id, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC) AS rn FROM feed
+  ) WHERE rn = 1 AND op <> 'D'
+),
+sd AS (
+  SELECT CAST(('0x' || substr(md5({_RA_ID_LP}), 1, 4)) AS BIGINT)
+           % {RA_BUCKETS} AS bucket,
+         count(*) AS n_rows,
+         sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+               {_RA_ROW_LP})), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+  FROM source_live GROUP BY 1
+),
+td AS (
+  SELECT CAST(('0x' || substr(md5({_RA_ID_LP}), 1, 4)) AS BIGINT)
+           % {RA_BUCKETS} AS bucket,
+         count(*) AS n_rows,
+         sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+               {_RA_ROW_LP})), 1, 13)) AS BIGINT) AS HUGEINT)) AS digest
+  FROM replica_live GROUP BY 1
+),
+ck AS (
+  SELECT coalesce(sd.n_rows, 0) AS n_source,
+         coalesce(td.n_rows, 0) AS n_target,
+         CASE WHEN sd.digest IS NOT NULL AND td.digest IS NOT NULL
+                   AND sd.digest = td.digest AND sd.n_rows = td.n_rows
+              THEN 1 ELSE 0 END AS digests_match
+  FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+),
+dim AS (SELECT DISTINCT id FROM feed WHERE id % {RA_DIM_MOD} <> 0),
+fkj AS (
+  SELECT c.n_rows, p.k AS pk FROM
+    (SELECT id AS k, count(*) AS n_rows FROM replica_live GROUP BY 1) c
+    FULL OUTER JOIN (SELECT id AS k FROM dim) p ON c.k = p.k
+)
+SELECT 'merge' AS section, 'n_target_rows' AS metric,
+       CAST((SELECT count(*) FROM target0) AS BIGINT) AS value
+UNION ALL SELECT 'merge', 'n_delta_keys',
+       CAST((SELECT count(*) FROM delta) AS BIGINT)
+UNION ALL SELECT 'merge', 'n_merged_rows',
+       CAST((SELECT count(*) FROM merged) AS BIGINT)
+UNION ALL SELECT 'merge', 'n_replica_live',
+       CAST((SELECT count(*) FROM replica_live) AS BIGINT)
+UNION ALL SELECT 'checksum', 'n_buckets',
+       CAST((SELECT count(*) FROM ck) AS BIGINT)
+UNION ALL SELECT 'checksum', 'n_buckets_match',
+       CAST((SELECT coalesce(sum(digests_match), 0) FROM ck) AS BIGINT)
+UNION ALL SELECT 'checksum', 'n_source_rows',
+       CAST((SELECT coalesce(sum(n_source), 0) FROM ck) AS BIGINT)
+UNION ALL SELECT 'checksum', 'n_replica_rows',
+       CAST((SELECT coalesce(sum(n_target), 0) FROM ck) AS BIGINT)
+UNION ALL SELECT 'fk', 'n_child_keys',
+       CAST((SELECT coalesce(sum(CASE WHEN n_rows IS NOT NULL THEN 1 END), 0)
+             FROM fkj) AS BIGINT)
+UNION ALL SELECT 'fk', 'n_matched_keys',
+       CAST((SELECT coalesce(sum(CASE WHEN n_rows IS NOT NULL
+                                       AND pk IS NOT NULL THEN 1 END), 0)
+             FROM fkj) AS BIGINT)
+UNION ALL SELECT 'fk', 'n_orphan_keys',
+       CAST((SELECT coalesce(sum(CASE WHEN pk IS NULL THEN 1 END), 0)
+             FROM fkj) AS BIGINT)
+UNION ALL SELECT 'fk', 'n_childless_parents',
+       CAST((SELECT coalesce(sum(CASE WHEN n_rows IS NULL THEN 1 END), 0)
+             FROM fkj) AS BIGINT)
+"""
+
+QUERIES["replication_audit"] = q_replication_audit
+ORACLE_SQL["replication_audit"] = SQL_REPLICATION_AUDIT

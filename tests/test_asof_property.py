@@ -20,14 +20,18 @@ from hypothesis import strategies as st
 from oracle_to_oracle_data_integration_pipeline_spark.operators.asof import asof_join
 
 
-def _ts(sec: int) -> dt.datetime:
+def _ts(sec: int | None) -> dt.datetime | None:
+    if sec is None:
+        return None
     return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
 
 
 # keys drawn from a tiny pool (forces collisions and NULLs), ts from a
-# tiny grid (forces <=-boundary hits and exact ties)
+# tiny grid (forces <=-boundary hits and exact ties) plus NULL: a NULL
+# ts on either side is an unknowable <= comparison and matches nothing
+# (round-9 hardening — ADVICE r8 asof NULL-ts carry)
 _key = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
-_sec = st.integers(min_value=0, max_value=5)
+_sec = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
 _val = st.one_of(st.none(), st.integers(min_value=0, max_value=9).map(float))
 
 left_st = st.lists(st.tuples(_key, _sec), min_size=1, max_size=12)
@@ -38,9 +42,9 @@ def _reference(left, right, inner):
     out = {}
     for lid, (lk, lsec) in enumerate(left):
         best = None  # (ts, tie, value)
-        if lk is not None:
+        if lk is not None and lsec is not None:
             for rid, (rk, rsec, rv) in enumerate(right):
-                if rk == lk and rsec <= lsec:
+                if rk == lk and rsec is not None and rsec <= lsec:
                     cand = (rsec, rid, rv)
                     if best is None or cand[:2] > best[:2]:
                         best = cand

@@ -1183,3 +1183,21 @@ def test_curation_release_stage_persists_pinned(spark, sf_dir):
     # the final card re-attach joins shard rows to kept rows on the
     # unique doc id - a hash join, never a nested loop
     assert "BroadcastNestedLoopJoin" not in p.split("InMemoryRelation")[0]
+
+
+def test_replication_audit_stage_persists_pinned(spark, sf_dir):
+    """Round-9 CDC composition qid: feed → latest_per_key → soft-delete
+    merge → checksum reconcile → FK report as ONE plan. Same contract
+    as curation_release: the stage persists (feed / target0 / delta /
+    merged / replica_live) are what keep the audit's 12 metric branches
+    from re-running the Python DataSource scan and the merge join once
+    per branch — Catalyst does not dedupe common subplans. The gate is
+    InMemoryTableScan nodes at the reuse points, plus join-shape
+    sanity (keyed joins, no nested loop over the feed)."""
+    p = plan_str(spark, sf_dir, "replication_audit")
+    # five persisted stages, most referenced 2-3x across the 12 branches
+    assert p.count("InMemoryTableScan") >= 8, (
+        "stage persists dropped: replication_audit would re-run the "
+        "feed scan + merge join once per audit metric branch"
+    )
+    assert "BroadcastNestedLoopJoin" not in p.split("InMemoryRelation")[0]

@@ -242,6 +242,22 @@ def test_join_size_sampled_string_keys_not_degenerate(spark):
     assert ex == est == 50
 
 
+def test_join_size_sampled_caches_are_releasable(spark):
+    # each call persists two count tables; release_estimator_caches
+    # frees them so long sessions don't accumulate cached plans
+    from oracle_to_oracle_data_integration_pipeline_spark.operators import scale
+
+    scale.release_estimator_caches()  # drain any prior test's leftovers
+    a = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+    est = scale.join_size_sampled(a, a, "k", "k", rate_inv=1)
+    assert est.collect()[0]["est_size"] == 8 * 8 * 5
+    assert len(scale._ESTIMATOR_CACHES) == 2
+    assert scale.release_estimator_caches() == 2
+    assert scale._ESTIMATOR_CACHES == []
+    # the estimate plan still works after release (recompute path)
+    assert est.collect()[0]["est_size"] == 8 * 8 * 5
+
+
 def test_bfs_levels_tolerates_colliding_column_names(spark):
     from oracle_to_oracle_data_integration_pipeline_spark.operators.graph import bfs_levels
 

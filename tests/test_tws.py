@@ -19,6 +19,49 @@ from oracle_to_oracle_data_integration_pipeline_spark.streaming.tws import (
 )
 
 
+def test_tws_running_profile_subprocess_vendored(tmp_path):
+    """The REAL micro-batch differential, in this sandbox, without pip:
+    a vendored pure-Python google.protobuf runtime (found on disk by
+    vendored_protobuf_path) is shipped to the subprocess — and through
+    it to the pyspark WORKERS, which is where the TWS protocol client
+    actually imports the StateMessage stubs — via PYTHONPATH plus a
+    sitecustomize shim (tools/tws_probe.py docstring). Decimal-exact
+    state folds across 4 micro-batches must match the batch groupBy;
+    a protocol break from the one-minor protobuf skew would corrupt
+    state and fail the compare, so green here certifies the shim."""
+    import os
+    import subprocess
+    import sys
+
+    from oracle_to_oracle_data_integration_pipeline_spark.streaming.tws import (
+        vendored_protobuf_path,
+    )
+
+    if tws_available():
+        pytest.skip("protobuf importable in-process — in-process test covers the run")
+    runtime = vendored_protobuf_path()
+    if runtime is None:
+        pytest.skip("no vendored protobuf runtime on this host")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from tws_probe import build_shim
+    finally:
+        sys.path.pop(0)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = build_shim(str(tmp_path / "shim"), runtime)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "tws_probe.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "TWS_DIFFERENTIAL_PASS" in proc.stdout, proc.stdout[-2000:]
+
+
 def test_tws_gate_contract(spark):
     """The availability probe and the operator's failure mode must
     agree: when protobuf is absent, running_profile raises ImportError
