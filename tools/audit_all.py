@@ -31,6 +31,9 @@ TOOLS = [
     ("broadcast_audit.py", [], True),
     ("join_explosion_audit.py", [], True),
     ("parity_sweep.py", [], True),
+    # execution-geometry determinism: 4 fresh-JVM cells over
+    # shuffle.partitions {1,7,32} and local[4] — heavy by construction
+    ("partition_parity.py", [], True),
     ("fuzz_parity.py", [], True),
 ]
 
