@@ -40,7 +40,21 @@ COPIES = int(os.environ.get("COPIES", "10"))
 REPEATS = int(os.environ.get("REPEATS", "3"))
 SHIFT = 10**9
 
-# qid -> {table: [key columns to shift]}
+# qid -> {table: spec}; spec is either a list of key columns to shift
+# (back-compat) or a dict with any of:
+#   "shift":  key columns, copy i adds i * 10^9 (disjoint key spaces)
+#   "xlate":  text columns, copy i applies a per-copy character
+#             bijection (rotate 'abcdefghij' by i). Equality and
+#             Jaccard WITHIN a copy are exactly preserved (bijection on
+#             strings), while shingle sets are disjoint-ish ACROSS
+#             copies — so duplicate/near-dup DENSITY stays constant as
+#             volume scales, which a bare 10x text replication would
+#             not do (identical text in every copy → one 10x-bigger dup
+#             class → pair counts grow 100x and the probe would measure
+#             a density change, not a scale-up).
+#   "copies": override copy count — 1 replicates the table unchanged
+#             (fixed dimensions like nation must NOT be multiplied:
+#             duplicated dim rows duplicate join matches).
 TARGETS = {
     "salted_join": {
         "lineitem": ["l_orderkey"],
@@ -49,16 +63,44 @@ TARGETS = {
     "json_extract": {
         "events": ["event_id"],
     },
+    # VERDICT r8 ask #3: the five most expensive headline queries.
+    "bloom_join": {
+        "lineitem": ["l_suppkey"],
+        "supplier": ["s_suppkey"],
+        "nation": {"copies": 1},
+    },
+    "checksum_diff": {
+        "orders": ["o_orderkey"],
+    },
+    "kmeans_assign": {
+        "embeddings": ["vec_id"],
+    },
+    "dedup_components": {
+        "documents": {"shift": ["doc_id"], "xlate": ["text"]},
+    },
+    "minhash_dedup": {
+        "documents": {"shift": ["doc_id"], "xlate": ["text"]},
+    },
 }
 
+_XLATE_SRC = "abcdefghij"
 
-def blow_up(spark, table: str, shift_cols: list[str], out_dir: str) -> int:
+
+def blow_up(spark, table: str, spec, out_dir: str) -> int:
+    if isinstance(spec, list):
+        spec = {"shift": spec}
+    shift_cols = spec.get("shift", [])
+    xlate_cols = spec.get("xlate", [])
+    n_copies = spec.get("copies", COPIES)
     src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
     copies = []
-    for i in range(COPIES):
+    for i in range(n_copies):
         c = src
         for col in shift_cols:
             c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+        rot = _XLATE_SRC[i % len(_XLATE_SRC):] + _XLATE_SRC[: i % len(_XLATE_SRC)]
+        for col in xlate_cols:
+            c = c.withColumn(col, F.translate(F.col(col), _XLATE_SRC, rot))
         copies.append(c)
     big = copies[0]
     for c in copies[1:]:
