@@ -165,6 +165,119 @@ def _make_processor():
     return RunningProfile()
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+    ]
+)
+
+
+def _make_session_processor(gap_ms: int):
+    """Event-time-timer processor: per-key gap sessionization with the
+    session-close record emitted WHEN THE WATERMARK PASSES (the timer
+    path the ``running_profile`` processor does not exercise).
+
+    Contract (matches batch gap-sessionization for in-order feeds):
+    rows inside one batch are folded in ts order and split on gap —
+    a session closed by a LATER row in the same batch emits
+    immediately (it is final: any event that could extend it would be
+    later than the gap); the trailing OPEN session is parked in
+    ValueState with an event-time timer at last_ts + gap, re-arming
+    (deleteTimer + registerTimer) as new events extend it; when the
+    watermark passes the expiry, handleExpiredTimer emits the close
+    record and clears the state. A stale timer (expiry no longer equal
+    to the live session's end + gap) is ignored — deleteTimer makes
+    that a belt-and-braces check, not the main path."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "n BIGINT, start_ms BIGINT, last_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            ts_ms: list[int] = []
+            for pdf in rows:
+                ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+            ts_ms.sort()
+            closed = []
+            if self.sess.exists():
+                n, start, last = self.sess.get()
+                self.handle.deleteTimer(last + gap_ms)
+            else:
+                n = 0
+                start = last = None
+            for t in ts_ms:
+                if last is not None and t - last > gap_ms:
+                    closed.append((key[0], n, start, last))
+                    n, start, last = 0, None, None
+                n += 1
+                start = t if start is None else start
+                last = t
+            if last is not None:
+                self.sess.update((n, start, last))
+                self.handle.registerTimer(last + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    closed, columns=["user_id", "n_events", "start_ms", "end_ms"]
+                )
+
+        # parameter names must match the API exactly: the TWS worker
+        # invokes this hook with KEYWORD arguments (timerValues=...,
+        # expiredTimerInfo=...)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            if self.sess.exists():
+                n, start, last = self.sess.get()
+                if last + gap_ms == expiry:
+                    self.sess.clear()
+                    yield pd.DataFrame(
+                        [(key[0], n, start, last)],
+                        columns=["user_id", "n_events", "start_ms", "end_ms"],
+                    )
+
+        def close(self) -> None:
+            pass
+
+    return SessionClose()
+
+
+def session_close(
+    events: DataFrame, gap_s: int = 30, delay_s: int = 10
+) -> DataFrame:
+    """Streaming (user_id, ts) → gap-sessionization with close records
+    emitted by EVENT-TIME TIMERS as the watermark passes each session's
+    end + gap (update mode, ``timeMode="EventTime"``). The second TWS
+    processor shape: where running_profile exercises ValueState +
+    MapState folds, this exercises registerTimer / deleteTimer /
+    handleExpiredTimer — the full §2.10 surface. Same RocksDB-provider
+    and protobuf requirements as :func:`running_profile`."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the public 'protobuf' package "
+            "(pyspark.sql.streaming.proto); not available in this environment"
+        )
+    return (
+        events.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_session_processor(gap_s * 1000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
 def running_profile(events: DataFrame) -> DataFrame:
     """Streaming DataFrame (user_id, event_type, value, ...) → per-key
     running profile via transformWithStateInPandas, one output row per

@@ -60,6 +60,9 @@ def test_tws_running_profile_subprocess_vendored(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "TWS_DIFFERENTIAL_PASS" in proc.stdout, proc.stdout[-2000:]
+    # the event-time-timer processor (session_close): registerTimer /
+    # deleteTimer / handleExpiredTimer, closes via watermark passage
+    assert "TWS_SESSION_TIMER_PASS" in proc.stdout, proc.stdout[-2000:]
 
 
 def test_tws_gate_contract(spark):
