@@ -62,6 +62,9 @@ DEFAULT_QIDS = [
     "curation_release",
     # round-8: end-biased estimator persists its two count tables
     "join_size_estimate",
+    # round-9: CDC composition qid (5 MEMORY_AND_DISK stage caches per
+    # run, never unpersisted — same watch class as curation_release)
+    "replication_audit",
 ]
 
 
