@@ -28,7 +28,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K)
 
 
-def _bm25_sql() -> str:
+def bm25_ctes(src: str = "documents") -> str:
+    """The base/stats/scored CTE bodies of the BM25 oracle,
+    parameterized on the corpus source so composed oracles
+    (retrieval_release) score EXACTLY the arithmetic this qid pins —
+    one text, two consumers, no drift possible."""
     tf_defs = ",\n         ".join(
         f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(BM25_TERMS)
@@ -43,12 +47,11 @@ def _bm25_sql() -> str:
         f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))"
         for i in range(len(BM25_TERMS))
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS dl,
          {tf_defs}
-  FROM documents
+  FROM {src}
 ),
 stats AS (
   SELECT count(*) AS n_docs, avg(dl) AS avgdl,
@@ -59,7 +62,12 @@ scored AS (
   SELECT doc_id,
          floor(({contribs}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
   FROM base, stats
-)
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {bm25_ctes()}
 SELECT doc_id, bm25,
        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}

@@ -396,3 +396,154 @@ ORACLE_SQL = {
     "embed_gram": SQL_EMBED_GRAM,
     "url_normalize": SQL_URL_NORMALIZE,
 }
+
+
+# -- qid: retrieval_release (dedup → BM25 ⊕ LM-fluency → RRF, ONE plan) --
+
+RET_POOL = 50
+RET_K = 10
+RET_KRRF = 60
+
+
+def q_retrieval_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third composition qid (round 9; twins: curation_release for
+    corpus curation, replication_audit for CDC): the search-index
+    release pipeline as ONE Spark plan — exact dedup (lowest doc_id
+    per distinct text) → Okapi BM25 ranking of the DEDUPED corpus for
+    the fixed query terms (operators/retrieval.bm25_topk, pool
+    {RET_POOL}) ⊕ unigram-LM fluency ranking (lowest avg-NLL first —
+    operators/retrieval.unigram_nll, same pool) → reciprocal-rank
+    fusion (operators/retrieval2.rrf_fuse, k_rrf {RET_KRRF}) → top
+    {RET_K} with source metadata re-attached. The lexical ranker and
+    the fluency prior see the SAME deduplicated corpus — the
+    composition property a live search release depends on (scoring the
+    raw corpus would double-count duplicate texts in df/vocabulary
+    statistics; the oracle would catch exactly that drift).
+
+    Oracle: the entire composition in DuckDB, with the BM25 CTEs
+    emitted by the SAME builder the bm25_topk oracle uses
+    (retrieval_queries.bm25_ctes — one text, two consumers) and the
+    NLL/RRF arithmetic mirrored from the lm_perplexity / rank_fusion
+    twins token for token.
+
+    Scale shape: one text-keyed shuffle (dedup window), then corpus
+    statistics via the operators' existing broadcast paths; both
+    rankers truncate to {RET_POOL} rows before fusion, so the fusion
+    join and the final metadata join are constant-sized (the metadata
+    join is ≤{RET_K} rows against the corpus — a broadcast-able probe).
+    The deduped stage persists (MEMORY_AND_DISK): BM25 references it
+    for stats + scores, the LM ranker for vocabulary + per-doc NLL,
+    the release for metadata — Catalyst would otherwise re-run the
+    dedup window once per consumer (the curation_release lesson)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        unigram_nll,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.retrieval2 import (
+        rrf_fuse,
+    )
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.retrieval_queries import (
+        BM25_TERMS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = bm25_topk(deduped, BM25_TERMS, k=RET_POOL).select("doc_id", "rank")
+    wb = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    b = (
+        unigram_nll(deduped)
+        .orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+        .limit(RET_POOL)
+        .withColumn("rank", F.row_number().over(wb))
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse(a, b, k_out=RET_K, k_rrf=RET_KRRF)
+    return (
+        fused.join(deduped.select("doc_id", "source", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+            F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+            "rrf",
+            "fused_rank",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def _retrieval_release_sql() -> str:
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.retrieval_queries import (
+        bm25_ctes,
+    )
+
+    return f"""
+WITH deduped AS (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+{bm25_ctes("deduped")},
+ra AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {RET_POOL}
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM deduped),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS t_total FROM vocab),
+nscored AS (
+  SELECT t.doc_id,
+         ln(CAST(t_total AS DOUBLE)) - ln(CAST(c AS DOUBLE)) AS nll
+  FROM tok t JOIN vocab USING (tok), tot
+),
+nll AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(nll AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6)
+           AS avg_nll
+  FROM nscored GROUP BY doc_id
+),
+rb AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY avg_nll ASC, doc_id) AS INT) AS rank
+    FROM nll
+  ) WHERE rank <= {RET_POOL}
+),
+f AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.rank AS rank_a, rb.rank AS rank_b,
+         floor(((CASE WHEN ra.rank IS NOT NULL
+                      THEN 1.0 / ({RET_KRRF}.0 + ra.rank) ELSE 0.0 END)
+              + (CASE WHEN rb.rank IS NOT NULL
+                      THEN 1.0 / ({RET_KRRF}.0 + rb.rank) ELSE 0.0 END))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+),
+top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT {RET_K})
+SELECT t.doc_id,
+       CAST(COALESCE(t.rank_a, 0) AS INT) AS rank_a,
+       CAST(COALESCE(t.rank_b, 0) AS INT) AS rank_b,
+       t.rrf,
+       CAST(row_number() OVER (ORDER BY t.rrf DESC, t.doc_id) AS INT)
+         AS fused_rank,
+       d.source, d.n_chars
+FROM top t JOIN deduped d USING (doc_id)
+"""
+
+
+SQL_RETRIEVAL_RELEASE = _retrieval_release_sql()
+
+QUERIES["retrieval_release"] = q_retrieval_release
+ORACLE_SQL["retrieval_release"] = SQL_RETRIEVAL_RELEASE

@@ -1201,3 +1201,17 @@ def test_replication_audit_stage_persists_pinned(spark, sf_dir):
         "feed scan + merge join once per audit metric branch"
     )
     assert "BroadcastNestedLoopJoin" not in p.split("InMemoryRelation")[0]
+
+
+def test_retrieval_release_stage_persist_pinned(spark, sf_dir):
+    """Round-9 retrieval composition qid: the deduped corpus must be a
+    persisted stage — BM25 (corpus stats + scores), the LM ranker
+    (vocabulary + per-doc NLL) and the metadata re-attach all consume
+    it, and Catalyst does not dedupe common subplans, so dropping the
+    persist re-runs the text-keyed dedup window once per consumer."""
+    p = plan_str(spark, sf_dir, "retrieval_release")
+    assert p.count("InMemoryTableScan") >= 4, (
+        "deduped-stage persist dropped: retrieval_release would re-run "
+        "the dedup window once per ranking/metadata consumer"
+    )
+    assert "CartesianProduct" not in p
