@@ -151,20 +151,38 @@ def main() -> None:
         qid: (round(min(ts), 3) if ts else None) for qid, ts in samples.items()
     }
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    # fastest SINGLE run's total (min over runs of the per-run sum):
+    # value_min sums per-query minima taken from DIFFERENT runs, so it
+    # is a composite no single run achieved (ADVICE r9) — record the
+    # realizable wall-clock best alongside it. Only defined when every
+    # non-broken qid produced a sample in that run.
+    live = [qid for qid in HEADLINE if qid not in broken]
+    run_totals = [
+        round(sum(samples[qid][i] for qid in live), 3)
+        for i in range(runs)
+        if all(len(samples[qid]) > i for qid in live)
+    ]
+    # dict order IS the output order (json.dumps preserves insertion):
+    # big per-query maps first, scalar totals LAST, so the driver's
+    # 2000-char stdout tail always captures metric/value/value_min/
+    # loadavg (VERDICT r9: BENCH_r09's leading fields were truncated).
     out = {
-        "metric": f"headline_total_sf{sf}",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
-        "stat": f"median_of_{runs}_interleaved",
-        "value_min": round(sum(t for t in mins.values() if t is not None), 3),
         "queries_min": mins,
+        **({"failed": broken} if broken else {}),
+        "stat": f"median_of_{runs}_interleaved",
+        "sf": float(sf),
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "metric": f"headline_total_sf{sf}",
+        "unit": "sec",
+        "value_min_composite": round(
+            sum(t for t in mins.values() if t is not None), 3
+        ),
+        "value_min_single_run": (min(run_totals) if run_totals else None),
+        "value_min": round(sum(t for t in mins.values() if t is not None), 3),
+        "value": total,
     }
-    if broken:
-        out["failed"] = broken
     print(json.dumps(out))
 
 

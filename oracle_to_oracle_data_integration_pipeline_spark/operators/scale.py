@@ -347,26 +347,25 @@ def join_size_exact(a: DataFrame, b: DataFrame, a_key: str, b_key: str) -> DataF
     )
 
 
-# count tables persisted by join_size_sampled, released on demand: the
-# returned plan references them so they outlive the call; a long-lived
-# session calls release_estimator_caches() once the estimate is
-# collected (blocking=False — eviction is async, correctness-neutral)
-_ESTIMATOR_CACHES: list[DataFrame] = []
+# count tables persisted by join_size_sampled outlive the call (the
+# returned plan references them); they are tracked in the shared
+# lock-guarded cache registry under the group below (ADVICE r9: the
+# old module-global list was unsynchronized and let concurrent callers
+# release each other's caches — the registry's per-call handles and
+# named group close both).
+_ESTIMATOR_GROUP = "join_size_estimator"
 
 
 def release_estimator_caches() -> int:
     """Unpersist every count table cached by prior
     ``join_size_sampled`` calls; returns how many were released.
     Safe to call while other plans are running — an unpersisted table
-    recomputes on next reference."""
-    n = len(_ESTIMATOR_CACHES)
-    for df in _ESTIMATOR_CACHES:
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _ESTIMATOR_CACHES.clear()
-    return n
+    recomputes on next reference. Delegates to the shared registry, so
+    it only sweeps THIS group (a concurrent composition qid's stage
+    persists are untouched)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators import cache_registry
+
+    return cache_registry.release_group(_ESTIMATOR_GROUP)
 
 
 def join_size_sampled(
@@ -413,23 +412,21 @@ def join_size_sampled(
     docs/ROUND8_NOTES.md §3). LRU-evictable; eviction degrades to
     recompute. Because the RETURNED plan still references the caches,
     they cannot be released before the caller's action runs; each call
-    registers them in a module registry instead — long-lived sessions
-    call ``release_estimator_caches()`` after collecting the estimate
-    (ADVICE r8: per-call persists otherwise accumulate for the session
-    lifetime)."""
-    from pyspark.storagelevel import StorageLevel
+    tracks them in the shared lock-guarded cache registry instead —
+    the call keeps a scoped handle, and long-lived sessions call
+    ``release_estimator_caches()`` after collecting the estimate
+    (ADVICE r8/r9: per-call persists otherwise accumulate for the
+    session lifetime, and the old bare list was unsynchronized)."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators import cache_registry
 
-    ca = (
-        a.groupBy(F.col(a_key).alias("k"))
-        .agg(F.count(F.lit(1)).alias("ca"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ca = cache_registry.persist_tracked(
+        a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("ca")),
+        _ESTIMATOR_GROUP,
     )
-    cb = (
-        b.groupBy(F.col(b_key).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cb = cache_registry.persist_tracked(
+        b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("cb")),
+        _ESTIMATOR_GROUP,
     )
-    _ESTIMATOR_CACHES.extend((ca, cb))
     na = ca.agg(F.sum("ca").alias("na"))
     nb = cb.agg(F.sum("cb").alias("nb"))
     ha = (

@@ -677,8 +677,10 @@ def q_curation_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, and eviction degrades to recompute, not wrong answers.
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cache_registry import (
+        persist_tracked,
+    )
     from oracle_to_oracle_data_integration_pipeline_spark.operators.curation import (
         mixture_sample,
         shard_plan,
@@ -687,21 +689,22 @@ def q_curation_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("text").orderBy("doc_id")
-    deduped = (
+    deduped = persist_tracked(
         d.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("__rn__"),
+        "curation_release",
     )
-    gated = (
+    gated = persist_tracked(
         quality_score(deduped)
         .filter(F.col("quality") >= RELEASE_GATE)
         .select("doc_id", "n_tokens")
-        .join(deduped.select("doc_id", "source", "n_chars"), "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .join(deduped.select("doc_id", "source", "n_chars"), "doc_id"),
+        "curation_release",
     )
-    kept = mixture_sample(gated, {s: 3.0 for s in _UPWEIGHTED}, RELEASE_BUDGET).persist(
-        StorageLevel.MEMORY_AND_DISK
+    kept = persist_tracked(
+        mixture_sample(gated, {s: 3.0 for s in _UPWEIGHTED}, RELEASE_BUDGET),
+        "curation_release",
     )
     shards = shard_plan(kept, budget=RELEASE_SHARD)
     return (

@@ -1072,8 +1072,9 @@ def q_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per side, the FK edge pre-aggregates the child to one row per
     key. Nothing collects, nothing single-partitions.
     """
-    from pyspark.storagelevel import StorageLevel
-
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cache_registry import (
+        persist_tracked,
+    )
     from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import (
         latest_per_key,
         merge_soft_delete,
@@ -1083,26 +1084,26 @@ def q_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register(spark)
-    feed = (
+    feed = persist_tracked(
         spark.read.format("cdc_feed")
         .option("n_rows", RA_N_ROWS)
         .option("n_keys", RA_N_KEYS)
         .option("n_parts", 4)
-        .load()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .load(),
+        "replication_audit",
     )
     split = F.lit(RA_SPLIT).cast("timestamp")
     pre = feed.filter(F.col("ts") < split)
     post = feed.filter(
         (F.col("ts") >= split) & (F.col("id") % RA_STUCK_MOD != 0)
     )
-    target0 = (
+    target0 = persist_tracked(
         latest_per_key(pre, ["id"], order_cols=[F.col("ts").desc()])
         .filter(F.col("op") != "D")
-        .select("id", "val", "ts", F.lit("N").alias("is_deleted"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("id", "val", "ts", F.lit("N").alias("is_deleted")),
+        "replication_audit",
     )
-    delta = (
+    delta = persist_tracked(
         latest_per_key(post, ["id"], order_cols=[F.col("ts").desc()])
         .select(
             "id",
@@ -1111,16 +1112,15 @@ def q_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("op") == "D", F.lit("Y")).otherwise(F.lit("N")).alias(
                 "is_deleted"
             ),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        "replication_audit",
     )
-    merged = merge_soft_delete(target0, delta, pk=["id"]).df.persist(
-        StorageLevel.MEMORY_AND_DISK
+    merged = persist_tracked(
+        merge_soft_delete(target0, delta, pk=["id"]).df, "replication_audit"
     )
-    replica_live = (
-        merged.filter(F.col("is_deleted") == "N")
-        .select("id", "val")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    replica_live = persist_tracked(
+        merged.filter(F.col("is_deleted") == "N").select("id", "val"),
+        "replication_audit",
     )
     source_live = (
         latest_per_key(feed, ["id"], order_cols=[F.col("ts").desc()])

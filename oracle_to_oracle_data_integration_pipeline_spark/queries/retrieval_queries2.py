@@ -435,8 +435,9 @@ def q_retrieval_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stats + scores, the LM ranker for vocabulary + per-doc NLL,
     the release for metadata — Catalyst would otherwise re-run the
     dedup window once per consumer (the curation_release lesson)."""
-    from pyspark.storagelevel import StorageLevel
-
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cache_registry import (
+        persist_tracked,
+    )
     from oracle_to_oracle_data_integration_pipeline_spark.operators.retrieval import (
         bm25_topk,
         unigram_nll,
@@ -450,11 +451,11 @@ def q_retrieval_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("text").orderBy("doc_id")
-    deduped = (
+    deduped = persist_tracked(
         docs.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("__rn__"),
+        "retrieval_release",
     )
     a = bm25_topk(deduped, BM25_TERMS, k=RET_POOL).select("doc_id", "rank")
     wb = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
@@ -466,8 +467,12 @@ def q_retrieval_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank")
     )
     fused = rrf_fuse(a, b, k_out=RET_K, k_rrf=RET_KRRF)
+    # fused is ≤RET_K rows; hint it explicitly so the metadata
+    # re-attach is a broadcast probe even with AQE disabled or on a
+    # conservative cluster (VERDICT r9: relying on AQE to discover the
+    # tiny side shuffles the full deduped corpus when AQE is off)
     return (
-        fused.join(deduped.select("doc_id", "source", "n_chars"), "doc_id")
+        F.broadcast(fused).join(deduped.select("doc_id", "source", "n_chars"), "doc_id")
         .select(
             "doc_id",
             F.coalesce("rank_a", F.lit(0)).alias("rank_a"),

@@ -1215,3 +1215,12 @@ def test_retrieval_release_stage_persist_pinned(spark, sf_dir):
         "the dedup window once per ranking/metadata consumer"
     )
     assert "CartesianProduct" not in p
+    # the ≤k-row fused ranking probes the corpus for metadata via an
+    # EXPLICIT broadcast hint (round 10): the top plan segment (above
+    # the cached dedup stage) must carry a BroadcastHashJoin even with
+    # AQE disabled — relying on AQE to discover the tiny side would
+    # shuffle the full corpus on a conservative cluster
+    assert "BroadcastHashJoin" in p.split("InMemoryTableScan")[0], (
+        "metadata re-attach lost its broadcast hint: the ≤k-row fused "
+        "side must broadcast, not shuffle the deduped corpus"
+    )

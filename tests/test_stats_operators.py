@@ -247,13 +247,15 @@ def test_join_size_sampled_caches_are_releasable(spark):
     # frees them so long sessions don't accumulate cached plans
     from oracle_to_oracle_data_integration_pipeline_spark.operators import scale
 
+    from oracle_to_oracle_data_integration_pipeline_spark.operators import cache_registry
+
     scale.release_estimator_caches()  # drain any prior test's leftovers
     a = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
     est = scale.join_size_sampled(a, a, "k", "k", rate_inv=1)
     assert est.collect()[0]["est_size"] == 8 * 8 * 5
-    assert len(scale._ESTIMATOR_CACHES) == 2
+    assert cache_registry.registered_groups().get(scale._ESTIMATOR_GROUP) == 2
     assert scale.release_estimator_caches() == 2
-    assert scale._ESTIMATOR_CACHES == []
+    assert scale._ESTIMATOR_GROUP not in cache_registry.registered_groups()
     # the estimate plan still works after release (recompute path)
     assert est.collect()[0]["est_size"] == 8 * 8 * 5
 

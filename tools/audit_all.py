@@ -34,6 +34,9 @@ TOOLS = [
     # execution-geometry determinism: 4 fresh-JVM cells over
     # shuffle.partitions {1,7,32} and local[4] — heavy by construction
     ("partition_parity.py", [], True),
+    # plan-config determinism: 4 fresh-JVM cells over {defaults, AQE
+    # off, threshold-broadcasts off (SMJ), whole-stage codegen off}
+    ("config_parity.py", [], True),
     ("fuzz_parity.py", [], True),
 ]
 
