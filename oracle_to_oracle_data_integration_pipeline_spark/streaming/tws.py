@@ -219,8 +219,13 @@ def _make_session_processor(gap_ms: int):
                     closed.append((key[0], n, start, last))
                     n, start, last = 0, None, None
                 n += 1
-                start = t if start is None else start
-                last = t
+                # ADVICE r9: a cross-batch late-but-within-watermark
+                # event (t < last — ts_ms is sorted, so only the batch
+                # head can be late vs the parked session) must not
+                # shrink the recorded session bounds: end stays the
+                # max event time, start the min.
+                start = t if start is None else min(start, t)
+                last = t if last is None else max(last, t)
             if last is not None:
                 self.sess.update((n, start, last))
                 self.handle.registerTimer(last + gap_ms)
@@ -249,6 +254,94 @@ def _make_session_processor(gap_ms: int):
             pass
 
     return SessionClose()
+
+
+RECENT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("had_state", T.BooleanType()),
+        T.StructField("n_batch", T.LongType()),
+        T.StructField("n_recent", T.LongType()),
+        T.StructField("recent_sum", T.LongType()),
+    ]
+)
+
+
+def _make_recent_processor(k: int, ttl_ms: int):
+    """ListState + state-TTL processor (the §2.10 surface the first two
+    processors don't touch): per-key bounded recent-events list — the
+    shape a CDC session store leans on (keep the last K change ids per
+    key; an idle key's state is evicted by TTL instead of growing the
+    store forever).
+
+    Contract: each batch's event ids are appended in sorted order
+    (deterministic under Arrow chunking), the list is trimmed to its
+    last ``k`` entries, and the state carries ``ttlDurationMs`` — a key
+    idle longer than the TTL restarts from an empty list, and the
+    emitted ``had_state`` flag makes the eviction observable (the TTL
+    differential's crisp assertion, independent of the arithmetic).
+    Exercises getListState(ttl)/exists/appendList/get/put."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.recent = handle.getListState(
+                "recent", "event_id BIGINT", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            ids: list[int] = []
+            for pdf in rows:
+                ids.extend(int(i) for i in pdf["event_id"])
+            ids.sort()
+            # TTL eviction makes exists() False again for an idle key
+            had = bool(self.recent.exists())
+            self.recent.appendList([(i,) for i in ids])
+            full = [int(r[0]) for r in self.recent.get()]
+            if len(full) > k:
+                full = full[-k:]
+                self.recent.put([(i,) for i in full])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "had_state": [had],
+                    "n_batch": [len(ids)],
+                    "n_recent": [len(full)],
+                    "recent_sum": [sum(full)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RecentEvents()
+
+
+def recent_events(
+    events: DataFrame, k: int = 5, ttl_ms: int = 40_000
+) -> DataFrame:
+    """Streaming (user_id, event_id) → per-key bounded recent-events
+    list in a TTL'd ListState; one (user_id, had_state, n_batch,
+    n_recent, recent_sum) row per key per micro-batch (update mode).
+    Third TWS processor shape: ListState + state TTL (processing-time
+    eviction of idle keys — at 100 TB key cardinality only ever grows,
+    and TTL is what bounds the state store). Same RocksDB-provider and
+    protobuf requirements as :func:`running_profile`."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the public 'protobuf' package "
+            "(pyspark.sql.streaming.proto); not available in this environment"
+        )
+    # state TTL is processing-time eviction, so the query must run in
+    # ProcessingTime mode (timeMode=None rejects ttlDurationMs outright)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_recent_processor(k, ttl_ms),
+        outputStructType=RECENT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
 
 
 def session_close(

@@ -81,6 +81,55 @@ TARGETS = {
     "minhash_dedup": {
         "documents": {"shift": ["doc_id"], "xlate": ["text"]},
     },
+    # VERDICT r9 ask #4: the four remaining >=0.9 s headline queries.
+    # q1 is a pure lineitem scan+agg (tiny group domain — per-group
+    # counts grow 10x, group count doesn't; that IS the scale shape).
+    "q1_pricing_summary": {
+        "lineitem": ["l_orderkey"],
+    },
+    # q9: fact ⋈ part ⋈ orders ⋈ supplier ⋈ nation — all join keys
+    # shift together so key cardinality scales with volume; nation is
+    # a fixed broadcast dim (s_nationkey intentionally NOT shifted).
+    "q9_product_profit": {
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "orders": ["o_orderkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+        "nation": {"copies": 1},
+    },
+    # q18: HAVING semi-join against the grouped fact, then re-agg.
+    # Shifting l_orderkey/o_orderkey/c_custkey keeps per-order line
+    # counts constant (bare replication would 10x every order's
+    # quantity sum and flip the >300 predicate's selectivity).
+    "q18_large_orders": {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+    },
+    # stream_tumbling: probed through its batch twin (the identical
+    # transformation object over a batch events read —
+    # streaming_queries.batch_twin, fidelity pinned by
+    # tests/test_stream_batch_twins.py). The streaming drain's
+    # checkpoint/trigger overhead is fixed-cost harness, not plan;
+    # the twin isolates the part that scales.
+    "stream_tumbling": {
+        "events": ["event_id"],
+    },
+}
+
+# qid -> callable(spark, sf_dir) -> DataFrame, overriding the registry
+# runner where the qid's own entry wraps a harness the probe should
+# bypass (streaming drains).
+def _tumbling_twin(spark, sf_dir):
+    from oracle_to_oracle_data_integration_pipeline_spark.queries.streaming_queries import (
+        batch_twin,
+    )
+
+    return batch_twin(spark, sf_dir, "stream_tumbling")
+
+
+RUNNERS = {
+    "stream_tumbling": _tumbling_twin,
 }
 
 _XLATE_SRC = "abcdefghij"
@@ -132,8 +181,9 @@ def main() -> int:
                 t: blow_up(spark, t, cols, big_dir)
                 for t, cols in TARGETS[qid].items()
             }
-            run_base = lambda: queries[qid](spark, BASE).collect()  # noqa: E731
-            run_big = lambda: queries[qid](spark, big_dir).collect()  # noqa: E731
+            runner = RUNNERS.get(qid) or (lambda sp, d: queries[qid](sp, d))
+            run_base = lambda: runner(spark, BASE).collect()  # noqa: E731
+            run_big = lambda: runner(spark, big_dir).collect()  # noqa: E731
             run_base()  # warm-up: JIT + codegen before any timed run
             t_base = median_secs(run_base, REPEATS)
             t_big = median_secs(run_big, REPEATS)
