@@ -37,6 +37,12 @@ TOOLS = [
     # plan-config determinism: 4 fresh-JVM cells over {defaults, AQE
     # off, threshold-broadcasts off (SMJ), whole-stage codegen off}
     ("config_parity.py", [], True),
+    # spill-path determinism: starved fresh JVM (3g heap,
+    # memory.fraction=0.3) vs ample — complete AND hash-identical
+    ("memory_pressure.py", [], True),
+    # attempt-race determinism: spark.speculation with aggressive
+    # quantile/multiplier over the nondeterminism-sensitive families
+    ("speculation_probe.py", [], True),
     ("fuzz_parity.py", [], True),
 ]
 
