@@ -524,6 +524,18 @@ def grouped_topk_salted(
     )
 
 
+def signed_log_bucket(v: Column, k: int = 100) -> Column:
+    """``sign(v)·floor(log10(|v|+1)·k)`` — a monotonic non-decreasing
+    bucket of ``v`` that is TOTAL over every real (0 and negatives
+    included), for :func:`distributed_rank` over skewed measures.
+    Bare ``floor(log10(v)·k)`` is NULL at v ≤ 0 (Spark's non-ANSI log
+    of a non-positive), and a NULL bucket silently drops the row in
+    the rank's offsets join; |v|+1 keeps the log argument ≥ 1, and the
+    sign flip keeps negatives ordered below positives. NULL in → NULL
+    out (callers exclude NULL sort values by contract)."""
+    return F.signum(v) * F.floor(F.log10(F.abs(v) + F.lit(1.0)) * F.lit(float(k)))
+
+
 def distributed_rank(
     df: DataFrame,
     order_col: str,
@@ -557,9 +569,25 @@ def distributed_rank(
     and ``rfm_segments`` instead of the single-partition global sort
     a naive rank would plan at 100 TB.
 
+    NULL contract: the offsets equi-join drops any row whose bucket
+    evaluates to NULL — a NULL ``order_col`` (or a partial bucket
+    like ``log10(v)`` at v ≤ 0) silently vanishes from the output
+    rather than ranking. Callers MUST exclude NULL sort values as an
+    explicit stated contract (their oracles too — Spark and DuckDB
+    also disagree on NULL rank order, DIVERGENCES.md class 8) and
+    pass a bucket that is total over every non-NULL value (e.g. the
+    signed ``sign(v)·floor(log10(|v|+1)·K)`` bucket, monotonic over
+    all reals including 0 and negatives, rather than bare
+    ``floor(log10(v)·K)``). Found by the sf0.1 nulls fuzz sweep,
+    round 10: customers whose every order carried a NULL price were
+    dropped instead of excluded-by-contract.
+
     Output: input columns + (out_col BIGINT) in [1, N].
     """
     b = df.withColumn("__bucket__", bucket.cast("bigint"))
+    # (callers are responsible for excluding NULL sort values first —
+    # see the NULL contract above; nothing here can rank what the
+    # engines order oppositely)
     wb = Window.orderBy("__bucket__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         b.groupBy("__bucket__")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
     distributed_rank,
+    signed_log_bucket,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
     dsum,
@@ -204,12 +205,20 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+        # a customer whose every order carries a NULL price has no
+        # revenue to rank — excluded by contract on BOTH sides (the
+        # engines would otherwise also rank the NULL oppositely;
+        # DIVERGENCES.md class 8, found by the sf0.1 nulls sweep)
+        .filter(F.col("revenue").isNotNull())
     )
-    # monotonic bucket of the sort value: floor(log10(rev)·100) —
-    # revenue ≥ 1 always (totalprice ≥ ~900); ~400 live cells
-    bucket = F.floor(F.log10(F.col("revenue")) * 100)
+    # monotonic bucket of the sort value, total over every real
+    # (sign·log1p handles the 0-revenue customers boundary fuzz
+    # creates; clean data is always ≥ ~900); ~400 live cells
     ranked = distributed_rank(
-        rev, order_col="revenue", id_col="o_custkey", bucket=bucket
+        rev,
+        order_col="revenue",
+        id_col="o_custkey",
+        bucket=signed_log_bucket(F.col("revenue")),
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -243,6 +252,7 @@ rk AS (
   SELECT revenue,
          row_number() OVER (ORDER BY revenue, o_custkey) AS i
   FROM rev
+  WHERE revenue IS NOT NULL
 ),
 a AS (
   SELECT count(*) AS n_customers,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
     distributed_rank,
+    signed_log_bucket,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
     dsum,
@@ -265,6 +266,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # a customer with no dated or no priced order has no R or M to
+        # rank — excluded by contract on BOTH sides (the engines would
+        # otherwise also rank the NULL oppositely; DIVERGENCES.md
+        # class 8, found by the sf0.1 nulls sweep). The filter must
+        # run BEFORE the tile denominator count so n matches too.
+        .filter(
+            F.col("recency_days").isNotNull() & F.col("monetary").isNotNull()
+        )
     )
     r = distributed_rank(
         per, "recency_days", "o_custkey", F.col("recency_days"), out_col="_rr"
@@ -276,7 +285,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_,
         "monetary",
         "o_custkey",
-        F.floor(F.log10("monetary") * 100),
+        # total over every real: boundary fuzz zeroes prices, and
+        # log10(0) is a NULL bucket = a silently dropped row
+        signed_log_bucket(F.col("monetary")),
         out_col="_mr",
     )
     n = m.crossJoin(
@@ -334,6 +345,7 @@ rk AS (
          row_number() OVER (ORDER BY monetary, o_custkey) AS mr,
          count(*) OVER () AS n
   FROM per
+  WHERE recency_days IS NOT NULL AND monetary IS NOT NULL
 ),
 scored AS (
   SELECT o_custkey, recency_days, frequency, monetary,
