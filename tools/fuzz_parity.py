@@ -102,6 +102,15 @@ WHITELIST: dict[tuple[str, str], str] = {
         "float noise, not a semantics gap — the clean fixture is "
         "boundary-free at all three SFs."
     ),
+    ("unicode", "lm_perplexity"): (
+        "same class-15 boundary as the nulls entry, second observed "
+        "draw (sf0.1 base, round 10): one vocab entry's ln() lands on "
+        "the 6-dp half-boundary and every occurrence flips together — "
+        "one doc's avg_nll differs by exactly 1e-6, rows/schema exact. "
+        "Any fixed rounding of engine-computed transcendentals has "
+        "residual boundary mass; the clean fixture is pinned "
+        "boundary-free, which is the correctness gate."
+    ),
 }
 
 
