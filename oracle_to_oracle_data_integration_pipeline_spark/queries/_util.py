@@ -121,9 +121,50 @@ def md5_frac52(key: Column) -> Column:
     return md5_h52(key) / F.lit(float(16**13))
 
 
+def dquant(col: Column) -> Column:
+    """Portable per-term 6-dp quantizer for the decimal-sum path —
+    ``sign(x)·floor(|x|·1e6 + 0.5)`` computed in PURE DOUBLE arithmetic,
+    then divided back and cast to DECIMAL(24,6) (the integral-scaled
+    double round-trips exactly into the same decimal in both engines).
+
+    Why not ``CAST(x AS DECIMAL(24,6))`` directly: the engines
+    implement that cast with DIFFERENT algorithms — Spark rounds the
+    SHORTEST decimal representation of the double
+    (``BigDecimal.valueOf`` goes through ``Double.toString``), DuckDB
+    rounds the exact binary value. A computed product like
+    ``74297.323312499996747`` prints as ``"74297.3233125"``, a
+    manufactured tie Spark sends up while DuckDB (below the true half)
+    goes down. Fuzz grids (1/8-price × 0.05-discount products,
+    boundary profile at sf0.1) make such short-repr terms ~0.2–6% of
+    rows, and a revenue sum then drifts thousands of microunits —
+    visible whenever it lands near a presentation half-boundary
+    (DIVERGENCES.md class 16, round 10). The floor formula is the same
+    IEEE ops in both engines — bit-identical on 600k hostile rows —
+    and agrees with BOTH native casts on every tie-free value, so raw
+    shallow-decimal columns are unaffected.
+    SQL twin (DuckDB):
+    ``CAST((CASE WHEN (x) < 0 THEN -floor(-(x)*1e6 + 0.5)
+             ELSE floor((x)*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))``.
+    """
+    x = col.cast("double")
+    q = F.when(x < 0, -F.floor(-x * F.lit(1e6) + F.lit(0.5))).otherwise(
+        F.floor(x * F.lit(1e6) + F.lit(0.5))
+    )
+    return (q / F.lit(1e6)).cast("decimal(24,6)")
+
+
+def dquant_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dquant` for oracle SQL strings."""
+    return (
+        f"CAST((CASE WHEN ({expr}) < 0 THEN -floor(-({expr})*1e6 + 0.5) "
+        f"ELSE floor(({expr})*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))"
+    )
+
+
 def dsum(col: Column, round_to: int = 2) -> Column:
-    """Order-independent double sum: cast each term to DECIMAL(24,6)
-    (deterministic per-term rounding), sum exactly, cast back to double.
+    """Order-independent double sum: quantize each term at 6 dp via
+    :func:`dquant` (portable per-term rounding), sum exactly in
+    DECIMAL, cast back to double.
 
     Plain double summation is order-dependent — Spark's partial
     aggregation and DuckDB's scan order add in different sequences, and
@@ -133,9 +174,13 @@ def dsum(col: Column, round_to: int = 2) -> Column:
     The final round happens in the DECIMAL domain (both engines round
     decimal ties away from zero; rounding after a double cast reopens
     the 1-ulp boundary problem).
-    SQL twin: CAST(round(sum(CAST(x AS DECIMAL(24,6))), r) AS DOUBLE).
+    SQL twin: CAST(round(sum(<dquant_sql(x)>), r) AS DOUBLE) — oracles
+    over raw shallow-decimal columns may keep the plain
+    CAST(x AS DECIMAL(24,6)) per-term form (provably tie-free, equal
+    to the quantizer); oracles over COMPUTED expressions (products,
+    ratios) must use dquant_sql (class 16).
     """
-    return F.round(F.sum(col.cast("decimal(24,6)")), round_to).cast("double")
+    return F.round(F.sum(dquant(col)), round_to).cast("double")
 
 
 def pround(col: Column, round_to: int = 6) -> Column:
@@ -155,7 +200,10 @@ def pround(col: Column, round_to: int = 6) -> Column:
 
 
 def davg(col: Column, round_to: int = 6) -> Column:
-    """Order-independent average via the decimal-sum path.
-    SQL twin: round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(x), r).
+    """Order-independent average via the decimal-sum path (per-term
+    quantization through :func:`dquant` — see dsum for why).
+    SQL twin: round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(x), r)
+    for raw shallow-decimal columns; dquant_sql(x) per-term for
+    computed expressions.
     """
-    return F.round(F.sum(col.cast("decimal(24,6)")).cast("double") / F.count(col), round_to)
+    return F.round(F.sum(dquant(col)).cast("double") / F.count(col), round_to)

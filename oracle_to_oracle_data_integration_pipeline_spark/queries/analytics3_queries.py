@@ -312,7 +312,7 @@ wt AS (
 ),
 rep AS (
   SELECT r,
-         floor(CAST(sum(CAST(w * o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+         floor(CAST(sum(CAST((CASE WHEN (w * o_totalprice) < 0 THEN -floor(-(w * o_totalprice)*1e6 + 0.5) ELSE floor((w * o_totalprice)*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))) AS DOUBLE)
                / CAST(sum(w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_r
   FROM wt GROUP BY r
 ),

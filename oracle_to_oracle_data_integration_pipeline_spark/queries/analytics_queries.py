@@ -320,8 +320,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BLOOM_JOIN = f"""
 SELECT l_returnflag, count(*) AS n_rows,
-       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1.0 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1.0 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1.0 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_suppkey IN (
   SELECT s_suppkey FROM supplier
@@ -436,8 +435,7 @@ WHERE e.user_id < {SCALE_USERS}
 ANSI_REVENUE_RANK = """
 WITH rev AS (
   SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
-         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                             AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+         CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1.0 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1.0 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1.0 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey

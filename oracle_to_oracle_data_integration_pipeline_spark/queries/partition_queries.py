@@ -189,7 +189,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SALTED_JOIN = """
 SELECT o_orderstatus, count(*) AS n_lines,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

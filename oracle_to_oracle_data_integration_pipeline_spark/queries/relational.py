@@ -51,8 +51,8 @@ SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount) * (1 + l_tax)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount) * (1 + l_tax))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount) * (1 + l_tax))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
@@ -88,7 +88,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q3 = """
 SELECT o_orderkey,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -138,7 +138,7 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q5 = """
 SELECT n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey

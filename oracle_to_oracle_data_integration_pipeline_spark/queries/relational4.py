@@ -35,7 +35,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q10 = """
 SELECT c_custkey, c_name, n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -99,9 +99,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q14 = """
 SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                                   THEN CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))
                                    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 6) AS promo_share_pct
+             / CAST(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))) AS DOUBLE), 6) AS promo_share_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
 """
@@ -128,7 +128,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q19 = """
 SELECT count(*) AS n_lines,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 5)
    OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10)

@@ -40,7 +40,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q6 = """
-SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+SELECT CAST(round(sum(CAST((CASE WHEN (l_extendedprice * l_discount) < 0 THEN -floor(-(l_extendedprice * l_discount)*1e6 + 0.5) ELSE floor((l_extendedprice * l_discount)*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24

@@ -65,7 +65,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -125,10 +125,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q8 = """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+       round(CAST(sum(CAST((CASE WHEN (CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) < 0 THEN -floor(-(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)*1e6 + 0.5) ELSE floor((CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))) AS DOUBLE),
              6) AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -175,8 +173,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q9 = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity
-                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_profit
+       CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -258,7 +255,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q15 = """
 WITH revenue AS (
     SELECT l_suppkey,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_revenue
+           CAST(round(sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
@@ -532,7 +529,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q11 = """
 WITH grouped AS (
     SELECT n_name, l_partkey,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS value_d
+           sum(CAST((CASE WHEN (l_extendedprice * (1 - l_discount)) < 0 THEN -floor(-(l_extendedprice * (1 - l_discount))*1e6 + 0.5) ELSE floor((l_extendedprice * (1 - l_discount))*1e6 + 0.5) END)/1e6 AS DECIMAL(24,6))) AS value_d
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
