@@ -35,27 +35,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sqdist(v, c):
-    """Squared L2 distance between two double arrays, summed
-    left-to-right (bit-matches DuckDB list_sum of list_transform)."""
-    diff2 = F.zip_with(v, c, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+def _sqdist_sql(cv: list[float]) -> str:
+    """Squared L2 distance of ``__v`` against a literal centroid,
+    summed left-to-right (bit-matches DuckDB list_sum of
+    list_transform). Emitted as SQL text: ``repr(float)`` round-trips
+    the exact double and the whole centroid array parses as ONE
+    Catalyst call instead of dim py4j ``F.lit`` round-trips (round 10:
+    building the 8×64-literal argmin via Column operators cost ~0.55 s
+    of py4j per _assign call — over 1 s per fit — before any job ran).
+    """
+    arr = ", ".join(f"{float(x)!r}D" for x in cv)
+    return (
+        f"aggregate(zip_with(__v, array({arr}), (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str) -> DataFrame:
     """Map-only argmin assignment against literal centroids.
     Output: id, cluster_id, dist, __v (the double vector, carried for
     the update step)."""
-    dists = F.array(
-        *[
-            F.struct(
-                _sqdist(F.col("__v"), F.array(*[F.lit(float(x)) for x in cv])).alias("dist"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
+    terms = ", ".join(
+        f"named_struct('dist', {_sqdist_sql(cv)}, 'cid', {int(cid)})"
+        for cid, cv in centroids
     )
-    best = F.array_min(dists)
+    best = F.expr(f"array_min(array({terms}))")
     return vecs.select(
         id_col,
         "__v",

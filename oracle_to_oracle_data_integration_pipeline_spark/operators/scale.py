@@ -30,6 +30,7 @@ def salted_join(
     salt_buckets: int = 8,
     how: str = "inner",
     salt_cols: list[str] | None = None,
+    strategy: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Skew-proof equi-join: the skewed side gets a random-ish salt
     derived from a stable row hash (deterministic, unlike rand() —
@@ -38,9 +39,17 @@ def salted_join(
 
     Shuffle keys become (key, salt): the hot key's rows spread over
     ``salt_buckets`` reducers. The small side grows by the factor —
-    use only when `small` is genuinely small (it usually also
-    broadcasts, making the salt moot; this operator is for the
-    mid-size case where broadcast is too big but skew still bites).
+    use only when `small` is genuinely small. This operator is for the
+    mid-size case where broadcast is too big but skew still bites, so
+    ``strategy`` defaults to a SHUFFLE_HASH hint on the exploded side:
+    left to its own estimates the planner broadcasts it, which both
+    defeats the point (a broadcast join never shuffles the skewed side
+    — the salt is pure ×salt_buckets overhead) and serializes the
+    whole ×salt_buckets build through the driver. Measured at sf0.1
+    (round 10): broadcast ~3× slower than the salted shuffled-hash
+    join. Pass ``strategy="merge"`` for the spill-safe sort-merge
+    variant or ``None`` to let the planner choose. Join strategy never
+    changes the result (config-parity sweeps pin this).
 
     ``salt_cols`` names the columns hashed for the salt. Default is ALL
     of ``skewed``'s columns — always deterministic, but it blocks scan
@@ -59,6 +68,8 @@ def salted_join(
     right = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    if strategy:
+        right = right.hint(strategy)
     out = left.join(right, [key, "__salt__"], how)
     return out.drop("__salt__")
 
@@ -244,6 +255,38 @@ def bloom_semi_join(
     )
 
 
+def _fold_bitmap(bitmap: list[int], m: int, min_bits: int = 4096,
+                 density_factor: int = 32) -> tuple[list[int], int]:
+    """Shrink a power-of-two Bloom bitmap to the smallest power of two
+    that keeps the set-bit DENSITY under 1/``density_factor`` — sizing
+    the probe-side literal to the keys actually present instead of the
+    build-time worst case.
+
+    Correct because the probe position is ``h mod m`` and every
+    candidate size divides the build size: ``h mod m' =
+    (h mod m) mod m'``, so OR-ing the 2^j aliased word blocks together
+    preserves every set bit (no false negatives) while the density
+    bound keeps fpr ≤ (1/density_factor)^k ≈ 3e-5 at k=3. Motivation
+    (round 10): a fixed 2^16-bit bitmap is a 1024-element array literal
+    — CreateArray with 1024 children costs ~0.9 s of py4j construction
+    plus analyzer/optimizer walks per run (measured: bloom_join spent
+    ~3 s/run of driver time outside any job); the folded 64-word
+    literal removes that without touching the answer (the exact
+    semi-join stays).
+    """
+    s = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in bitmap)
+    target = min_bits
+    while target < density_factor * s and target < m:
+        target *= 2
+    if target >= m or m % target != 0:
+        return bitmap, m
+    tw = target // 64
+    folded = [0] * tw
+    for i, w in enumerate(bitmap):
+        folded[i % tw] |= w
+    return folded, target
+
+
 def bloom_prefilter(
     big: DataFrame,
     keys: DataFrame,
@@ -258,6 +301,13 @@ def bloom_prefilter(
     (fpr ≈ (1 − e^(−k·n/m))^k). Exposed separately so callers can
     audit the filter (see the ``bloom_fpr_audit`` qid) or place the
     exact verification elsewhere in the plan.
+
+    ``m_bits`` is the BUILD modulus; after the one-pass distributed
+    build the collected bitmap is folded down (:func:`_fold_bitmap`) to
+    the smallest power of two whose set-bit density stays under 1/32,
+    so sparse key sets ship a few dozen literal words instead of 1024
+    while dense ones keep the full size. Folding never drops a set
+    bit, so there are still no false negatives.
     """
     m = int(m_bits)
     words = (m + 63) // 64  # ceil: positions span [0, m), even when m % 64 != 0
@@ -289,7 +339,7 @@ def bloom_prefilter(
             "every true match would fail the bitmap — cast one side first"
         )
 
-    def positions(col: Column) -> list[Column]:
+    def positions(col: Column, modulus: int) -> list[Column]:
         # xxhash64 is type-width sensitive (hash(5 as int) != hash(5 as
         # long)), so both sides MUST hash one canonical type or every
         # true match silently fails the bitmap test. The canonical form
@@ -300,13 +350,13 @@ def bloom_prefilter(
         # every key type losslessly ("5" == "5" whether int or long).
         c = col.cast("string")
         return [
-            F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m))
+            F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(modulus))
             for seed in range(k_hashes)
         ]
 
     key_col = F.col(keys_key)
     pos = keys.select(
-        F.explode(F.array(*positions(key_col))).alias("pos")
+        F.explode(F.array(*positions(key_col, m))).alias("pos")
     )
     word_rows = (
         pos.withColumn("w", (F.col("pos") / 64).cast("int"))
@@ -318,11 +368,12 @@ def bloom_prefilter(
     bitmap = [0] * words
     for r in word_rows:
         bitmap[r["w"]] = r["word"]
+    bitmap, m = _fold_bitmap(bitmap, m)
     lit_bitmap = F.array(*[F.lit(w).cast("long") for w in bitmap])
 
     probed = big.withColumn("_bloom_words", lit_bitmap)
     checks = []
-    for seed, h in enumerate(positions(F.col(big_key))):
+    for seed, h in enumerate(positions(F.col(big_key), m)):
         hname = f"_bloom_h{seed}"
         probed = probed.withColumn(hname, h)
         checks.append(
