@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.operators.text import shingles_col, tokens_col
+from oracle_to_oracle_data_integration_pipeline_spark.operators.text import (
+    shingle_sets_arrow,
+    shingles_col,
+    tokens_col,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,7 +63,9 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def _exploded_shingles(df: DataFrame, text: str, id_col: str, n: int) -> DataFrame:
-    return _spread(df, id_col).select(id_col, F.explode(shingles_col(text, n)).alias("sh"))
+    return shingle_sets_arrow(_spread(df, id_col), text, id_col, n).select(
+        id_col, F.explode("sh_set").alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -103,7 +109,7 @@ def ngram_jaccard_pairs(
         sets = (
             shingle_sets
             if shingle_sets is not None
-            else _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set"))
+            else shingle_sets_arrow(_spread(df, id_col), text, id_col, n)
         )
         s1 = sets.select(F.col(id_col).alias("d1"), F.col("sh_set").alias("set1"))
         s2 = sets.select(F.col(id_col).alias("d2"), F.col("sh_set").alias("set2"))
@@ -250,7 +256,16 @@ def minhash_dedup_pairs(
     # Shingle sets are the expensive expression work (interpreted
     # higher-order functions) and feed THREE plan branches (signature
     # explode + both verification self-join aliases); cache and share.
-    sets = _spread(df, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
+    sets = shingle_sets_arrow(_spread(df, id_col), text, id_col, n).cache()
+    # Materialize the cache with ONE action before the multi-branch
+    # plan runs: AQE executes the dependent shuffle stages as parallel
+    # jobs, and with a cold cache 4 jobs × 32 tasks race on the same
+    # block locks — waiter tasks occupy task slots while the computing
+    # tasks queue behind them (round 10: a lock convoy that turned the
+    # ~0.6s shingle pass into 4 concurrent ~6s jobs, 12s wall). A
+    # single 32-task count() computes every partition uncontended; the
+    # branch jobs then read cache.
+    sets.count()
     try:
         exploded = sets.select(id_col, F.explode("sh_set").alias("sh"))
         sig = _signatures_from_exploded(exploded, id_col, num_perm)
@@ -259,7 +274,9 @@ def minhash_dedup_pairs(
             df, threshold, text, id_col, n, candidates=cand, shingle_sets=sets
         )
         if pin == "driver":
-            return df.sparkSession.createDataFrame(pairs.collect(), pairs.schema)
+            from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result
+
+            return local_result(df.sparkSession, pairs.collect(), pairs.schema)
         return pairs.localCheckpoint(eager=True)
     finally:
         # blocking: async unpersist lets dead blocks pile up across
@@ -297,8 +314,12 @@ def minhash_probe_pairs(
 
     Output: new_id, seen_id, jaccard (rounded 6, ≥ threshold).
     """
-    sets_new = _spread(new, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
-    sets_seen = _spread(seen, id_col).select(F.col(id_col), shingles_col(text, n).alias("sh_set")).cache()
+    sets_new = shingle_sets_arrow(_spread(new, id_col), text, id_col, n).cache()
+    sets_seen = shingle_sets_arrow(_spread(seen, id_col), text, id_col, n).cache()
+    # materialize before the multi-branch plan: same lock-convoy
+    # avoidance as minhash_dedup_pairs above
+    sets_new.count()
+    sets_seen.count()
     try:
         sig_new = _signatures_from_exploded(
             sets_new.select(id_col, F.explode("sh_set").alias("sh")), id_col, num_perm
@@ -337,7 +358,9 @@ def minhash_probe_pairs(
         # materialize BEFORE the caches release (lazy results would
         # silently recompute the shingle branches after unpersist)
         if pin == "driver":
-            return new.sparkSession.createDataFrame(pairs.collect(), pairs.schema)
+            from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result
+
+            return local_result(new.sparkSession, pairs.collect(), pairs.schema)
         return pairs.localCheckpoint(eager=True)
     finally:
         sets_new.unpersist(blocking=True)

@@ -277,7 +277,9 @@ def schema_diff(spark, source: DataFrame, target: DataFrame) -> DataFrame:
             T.StructField("status", T.StringType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result
+
+    return local_result(spark, rows, schema)
 
 
 def offset_gap_audit(

@@ -11,6 +11,7 @@ aggregation asks for one.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
 
 # Small English stopword set for ratio features / lang scoring. Chosen
@@ -46,6 +47,61 @@ def shingles_col(text: str = "text", n: int = 3, distinct: bool = True) -> Colum
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
     )
     return F.array_distinct(gram) if distinct else gram
+
+
+def shingle_sets_arrow(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh_set) via an Arrow ``mapInPandas`` kernel — value-identical
+    to ``select(id, shingles_col(text, n))`` (pinned by
+    tests/test_llm_operators.py) but with deterministic per-row cost.
+
+    Why not the pure-expression form here: ``shingles_col`` is a nest of
+    higher-order functions (sequence/transform/element_at/concat_ws),
+    which execute on the INTERPRETED expression path inside a codegen'd
+    projection. Round 10 measured that path degrading 10–20× at random
+    across repeated executions in one session (a 0.6 s shingle pass
+    spiking to 11–28 s with zero GC delta — JIT deopt of the megamorphic
+    Expression.eval call sites), which poisons every minhash-family
+    bench sample. Plain Python string slicing over Arrow batches is
+    both faster and immune.
+
+    Exact-equivalence notes (each matched to the expression semantics):
+    - tokens: ``str.split(" ")`` == Java ``split(" ", -1)`` — both keep
+      leading/consecutive/trailing empty tokens;
+    - join: ``" ".join`` == ``concat_ws(" ", ...)`` over non-NULL
+      elements;
+    - short/NULL docs (fewer than ``n`` tokens, or NULL text) yield the
+      EMPTY set, mirroring the size()>=n guard (size(NULL) is -1);
+    - dedup: ``dict.fromkeys`` preserves first-occurrence order, same
+      as ``array_distinct``.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, sh_set array<string>"
+
+    def gen(batches):
+        for pdf in batches:
+            sets = []
+            for t in pdf[text]:
+                if t is None or not isinstance(t, str):
+                    sets.append([])
+                    continue
+                toks = t.split(" ")
+                if len(toks) >= n:
+                    sets.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + n])
+                                for i in range(len(toks) - n + 1)
+                            )
+                        )
+                    )
+                else:
+                    sets.append([])
+            yield pd.DataFrame({id_col: pdf[id_col], "sh_set": sets})
+
+    return df.select(id_col, text).mapInPandas(gen, out_schema)
 
 
 # GPT-2-style pre-tokenizer pattern, simplified to the subset both
@@ -359,8 +415,10 @@ def bpe_train(df: DataFrame, text: str = "text", n_merges: int = 5) -> DataFrame
         ).localCheckpoint(eager=True)
         old.unpersist(blocking=True)
     vocab.unpersist(blocking=True)
-    return df.sparkSession.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result
+
+    return local_result(
+        df.sparkSession, merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
 
 

@@ -90,6 +90,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def local_result(spark: SparkSession, rows, schema) -> DataFrame:
+    """Rebuild a driver-collected result as a DataFrame with slice
+    count sized to the DATA instead of ``defaultParallelism``: a bare
+    ``createDataFrame(rows)`` parallelizes a 50-row result into 32
+    pickled partitions, so every downstream action pays 32 task
+    launches (measured ~0.5 s vs ~0.2 s per noop write, round 10).
+    Driver-local rebuilds are bounded by contract (streaming sinks,
+    pin="driver" pair lists, DDL readbacks), so one slice per 20k rows
+    keeps even the largest of them a handful of tasks."""
+    n = max(1, -(-len(rows) // 20000))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
 def epoch_seconds(col: Column) -> Column:
     """Epoch seconds from a timestamp column of either flavor —
     ``cast("long")`` is illegal on TIMESTAMP_NTZ; unix_timestamp

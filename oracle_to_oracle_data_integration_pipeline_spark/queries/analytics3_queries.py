@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
     dsum,
     load,
+    local_result,
     md5_frac52,
     pround,
 )
@@ -688,8 +689,8 @@ def q_referential_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem", li.count(), sli.count(), complete),
         ("customer", cu.count(), scu.count(), complete),
     ]
-    out = spark.createDataFrame(
-        rows, "table_name string, n_total bigint, n_sampled bigint, fk_complete int"
+    out = local_result(
+        spark, rows, "table_name string, n_total bigint, n_sampled bigint, fk_complete int"
     )
     return out.withColumn(
         "pct",

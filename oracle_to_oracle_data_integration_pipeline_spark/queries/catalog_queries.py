@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 
 from oracle_to_oracle_data_integration_pipeline_spark.catalog import Catalog
 from oracle_to_oracle_data_integration_pipeline_spark.plans.topo import topo_sort_tables
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, tune
 
 
 # -- qid: scan_full (S1: projection+filter pushdown) ------------------
@@ -77,7 +77,7 @@ def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("exists", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_result(spark, rows, schema)
 
 
 SQL_CATALOG_TABLES = """
@@ -112,8 +112,8 @@ def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             # treats them as instants, so the catalog reports the
             # logical type — matching DuckDB's TIMESTAMP
             rows.append((t, c, i, "timestamp" if dt == "timestamp_ntz" else dt))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal int, data_type string"
+    return local_result(
+        spark, rows, "table_name string, column_name string, ordinal int, data_type string"
     )
 
 
@@ -154,7 +154,7 @@ def q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("load_pos", T.IntegerType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_result(spark, rows, schema)
 
 
 SQL_TOPO_ORDER = """
@@ -194,7 +194,7 @@ def q_schema_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("col_type", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_result(spark, rows, schema)
 
 
 SQL_SCHEMA_CLONE = """

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, tune
 
 
 def _rt_dir(prefix: str) -> str:
@@ -119,7 +119,7 @@ def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT n_nationkey, n_name, n_regionkey, load_tag FROM ddl_rt_nation"
         )
         rows = readback.collect()
-        return spark.createDataFrame(rows, schema=readback.schema)
+        return local_result(spark, rows, readback.schema)
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_rt_nation")
         shutil.rmtree(loc, ignore_errors=True)
@@ -226,7 +226,7 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes int, length_matches int",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(media_dir, ignore_errors=True)
 
@@ -398,7 +398,7 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(d)
         )
         rows = df.collect()  # materialize: corrupt-col-only refs are illegal on raw CSV relations
-        out = spark.createDataFrame(rows, schema).select(
+        out = local_result(spark, rows, schema).select(
             F.when(F.col("_corrupt").isNull(), F.lit("clean"))
             .otherwise(F.lit("quarantined"))
             .alias("lane"),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.watermark import WatermarkStore
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, tune
 from oracle_to_oracle_data_integration_pipeline_spark.queries.cdc_queries import CDC_SRC_SQL, WM, cdc_orders
 from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import change_ts_col, delta_predicate
 
@@ -57,7 +57,7 @@ def q_watermark_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.upsert("orders", datetime.datetime(2001, 3, 3))  # upsert overwrites
     assert store.get("missing") is None  # NULL watermark → full load
     rows = [(k, v) for k, v in sorted(store.all().items())]
-    return spark.createDataFrame(rows, "table_name string, last_ts timestamp")
+    return local_result(spark, rows, "table_name string, last_ts timestamp")
 
 
 SQL_WATERMARK_STORE = """
@@ -162,7 +162,7 @@ def q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError("cdc_feed stream did not drain in 120s")
             _time.sleep(0.2)
         sunk = spark.table(name)
-        return spark.createDataFrame(sunk.collect(), sunk.schema)
+        return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         try:
             q.stop()
@@ -206,7 +206,8 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.mode("overwrite").format("noop").save()  # the ONE pass
     m = obs.get
-    return spark.createDataFrame(
+    return local_result(
+        spark,
         [(m["n_rows"], m["n_deleted"], m["sum_price"])],
         "n_rows bigint, n_deleted bigint, sum_price double",
     )
@@ -286,7 +287,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_versions", F.lit(n_versions))
         )
         rows = audit.collect()
-        return spark.createDataFrame(rows, schema=audit.schema)
+        return local_result(spark, rows, audit.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -358,7 +359,7 @@ def q_pysink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.write.format("audit_sink").option("path", out).mode("append").save()
         back = read_audit(spark, out, "op string, id long, val string, ts timestamp")
         rows = back.collect()
-        return spark.createDataFrame(rows, schema=back.schema)
+        return local_result(spark, rows, back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -442,7 +443,7 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = joined.collect()
-        return spark.createDataFrame(rows, joined.schema)
+        return local_result(spark, rows, joined.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -571,7 +572,8 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             log.append((name, int(ok), int(sum(counts.values()))))
         final_rows = store.read("orders").count()
         latest = store.latest_version("orders")
-        return spark.createDataFrame(
+        return local_result(
+            spark,
             [(b, p, v, final_rows, latest) for b, p, v in log],
             "batch string, published int, n_violations bigint, "
             "final_rows bigint, latest_version int",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result
 from oracle_to_oracle_data_integration_pipeline_spark.queries.llm_queries import _STOPWORDS_SQL
 
 
@@ -470,7 +470,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss = logreg_log_loss(feats, w)
     rows = [(name, float(wj)) for name, wj in zip(FEATURES, w)]
     rows.append(("log_loss", loss))
-    return spark.createDataFrame(rows, "feature string, value double")
+    return local_result(spark, rows, "feature string, value double")
 
 
 def _qc_oracle_sql(n_iter: int = _QC_ITERS, lr: float = _QC_LR) -> str:

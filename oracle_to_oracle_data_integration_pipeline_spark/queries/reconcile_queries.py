@@ -23,7 +23,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.operators.reconcile import
     schema_diff,
     table_checksum_diff,
 )
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result
 from oracle_to_oracle_data_integration_pipeline_spark.queries.cdc_queries import CDC_SRC_SQL, cdc_orders
 
 
@@ -651,7 +651,8 @@ def q_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(residual == 0),
             ),
         ]
-        return spark.createDataFrame(
+        return local_result(
+            spark,
             rows,
             "table_name string, n_before bigint, n_erased bigint, "
             "n_after bigint, clean int",

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import normalize_events_ts, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result, normalize_events_ts, tune
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -30,6 +30,38 @@ from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
 )
 
 _SUM_SQL = "CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)"
+
+# State-store partition count for the streaming harnesses. A streaming
+# aggregate inherits spark.sql.shuffle.partitions at checkpoint
+# creation, and every micro-batch then opens+commits one state store
+# PER PARTITION: at the session default (local core count, 32) the
+# fixture's ≤100-key window state paid 32 store init/commit cycles per
+# micro-batch for a handful of keys each (round 10 profile: the
+# micro-batch job dominated stream_* qids). Partition count never
+# changes results (docs/PARTITION_PARITY.json sweeps 1/7/32); size it
+# to STATE VOLUME, not cores — env-tunable for a deployment whose
+# per-key state is large enough to want more.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+class _stream_state_conf:
+    """Context manager: pin spark.sql.shuffle.partitions while a
+    streaming query is CREATED (the checkpoint snapshots it), restore
+    the session value on exit. The harnesses run one query at a time
+    in their session, so the temporary session-wide flip cannot leak
+    into a concurrent plan."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self) -> None:
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
 
 
 def _write_ordered_stream_files(parts: list[DataFrame], stream_dir: str) -> None:
@@ -90,17 +122,18 @@ def _drain_events_stream(
         def src() -> DataFrame:
             return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
-        q = (
-            build(src)
-            .writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_conf(spark):
+            q = (
+                build(src)
+                .writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sunk = spark.table(name)
-        return spark.createDataFrame(sunk.collect(), sunk.schema)
+        return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
         try:
@@ -333,17 +366,18 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        q = (
-            tumbling_agg(stream, "1 hour", by="event_type")
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_conf(spark):
+            q = (
+                tumbling_agg(stream, "1 hour", by="event_type")
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sunk = spark.table(name)
-        return spark.createDataFrame(sunk.collect(), sunk.schema)
+        return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
         try:
@@ -383,17 +417,18 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        q = (
-            running_totals_exact(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_conf(spark):
+            q = (
+                running_totals_exact(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sunk = spark.table(name)
-        emissions = spark.createDataFrame(sunk.collect(), sunk.schema)
+        emissions = local_result(spark, sunk.collect(), sunk.schema)
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         return (
             emissions.withColumn("__rn", F.row_number().over(w))
@@ -504,7 +539,7 @@ def q_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
     final = target.read("feed")
-    out = spark.createDataFrame(final.collect(), final.schema)
+    out = local_result(spark, final.collect(), final.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -629,7 +664,7 @@ def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_versions).cast("int").alias("n_versions"),
         F.lit(v5_active).cast("bigint").alias("v5_n_active"),
     )
-    out = spark.createDataFrame(final.collect(), final.schema)
+    out = local_result(spark, final.collect(), final.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -752,17 +787,18 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)  # latestFirst=false: oldest mtime first
             .parquet(stream_dir)
         )
-        q = (
-            ewma_state(stream, alpha=EWMA_ALPHA)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_conf(spark):
+            q = (
+                ewma_state(stream, alpha=EWMA_ALPHA)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sunk = spark.table(name)
-        emissions = spark.createDataFrame(sunk.collect(), sunk.schema)
+        emissions = local_result(spark, sunk.collect(), sunk.schema)
         wf = Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
         return (
             emissions.withColumn("__rn", F.row_number().over(wf))
@@ -844,16 +880,17 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         agg = tumbling_agg(stream.withWatermark("ts", WM_DELAY), "1 hour")
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_conf(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sunk = spark.table(name)
-        return spark.createDataFrame(sunk.collect(), sunk.schema)
+        return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
         try:
