@@ -468,6 +468,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 30,
     shortcut: bool = True,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph by min-label
     propagation: the canonical last step of a dedup pipeline (pair
@@ -508,12 +509,18 @@ def connected_components(
     Returns one row per node: (``id_col``, comp) where comp is the min
     node id in the component. Singletons label themselves.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # ``edges_unique=True`` (caller-asserted: the pair list is already
+    # one row per unordered pair, e.g. any ngram/minhash pair output,
+    # which aggregates by (d1, d2) with d1 < d2): the symmetrized union
+    # cannot contain duplicates — (a,b) with a<b and its swap (b,a)
+    # never collide — so the distinct's shuffle is pure overhead
+    # (round 10: one exchange + one eager-checkpoint job per call).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not edges_unique:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     if nodes is None:
         labels = e.select(F.col("a").alias("id")).distinct()
     else:

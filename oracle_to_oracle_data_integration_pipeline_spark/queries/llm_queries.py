@@ -175,7 +175,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate component (singletons label themselves)."""
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
-    return connected_components(pairs, "d1", "d2", nodes=docs, id_col="doc_id")
+    # minhash pairs are one row per (d1 < d2) by construction (the
+    # verification join aggregates per pair), so the symmetrized edge
+    # list is duplicate-free without a distinct
+    return connected_components(
+        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True
+    )
 
 
 # Shared recursive-CTE chain: shingles -> threshold pairs -> symmetric
@@ -216,7 +221,9 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over group members."""
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
-    comps = connected_components(pairs, "d1", "d2", nodes=docs, id_col="doc_id")
+    comps = connected_components(
+        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True
+    )
     sized = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")
     ranked = sized.withColumn("_rn", F.row_number().over(w))
