@@ -151,13 +151,27 @@ def neardup_pairs_lsh(
     corpus fraction; at loose thresholds widen B / shrink P. The
     brute-force twin above is the test-side verifier.
     """
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cache_registry import (
+        persist_tracked,
+    )
+
     planes = _hyperplanes(dim, n_bands * band_planes)
     bands = [planes[i * band_planes : (i + 1) * band_planes] for i in range(n_bands)]
-    sig = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm_col(F.col(vec_col)).alias("nrm"),
-        *[lsh_bucket_col(F.col(vec_col), b).alias(f"b{i}") for i, b in enumerate(bands)],
+    # sig (id, vector, norm, band buckets) feeds THREE consumers — the
+    # banded self-join and both exact-verify sides — and the bucket
+    # projection is n_bands×band_planes HOF dot products per row, so an
+    # uncached sig recomputes the most expensive projection in the
+    # operator once per consumer (round 10: embed_neardup spent 3× the
+    # signature cost). Registry-tracked stage persist, recomputed from
+    # input every call.
+    sig = persist_tracked(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm_col(F.col(vec_col)).alias("nrm"),
+            *[lsh_bucket_col(vec_col, b).alias(f"b{i}") for i, b in enumerate(bands)],
+        ),
+        "similarity_lsh",
     )
     keyed = sig.select(
         "id",
@@ -207,8 +221,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from fixed hyperplanes (pure expressions)."""
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of ``dot_col(vec, literal plane)`` — ``repr(float)``
+    round-trips each double exactly and the whole plane parses as ONE
+    Catalyst call instead of dim py4j ``F.lit`` round-trips (the kmeans
+    ``_sqdist_sql`` rationale, round 10: 32 planes × 64 literals cost
+    ~2 s of driver-side Column construction per signature projection)."""
+    arr = ", ".join(f"{float(x)!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def lsh_bucket_col(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed hyperplanes (pure expressions).
+    ``vec`` may be a column NAME (preferred — enables the one-shot
+    parsed form) or an arbitrary Column (py4j literal fallback)."""
+    if isinstance(vec, str):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        return F.expr(f"CAST({bits} AS INT)")
     bucket = None
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -240,13 +276,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_col(F.col(vec_col)).alias("cn"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm_col(F.col(vec_col)).alias("qn"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("qbucket"),
+        lsh_bucket_col(vec_col, planes).alias("qbucket"),
     )
     probe = F.bit_count(
         F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
