@@ -177,7 +177,12 @@ def bfs_levels(
     # extra columns (e.g. a weight named 'dist' or 'node') must not
     # collide with the frontier table's
     e = edges.select(F.col(src).alias("_bfs_src"), F.col(dst).alias("_bfs_dst"))
-    dist = spark.createDataFrame([(source, 0)], "node string, dist int")
+    # 1 slice, not defaultParallelism: the seed is one row, and every
+    # round joins against it — 32 near-empty partitions add 32 task
+    # launches per round for nothing
+    dist = spark.createDataFrame(
+        spark.sparkContext.parallelize([(source, 0)], 1), "node string, dist int"
+    )
     for _ in range(max_iters):
         expanded = (
             e.join(dist, e["_bfs_src"] == dist["node"])
