@@ -22,7 +22,12 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import local_result, normalize_events_ts, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
+    _parquet_schema,
+    local_result,
+    normalize_events_ts,
+    tune,
+)
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -117,7 +122,8 @@ def _drain_events_stream(
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-        schema = spark.read.parquet(path).schema  # ts dtype varies by fixture vintage
+        # ts dtype varies by fixture vintage; memoized footer read
+        schema = _parquet_schema(spark, path)
 
         def src() -> DataFrame:
             return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
@@ -358,7 +364,8 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_incr_")
     name = f"events_incr_{uuid.uuid4().hex[:8]}"
     try:
-        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _p = os.path.join(sf_dir, "events.parquet")
+        src_df = spark.read.schema(_parquet_schema(spark, _p)).parquet(_p)
         src_df.repartition(8).write.mode("overwrite").parquet(stream_dir)
         schema = src_df.schema
         stream = normalize_events_ts(
@@ -410,7 +417,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
     name = f"events_stateful_{uuid.uuid4().hex[:8]}"
     try:
-        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _p = os.path.join(sf_dir, "events.parquet")
+        src_df = spark.read.schema(_parquet_schema(spark, _p)).parquet(_p)
         src_df.repartition(8).write.mode("overwrite").parquet(stream_dir)
         stream = normalize_events_ts(
             spark.readStream.schema(src_df.schema)
@@ -758,7 +766,8 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_ewma_")
     name = f"events_ewma_{uuid.uuid4().hex[:8]}"
     try:
-        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _p = os.path.join(sf_dir, "events.parquet")
+        src_df = spark.read.schema(_parquet_schema(spark, _p)).parquet(_p)
         # 8 contiguous event-time ranges; file i+1 strictly later than
         # i, with explicit ascending mtimes + lexicographic names so
         # the file source's replay order cannot tie-break randomly.
@@ -860,7 +869,8 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_wm_late_")
     name = f"events_wm_late_{uuid.uuid4().hex[:8]}"
     try:
-        src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _p = os.path.join(sf_dir, "events.parquet")
+        src_df = spark.read.schema(_parquet_schema(spark, _p)).parquet(_p)
         src_n = normalize_events_ts(src_df)
         late_cond = _wm_late_cond()
         early = F.col("ts") < F.lit(WM_SPLIT_TS).cast("timestamp")
@@ -871,7 +881,9 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seal, or they merge instead of dropping
         _write_ordered_stream_files([file1, file2, file3], stream_dir)
         stream = normalize_events_ts(
-            spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+            # the written files carry src_n's exact schema (ts already
+            # normalized to timestamp before the write) — no footer read
+            spark.readStream.schema(src_n.schema)
             .option("maxFilesPerTrigger", 1)  # oldest mtime first
             .parquet(stream_dir)
         )
