@@ -467,8 +467,9 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 30,
-    shortcut: bool = True,
+    shortcut: bool | str = True,
     edges_unique: bool = False,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph by min-label
     propagation: the canonical last step of a dedup pipeline (pair
@@ -503,8 +504,12 @@ def connected_components(
       component minima as convergence nears, which AQE's skew split
       handles; disable it (``shortcut=False``) only for tiny
       near-clique graphs where the extra join outweighs the saved
-      rounds. ``max_iter`` still guards the cliff — RuntimeError beats
-      a silently-partial labeling.
+      rounds, or pass ``shortcut="auto"`` (delayed pointer jumping:
+      plain min-propagation rounds first, the jump joins in only if
+      convergence hasn't arrived within 3 rounds — the shallow-graph
+      saving with the deep-graph bound kept). ``max_iter`` still
+      guards the cliff — RuntimeError beats a silently-partial
+      labeling.
 
     Returns one row per node: (``id_col``, comp) where comp is the min
     node id in the component. Singletons label themselves.
@@ -520,12 +525,20 @@ def connected_components(
     )
     if not edges_unique:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    # ``edges_materialized=True`` (caller-asserted: the pair list is
+    # already an eager checkpoint or a driver-local rebuild, e.g. any
+    # minhash_dedup_pairs output): the symmetrizing union over it is a
+    # pair of cheap scans with O(1) lineage, so the unconditional
+    # re-checkpoint here was one redundant full materialization job
+    # per call (round 11 profile). Arbitrary lazy edge plans still
+    # checkpoint — the union re-runs them every round otherwise.
+    if not (edges_materialized and edges_unique):
+        e = e.localCheckpoint(eager=True)
     if nodes is None:
         labels = e.select(F.col("a").alias("id")).distinct()
     else:
         labels = nodes.select(F.col(id_col).alias("id")).distinct()
-    labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    labels = labels.select("id", F.col("id").alias("comp"))
     # Convergence probe: labels only ever DECREASE, so the label sum is
     # strictly monotone until fixpoint — an equal sum two rounds in a
     # row proves no label moved. One aggregate on the new labels per
@@ -547,16 +560,41 @@ def connected_components(
     # theory; labels move monotonically per id, so a changed label
     # changes that id's term, and a sum collision over 64-bit hashes is
     # negligible — max_iter still backstops.)
-    label_sum = lambda df: df.agg(probe_col.alias("s")).collect()[0]["s"]  # noqa: E731
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    #
+    # The probe rides the SAME action that materializes each round's
+    # checkpoint (an ``observe`` CollectMetrics node filled by the
+    # eager localCheckpoint) instead of a separate agg+collect job per
+    # round — the round-11 action fusion (one action per round, half
+    # the per-round fixed job cost at fixture scale; at 100 TB it
+    # removes a full extra pass over the label table per round).
+    from pyspark.sql import Observation
+
+    def ckpt_with_sum(df: DataFrame):
+        obs = Observation()
+        out = df.observe(obs, probe_col.alias("s")).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
+    # ``shortcut="auto"``: DELAYED pointer jumping — the first
+    # AUTO_PLAIN_ROUNDS rounds run without the comp(comp(v)) self-join,
+    # then it switches on. Dedup components are near-cliques that
+    # converge in 2-3 plain rounds, so the common case saves one full
+    # join+exchange per round (round 11 A/B at sf0.1: CC phase 1.3-1.5s
+    # → 0.8s, same round count); a deep adversarial graph still gets
+    # the O(log diameter) jump after paying at most the 3 plain rounds.
+    # Results are invariant either way (same fixpoint, same probe).
+    AUTO_PLAIN_ROUNDS = 3
+    labels, prev_sum = ckpt_with_sum(labels)
+    for _round in range(max_iter):
+        jump = (
+            _round >= AUTO_PLAIN_ROUNDS if shortcut == "auto" else bool(shortcut)
+        )
         prop = (
             e.alias("e")
             .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
             .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
         )
         labels = labels.union(prop).groupBy("id").agg(F.min("comp").alias("comp"))
-        if shortcut:
+        if jump:
             # pointer jumping: comp(v) <- comp(comp(v)). comp values are
             # node ids, so the self-join resolves; coalesce is a guard
             # for nodes whose label left the node set (cannot happen,
@@ -568,8 +606,7 @@ def connected_components(
                 labels.join(l2, labels["comp"] == l2["__cid"], "left")
                 .select("id", F.coalesce("__comp2", "comp").alias("comp"))
             )
-        labels = labels.localCheckpoint(eager=True)
-        cur_sum = label_sum(labels)
+        labels, cur_sum = ckpt_with_sum(labels)
         if cur_sum == prev_sum:
             return labels.select(F.col("id").alias(id_col), "comp")
         prev_sum = cur_sum
@@ -589,30 +626,70 @@ def decontaminate(
     document (the published GPT-3/Pile decontamination recipe uses
     13-grams; pass smaller n for short texts).
 
-    100 TB design: the eval side of a decontamination run is tiny
-    relative to the corpus (benchmarks, not corpora), so its distinct
-    shingle set is collected into a broadcast hash join side — the
-    training corpus streams through one scan + one semi-join with NO
-    shuffle of the corpus, then one groupBy(doc) count keyed by the
-    (already filtered, rare) contaminated rows. If the eval set ever
-    outgrows broadcast, drop the hint: the same plan becomes a
-    shuffle join keyed by shingle.
+    100 TB design (guide §8: decide with a lightweight proxy): the
+    eval side of a decontamination run is tiny relative to the corpus
+    (benchmarks, not corpora), so its distinct shingle set is
+    collected once and shipped as a Python broadcast; the training
+    corpus then streams through ONE hash exchange (the same
+    ``_spread`` the shingle kernel needs for parallelism) and the
+    membership count happens inside the Arrow kernel itself — the
+    corpus shingles are never exploded into JVM rows, never joined,
+    never re-shuffled for the per-doc aggregate (round 10 paid an
+    explode + broadcast join + a second doc_id exchange here; round
+    11 removes all three — plan 10 → 3 exchanges, and only the eval
+    slice's). The driver-side collect is the same boundedness
+    assumption the previous broadcast-join build already made.
+
+    Exact-equivalence note: the old path exploded each row's DISTINCT
+    shingles, broadcast-semi-joined them against the eval set and
+    counted matches per ``id_col`` — i.e. n_hit(doc) = Σ over the
+    doc's rows of |row_shingle_set ∩ eval_set|. The kernel computes
+    the per-row intersection size directly and sums it per id within
+    the task; ``_spread`` hash-partitions on ``id_col``, so every row
+    of an id lands in exactly one task and the per-task sums ARE the
+    per-id totals (pinned by tests/test_llm_operators.py).
 
     Returns (``id_col``, n_hit) for contaminated training docs,
     n_hit = number of distinct shingles shared with the eval set.
     """
-    ev = (
+    import pandas as pd
+
+    ev_rows = (
         _exploded_shingles(eval_set, text, id_col, n)
         .select("sh")
         .distinct()
+        .collect()
     )
-    tr = _exploded_shingles(train, text, id_col, n)
-    hits = tr.join(F.broadcast(ev), "sh")
-    return (
-        hits.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") >= min_overlap)
-    )
+    ev_set = frozenset(r["sh"] for r in ev_rows)
+    bc = train.sparkSession.sparkContext.broadcast(ev_set)
+    floor = max(int(min_overlap), 1)  # join+HAVING semantics: ≥1 always
+    out_schema = f"{id_col} {dict(train.dtypes)[id_col]}, n_hit long"
+
+    def gen(batches):
+        ev = bc.value
+        counts: dict = {}
+        for pdf in batches:
+            for i, t in zip(pdf[id_col], pdf[text]):
+                if t is None or not isinstance(t, str):
+                    continue
+                toks = t.split(" ")
+                if len(toks) < n:
+                    continue
+                hit = sum(
+                    1
+                    for sh in dict.fromkeys(
+                        " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                    )
+                    if sh in ev
+                )
+                if hit:
+                    counts[i] = counts.get(i, 0) + hit
+        kept = [(i, c) for i, c in counts.items() if c >= floor]
+        yield pd.DataFrame(
+            {id_col: [i for i, _ in kept], "n_hit": [c for _, c in kept]}
+        )
+
+    return _spread(train, id_col).select(id_col, text).mapInPandas(gen, out_schema)
 
 
 def fuzzy_dedup_pairs(

@@ -179,7 +179,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join aggregates per pair), so the symmetrized edge
     # list is duplicate-free without a distinct
     return connected_components(
-        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True
+        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True,
+        edges_materialized=True,  # pairs arrive eagerly checkpointed
+        shortcut="auto",          # near-clique graph: plain rounds win
     )
 
 
@@ -222,7 +224,8 @@ def q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
     comps = connected_components(
-        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True
+        pairs, "d1", "d2", nodes=docs, id_col="doc_id", edges_unique=True,
+        edges_materialized=True, shortcut="auto",
     )
     sized = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")

@@ -337,3 +337,73 @@ def test_connected_components_long_path_needs_shortcut(spark):
     assert comps == {0}
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=12, shortcut=False)
+
+
+def test_decontaminate_kernel_matches_explode_join_reference(spark):
+    """Round 11: decontaminate counts eval-shingle hits inside the
+    Arrow kernel (no explode, no join). Pin exact equivalence to the
+    old explode + broadcast-join + groupBy form on a hostile little
+    corpus: NULL text, short docs, duplicate ids across rows, docs
+    with repeated shingles, and a min_overlap boundary."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares 'a b c','b c d','c d e'
+            (2, "x y z"),              # shares 'x y z' only
+            (3, None),                 # NULL text -> never flagged
+            (4, "q r"),                # short doc -> never flagged
+            (5, "a b c a b c a b c"),  # repeated shingles stay DISTINCT per row
+            (5, "b c d x y z"),        # duplicate id: counts add across rows
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d"), (11, "x y z w")], "doc_id long, text string"
+    )
+    for k in (1, 2, 3):
+        got = {
+            (r["doc_id"], r["n_hit"])
+            for r in decontaminate(train, ev, n=3, min_overlap=k).collect()
+        }
+        ref_hits = _exploded_shingles(train, "text", "doc_id", 3).join(
+            F.broadcast(
+                _exploded_shingles(ev, "text", "doc_id", 3).select("sh").distinct()
+            ),
+            "sh",
+        )
+        ref = {
+            (r["doc_id"], r["n_hit"])
+            for r in ref_hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .filter(F.col("n_hit") >= k)
+            .collect()
+        }
+        assert got == ref, (k, got, ref)
+
+
+def test_connected_components_auto_shortcut_deep_and_shallow(spark):
+    """shortcut="auto" (round 11): plain rounds first, pointer jump
+    joins in after 3 rounds — the 120-node path still converges inside
+    a budget plain propagation alone cannot meet, and a near-clique
+    graph labels identically to shortcut=True."""
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(119)], ["d1", "d2"])
+    out = connected_components(path, max_iter=15, shortcut="auto")
+    assert {r["comp"] for r in out.collect()} == {0}
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(10, 11)],
+        ["d1", "d2"],
+    )
+    want = {r["doc_id"]: r["comp"] for r in connected_components(clique, shortcut=True).collect()}
+    got = {r["doc_id"]: r["comp"] for r in connected_components(clique, shortcut="auto").collect()}
+    assert got == want
