@@ -85,14 +85,26 @@ def track(group: str, *dfs: "DataFrame") -> PersistHandle:
     return PersistHandle(group, list(dfs))
 
 
-def persist_tracked(df: "DataFrame", group: str, level=None) -> "DataFrame":
+def persist_tracked(
+    df: "DataFrame", group: str, level=None, replace: bool = False
+) -> "DataFrame":
     """Persist ``df`` (MEMORY_AND_DISK unless ``level`` given) and
     register it under ``group``. The composition-qid idiom: stage
     outputs stay cached for the plan's lifetime but remain releasable
     via ``release_group(group)`` without the qid threading a handle
-    back to its caller."""
+    back to its caller.
+
+    ``replace=True`` releases whatever the group held BEFORE
+    registering the new entry — the bounded idiom for per-call stage
+    persists (ADVICE round 10: similarity_lsh / pareto_revenue
+    registered a fresh MEMORY_AND_DISK copy per invocation with no
+    production release, growing for the session's lifetime). The
+    previous call's returned plan merely loses its cache and
+    recomputes if re-materialized — correctness-neutral."""
     from pyspark.storagelevel import StorageLevel
 
+    if replace:
+        release_group(group)
     out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     track(group, out)
     return out

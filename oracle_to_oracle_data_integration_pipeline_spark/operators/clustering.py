@@ -44,11 +44,28 @@ def _sqdist_sql(cv: list[float]) -> str:
     building the 8×64-literal argmin via Column operators cost ~0.55 s
     of py4j per _assign call — over 1 s per fit — before any job ran).
     """
-    arr = ", ".join(f"{float(x)!r}D" for x in cv)
+    arr = ", ".join(_dlit(x) for x in cv)
     return (
         f"aggregate(zip_with(__v, array({arr}), (x, y) -> (x - y) * (x - y)), "
         f"0.0D, (acc, x) -> acc + x)"
     )
+
+
+def _dlit(x: float) -> str:
+    """SQL double literal. ``repr(float)`` round-trips every FINITE
+    double exactly; NaN/±inf (a centroid averaged from NaN vectors)
+    would render as ``nanD``/``infD`` and fail to PARSE — map them to
+    the explicit double casts so the expression keeps the same
+    well-defined NaN arithmetic as the old ``F.lit`` path (ADVICE
+    round 10)."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str) -> DataFrame:
@@ -96,11 +113,20 @@ def kmeans_fit_assign(
     centroids = [(i, cv) for i, (_, cv) in enumerate(centroids)]
 
     assigned = _assign(vecs, centroids, id_col)
+    n_part = spark.sparkContext.defaultParallelism
     for _ in range(n_iter - 1):
         # update: (cluster, pos) partial sums — k·dim rows after
-        # map-side combine, then rebuild arrays ordered by pos
+        # map-side combine, then rebuild arrays ordered by pos.
+        # The partial agg is hash-rebalanced first: a single-file
+        # fixture otherwise runs the posexplode + per-element
+        # decimal(38,12) casts as ONE task (round 11 profile: a 393 ms
+        # straggler inside the fit collect), while the exchange ships
+        # only |corpus| slim vector rows; at real scale the source is
+        # already thousands of partitions and this is a no-op-shaped
+        # rebalance (dedup._spread rationale).
         sums = (
-            assigned.select("cluster_id", F.posexplode("__v").alias("pos", "x"))
+            assigned.repartition(n_part, F.col(id_col))
+            .select("cluster_id", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(
                 (

@@ -30,7 +30,7 @@ def salted_join(
     salt_buckets: int = 8,
     how: str = "inner",
     salt_cols: list[str] | None = None,
-    strategy: str | None = "shuffle_hash",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: the skewed side gets a random-ish salt
     derived from a stable row hash (deterministic, unlike rand() —
@@ -39,17 +39,21 @@ def salted_join(
 
     Shuffle keys become (key, salt): the hot key's rows spread over
     ``salt_buckets`` reducers. The small side grows by the factor —
-    use only when `small` is genuinely small. This operator is for the
-    mid-size case where broadcast is too big but skew still bites, so
-    ``strategy`` defaults to a SHUFFLE_HASH hint on the exploded side:
-    left to its own estimates the planner broadcasts it, which both
-    defeats the point (a broadcast join never shuffles the skewed side
-    — the salt is pure ×salt_buckets overhead) and serializes the
-    whole ×salt_buckets build through the driver. Measured at sf0.1
-    (round 10): broadcast ~3× slower than the salted shuffled-hash
-    join. Pass ``strategy="merge"`` for the spill-safe sort-merge
-    variant or ``None`` to let the planner choose. Join strategy never
-    changes the result (config-parity sweeps pin this).
+    use only when `small` is genuinely small.
+
+    ``strategy`` defaults to ``None`` (planner choice — ADVICE round
+    10: a forced shuffled-hash default would silently remove the
+    spill path from every existing call site, and a larger 'small'
+    side that previously sort-merged could OOM a build partition).
+    For the mid-size case where broadcast is too big but skew still
+    bites, pass ``strategy="shuffle_hash"`` explicitly: left to its
+    own estimates the planner tends to broadcast the exploded side,
+    which both defeats the point (a broadcast join never shuffles the
+    skewed side — the salt is pure ×salt_buckets overhead) and
+    serializes the whole ×salt_buckets build through the driver —
+    measured ~3× slower at sf0.1 (round 10). ``strategy="merge"`` is
+    the spill-safe sort-merge variant. Join strategy never changes
+    the result (config-parity sweeps pin this).
 
     ``salt_cols`` names the columns hashed for the salt. Default is ALL
     of ``skewed``'s columns — always deterministic, but it blocks scan
@@ -266,7 +270,9 @@ def _fold_bitmap(bitmap: list[int], m: int, min_bits: int = 4096,
     candidate size divides the build size: ``h mod m' =
     (h mod m) mod m'``, so OR-ing the 2^j aliased word blocks together
     preserves every set bit (no false negatives) while the density
-    bound keeps fpr ≤ (1/density_factor)^k ≈ 3e-5 at k=3. Motivation
+    bound keeps fpr ≤ (1/density_factor)^k ≈ 3e-5 at k=3 (k=1 callers
+    get ~1/density_factor ≈ 3% — size density_factor to the k in use).
+    Motivation
     (round 10): a fixed 2^16-bit bitmap is a 1024-element array literal
     — CreateArray with 1024 children costs ~0.9 s of py4j construction
     plus analyzer/optimizer walks per run (measured: bloom_join spent

@@ -172,6 +172,7 @@ def neardup_pairs_lsh(
             *[lsh_bucket_col(vec_col, b).alias(f"b{i}") for i, b in enumerate(bands)],
         ),
         "similarity_lsh",
+        replace=True,  # one live copy per session (ADVICE round 10)
     )
     keyed = sig.select(
         "id",
@@ -227,7 +228,9 @@ def _dot_sql(vec_sql: str, plane: list[float]) -> str:
     Catalyst call instead of dim py4j ``F.lit`` round-trips (the kmeans
     ``_sqdist_sql`` rationale, round 10: 32 planes × 64 literals cost
     ~2 s of driver-side Column construction per signature projection)."""
-    arr = ", ".join(f"{float(x)!r}D" for x in plane)
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.clustering import _dlit
+
+    arr = ", ".join(_dlit(x) for x in plane)
     return (
         f"aggregate(zip_with({vec_sql}, array({arr}), "
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "

@@ -577,11 +577,15 @@ BLOOM_FPR_BOUND = 0.001
 def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """False-positive-rate audit of the Bloom pre-filter: count rows
     passing the bitmap alone vs the exact semi-join, and assert the
-    observed FPR stays under 0.1% (theory for k=3, m=2^16 and this key
-    count is ~1e-9, so the bound is comfortably guaranteed). Exact
-    counts are the hash-compared payload; the bitmap pass-count is
-    Spark-hash-specific, so it feeds only the boolean (the same
-    sketch-verification pattern as hll_distinct)."""
+    observed FPR stays under 0.1%. Post-fold theory (the probed bitmap
+    is density-folded, operators/scale._fold_bitmap): set-bit density
+    is kept below 1/32, so worst-case FPR ≤ (1/32)^k = ~3e-5 at the
+    k=3 default — still 30× inside the bound. (The pre-fold 2^16-bit
+    figure ~1e-9 no longer describes the probed bitmap; and a caller
+    probing with k_hashes=1 would sit at ~3% — the bound here relies
+    on k=3.) Exact counts are the hash-compared payload; the bitmap
+    pass-count is Spark-hash-specific, so it feeds only the boolean
+    (the same sketch-verification pattern as hll_distinct)."""
     from oracle_to_oracle_data_integration_pipeline_spark.operators.scale import (
         bloom_prefilter,
     )
@@ -967,6 +971,7 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(dsum(F.col("o_totalprice"), 2).alias("spend")),
         "pareto_revenue",
+        replace=True,  # one live copy per session (ADVICE round 10)
     )
     cuts = per_cust.select(
         F.expr(

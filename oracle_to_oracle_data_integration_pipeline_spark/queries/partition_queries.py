@@ -173,9 +173,15 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
+    # strategy opted in EXPLICITLY (the operator default is planner
+    # choice, ADVICE round 10): orders×8 is mid-size — too big to want
+    # a driver-serialized broadcast, small enough per partition for a
+    # shuffled-hash build (guide §3.1; round 10 measured broadcast ~3×
+    # slower here because it defeats the salt)
     joined = salted_join(
         li, o, key="l_orderkey", salt_buckets=8,
         salt_cols=["l_orderkey", "l_linenumber"],
+        strategy="shuffle_hash",
     )
     return (
         joined.groupBy("o_orderstatus")

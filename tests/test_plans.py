@@ -178,12 +178,26 @@ def test_salted_join_scan_pruned(spark, sf_dir):
     assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
 
 
-def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
-    """The corpus must stream through a broadcast join — no shuffle of
-    the training shingles on the join key."""
+def test_salted_join_qid_uses_shuffled_hash(spark, sf_dir):
+    """The benchmarked qid opts into SHUFFLE_HASH explicitly (operator
+    default is planner choice): a broadcast of the ×8-exploded side
+    would defeat the salt — the skewed side would never shuffle on
+    (key, salt) — and serialize the whole build through the driver."""
+    p = plan_str(spark, sf_dir, "salted_join")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_decontaminate_corpus_never_joins(spark, sf_dir):
+    """Round 11: the eval shingle set ships as a Python broadcast and
+    the count happens inside the Arrow kernel — the corpus plan must
+    contain NO join and no shuffle beyond the single _spread exchange
+    the kernel needs for parallelism (the old shape paid explode +
+    broadcast join + a second doc_id exchange)."""
     p = plan_str(spark, sf_dir, "decontaminate")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "Join" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
 
 
 def test_stratified_sample_single_shuffle(spark, sf_dir):
