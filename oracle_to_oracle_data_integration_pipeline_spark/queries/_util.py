@@ -133,16 +133,77 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def local_result(spark: SparkSession, rows, schema) -> DataFrame:
-    """Rebuild a driver-collected result as a DataFrame with slice
-    count sized to the DATA instead of ``defaultParallelism``: a bare
-    ``createDataFrame(rows)`` parallelizes a 50-row result into 32
-    pickled partitions, so every downstream action pays 32 task
-    launches (measured ~0.5 s vs ~0.2 s per noop write, round 10).
-    Driver-local rebuilds are bounded by contract (streaming sinks,
-    pin="driver" pair lists, DDL readbacks), so one slice per 20k rows
-    keeps even the largest of them a handful of tasks."""
+    """Rebuild a driver-collected result as a DataFrame.
+
+    Primary path (round 11): pandas + Arrow with the EXPLICIT schema.
+    A pickled-RDD local frame re-enters Python workers on EVERY
+    downstream action (~0.25 s per noop at 100 rows — the per-action
+    price every streaming sink / pin="driver" / DDL-readback qid paid);
+    the Arrow frame decodes JVM-side once and actions are pure JVM
+    (~0.06 s). ``dtype=object`` blocks pandas' numeric inference, so
+    64-bit longs never round-trip through float64, and the declared
+    schema drives every Arrow cast — fidelity pinned by
+    tests/test_util_local_result.py (big longs + NULLs, decimals,
+    timestamps, window structs, binary, -0.0).
+
+    Fallback (pickled RDD, slice count sized to the data — round 10):
+    any value containing a float NaN, because Arrow's from_pandas
+    folds object-column NaN into NULL (measured divergence) while the
+    pickled path preserves it; plus anything the Arrow converter
+    rejects. Driver-local rebuilds are bounded by contract, so the
+    recursive NaN scan is driver-cheap."""
+    rows = list(rows)
+    if rows and not _any_nan(rows):
+        try:
+            import pandas as pd
+
+            from pyspark.sql.types import StructType
+
+            st = schema
+            if not isinstance(st, StructType):
+                from pyspark.sql.types import _parse_datatype_string
+
+                st = _parse_datatype_string(st)
+            pdf = pd.DataFrame(rows, columns=st.names, dtype=object)
+            return spark.createDataFrame(pdf, schema=st)
+        except Exception:
+            pass  # fall through to the always-correct pickled path
     n = max(1, -(-len(rows) // 20000))
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
+def _any_nan(obj) -> bool:
+    """Recursive float-NaN scan over collected rows (tuples/Rows,
+    arrays, maps, nested structs)."""
+    if isinstance(obj, float):
+        return obj != obj
+    if isinstance(obj, (list, tuple)):
+        return any(_any_nan(v) for v in obj)
+    if isinstance(obj, dict):
+        return any(_any_nan(v) for v in obj.values())
+    return False
+
+
+# Scratch root for TRANSIENT harness artifacts (drain checkpoints,
+# temp stream/source dirs, round-trip fixtures): all are created
+# fresh per call and deleted in ``finally`` or at process exit, so
+# durable placement buys nothing at any scale — prefer the kernel's
+# shared-memory fs when present (round 11: state-store commits +
+# offset logs + tiny parquet round-trips on ext4 /tmp cost
+# 0.1-0.3 s/query of pure fs metadata latency). Override with
+# SPARK_GRAFT_SCRATCH (set it to /tmp to opt out). Recoverable
+# streams/durable outputs never route through here.
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+    "/dev/shm"
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    else None
+)
+
+
+def scratch_dir(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=SCRATCH_ROOT)
 
 
 def epoch_seconds(col: Column) -> Column:

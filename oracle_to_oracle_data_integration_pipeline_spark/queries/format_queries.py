@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, scratch_dir, tune
 
 
 def _rt_dir(prefix: str) -> str:
@@ -26,7 +26,7 @@ def _rt_dir(prefix: str) -> str:
     real read plan), so the dir cannot be removed in a ``finally``;
     register it for process-exit cleanup instead so repeated runs
     don't accrete /tmp dirs (the sql_ddl_roundtrip leak class)."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = scratch_dir(prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
@@ -102,7 +102,7 @@ def q_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
     spark.sql("DROP TABLE IF EXISTS ddl_rt_nation")
-    loc = tempfile.mkdtemp(prefix="ddl_rt_")
+    loc = scratch_dir("ddl_rt_")
     try:
         spark.sql(
             f"""CREATE TABLE ddl_rt_nation (
@@ -170,7 +170,7 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    media_dir = tempfile.mkdtemp(prefix="bin_ingest_")
+    media_dir = scratch_dir("bin_ingest_")
     try:
         for r in docs:
             b = r["text"].encode("utf-8")
@@ -372,7 +372,7 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     tune(spark)
-    d = tempfile.mkdtemp(prefix="csvq_")
+    d = scratch_dir("csvq_")
     try:
         lines = ["id,qty,price"]
         for i in range(CSVQ_ROWS):

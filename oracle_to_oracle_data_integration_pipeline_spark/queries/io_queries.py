@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_to_oracle_data_integration_pipeline_spark.operators.watermark import WatermarkStore
-from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, tune
+from oracle_to_oracle_data_integration_pipeline_spark.queries._util import load, local_result, scratch_dir, tune
 from oracle_to_oracle_data_integration_pipeline_spark.queries.cdc_queries import CDC_SRC_SQL, WM, cdc_orders
 from oracle_to_oracle_data_integration_pipeline_spark.operators.cdc import change_ts_col, delta_predicate
 
@@ -266,7 +266,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("N"))
         .alias("is_deleted"),
     )
-    root = tempfile.mkdtemp(prefix="snapstore_")
+    root = scratch_dir("snapstore_")
     try:
         store = SnapshotStore(spark, root)
         store.commit(base, "orders")
@@ -349,7 +349,7 @@ def q_pysink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register(spark)
     register_sink(spark)
-    out = tempfile.mkdtemp(prefix="pysink_")
+    out = scratch_dir("pysink_")
     try:
         feed = (
             spark.read.format("cdc_feed")
@@ -419,7 +419,7 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    d = tempfile.mkdtemp(prefix="fedjoin_")
+    d = scratch_dir("fedjoin_")
     url = f"jdbc:derby:{d}/db;create=true"
     props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
     try:
@@ -494,7 +494,7 @@ def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("N"))
         .alias("is_deleted"),
     )
-    root = tempfile.mkdtemp(prefix="cdf_")
+    root = scratch_dir("cdf_")
     try:
         store = SnapshotStore(spark, root)
         store.commit(base, "orders")
@@ -563,7 +563,7 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     b2 = o.where(F.col("o_orderkey") % 2 == 1)
-    root = tempfile.mkdtemp(prefix="wap_")
+    root = scratch_dir("wap_")
     try:
         store = SnapshotStore(spark, root)
         log = []

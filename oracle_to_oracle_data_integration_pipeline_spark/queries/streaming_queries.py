@@ -26,6 +26,7 @@ from oracle_to_oracle_data_integration_pipeline_spark.queries._util import (
     _parquet_schema,
     local_result,
     normalize_events_ts,
+    scratch_dir,
     tune,
 )
 from oracle_to_oracle_data_integration_pipeline_spark.streaming.windows import (
@@ -47,6 +48,11 @@ _SUM_SQL = "CAST(round(sum(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)"
 # to STATE VOLUME, not cores — env-tunable for a deployment whose
 # per-key state is large enough to want more.
 STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+# Transient-artifact scratch (drain checkpoints, stream-source dirs,
+# swap targets): all created fresh per call and deleted in finally —
+# see _util.scratch_dir for the placement rationale.
+_scratch_dir = scratch_dir
 
 
 class _stream_state_conf:
@@ -85,7 +91,7 @@ def _write_ordered_stream_files(parts: list[DataFrame], stream_dir: str) -> None
 
     base = _time.time() - 3600  # strictly in the past: no clock races
     for i, part in enumerate(parts):
-        tmp = tempfile.mkdtemp(prefix="o2o_ordered_batch_")
+        tmp = _scratch_dir("o2o_ordered_batch_")
         try:
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             src = glob.glob(os.path.join(tmp, "part-*.parquet"))
@@ -118,7 +124,7 @@ def _drain_events_stream(
     """
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    stream_dir = _scratch_dir(prefix)
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         os.symlink(path, os.path.join(stream_dir, "events.parquet"))
@@ -134,6 +140,7 @@ def _drain_events_stream(
                 .writeStream.outputMode(output_mode)
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", stream_dir + "_ck")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -142,6 +149,7 @@ def _drain_events_stream(
         return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stream_dir + "_ck", ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -361,7 +369,7 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     how rows were split — the mergeable-state contract that makes the
     operator correct on an unbounded stream at any batch cadence."""
     tune(spark)
-    stream_dir = tempfile.mkdtemp(prefix="events_incr_")
+    stream_dir = _scratch_dir("events_incr_")
     name = f"events_incr_{uuid.uuid4().hex[:8]}"
     try:
         _p = os.path.join(sf_dir, "events.parquet")
@@ -379,6 +387,7 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.outputMode("complete")
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", stream_dir + "_ck")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -387,6 +396,7 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stream_dir + "_ck", ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -414,7 +424,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    stream_dir = _scratch_dir("events_stateful_")
     name = f"events_stateful_{uuid.uuid4().hex[:8]}"
     try:
         _p = os.path.join(sf_dir, "events.parquet")
@@ -431,6 +441,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.outputMode("update")
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", stream_dir + "_ck")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -445,6 +456,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stream_dir + "_ck", ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -489,7 +501,7 @@ def q_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     register(spark)
-    base = tempfile.mkdtemp(prefix="cdc_feed_qid_")
+    base = _scratch_dir("cdc_feed_qid_")
     target = ParquetTargetStore(spark, os.path.join(base, "target"))
     seed = spark.createDataFrame(
         [(k, "seed", None, None, "N") for k in range(100)],
@@ -605,7 +617,7 @@ def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     register(spark)
-    base = tempfile.mkdtemp(prefix="snap_stream_")
+    base = _scratch_dir("snap_stream_")
     store = SnapshotStore(spark, os.path.join(base, "warehouse"))
     seed = spark.createDataFrame(
         [(k, "seed", None, None, "N") for k in range(100)],
@@ -763,7 +775,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    stream_dir = tempfile.mkdtemp(prefix="events_ewma_")
+    stream_dir = _scratch_dir("events_ewma_")
     name = f"events_ewma_{uuid.uuid4().hex[:8]}"
     try:
         _p = os.path.join(sf_dir, "events.parquet")
@@ -802,6 +814,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.outputMode("update")
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", stream_dir + "_ck")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -816,6 +829,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stream_dir + "_ck", ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -866,7 +880,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the ≤ would need max(ts) − 1h to land within 1 ms above an hour
     boundary — verified safe at all three fixture SFs.)"""
     tune(spark)
-    stream_dir = tempfile.mkdtemp(prefix="events_wm_late_")
+    stream_dir = _scratch_dir("events_wm_late_")
     name = f"events_wm_late_{uuid.uuid4().hex[:8]}"
     try:
         _p = os.path.join(sf_dir, "events.parquet")
@@ -897,6 +911,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg.writeStream.outputMode("append")
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", stream_dir + "_ck")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -905,6 +920,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         return local_result(spark, sunk.collect(), sunk.schema)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(stream_dir + "_ck", ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
