@@ -100,6 +100,14 @@ def kmeans_fit_assign(
     engines agree — no re-seeding heuristic, which would need RNG).
     """
     spark = embeddings.sparkSession
+    # NO input rebalance, deliberately (round 11 re-examined and kept
+    # the round-10 rejection): assignment is map-only and the update
+    # aggregates map-side into k·dim partial sums, so ANY repartition
+    # here ships the full vector payload through a shuffle that
+    # nothing downstream is keyed by — scale-negative. The fixture's
+    # single-task assignment passes (~0.3 s each) are a
+    # single-row-group-file artifact; a real corpus scan arrives
+    # already split.
     vecs = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -113,20 +121,11 @@ def kmeans_fit_assign(
     centroids = [(i, cv) for i, (_, cv) in enumerate(centroids)]
 
     assigned = _assign(vecs, centroids, id_col)
-    n_part = spark.sparkContext.defaultParallelism
     for _ in range(n_iter - 1):
         # update: (cluster, pos) partial sums — k·dim rows after
-        # map-side combine, then rebuild arrays ordered by pos.
-        # The partial agg is hash-rebalanced first: a single-file
-        # fixture otherwise runs the posexplode + per-element
-        # decimal(38,12) casts as ONE task (round 11 profile: a 393 ms
-        # straggler inside the fit collect), while the exchange ships
-        # only |corpus| slim vector rows; at real scale the source is
-        # already thousands of partitions and this is a no-op-shaped
-        # rebalance (dedup._spread rationale).
+        # map-side combine, then rebuild arrays ordered by pos
         sums = (
-            assigned.repartition(n_part, F.col(id_col))
-            .select("cluster_id", F.posexplode("__v").alias("pos", "x"))
+            assigned.select("cluster_id", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(
                 (

@@ -164,8 +164,19 @@ def neardup_pairs_lsh(
     # operator once per consumer (round 10: embed_neardup spent 3× the
     # signature cost). Registry-tracked stage persist, recomputed from
     # input every call.
+    #
+    # Round 11 (profile: four sequential ~770 ms single-task jobs at
+    # sf0.1): (1) hash-rebalance the input first — a single-file
+    # fixture otherwise runs the interpreted 32×dim dot products as
+    # ONE task, and at real scale the repartition is a no-op-shaped
+    # rebalance (dedup._spread rationale); (2) materialize the persist
+    # with ONE uncontended action before the multi-branch plan runs —
+    # AQE executes the consumer stages as concurrent jobs, and a cold
+    # cache convoys them into recomputing/waiting on the same blocks
+    # (the minhash_dedup_pairs count() fix, round 10).
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     sig = persist_tracked(
-        embeddings.select(
+        embeddings.repartition(n_part, F.col(id_col)).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             norm_col(F.col(vec_col)).alias("nrm"),
@@ -174,6 +185,7 @@ def neardup_pairs_lsh(
         "similarity_lsh",
         replace=True,  # one live copy per session (ADVICE round 10)
     )
+    sig.count()
     keyed = sig.select(
         "id",
         F.explode(

@@ -105,6 +105,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u.user_id").alias("a"), F.col("v.user_id").alias("b"))
         .distinct()
     )
+    # the operator references its edge input SIX times (two wedge
+    # legs, the closing join, both degree-table branches, the edge
+    # count) and Catalyst does not dedupe common subplans — uncached,
+    # the whole per-bucket self-join + distinct re-ran per consumer
+    # (round 11: plan had 22 exchanges). The edge list is bounded here
+    # (≤ C(TRI_USERS, 2) rows by the node cap), so one eager local
+    # checkpoint is driver-scale and cuts the rebuild to one pass.
+    edges = edges.localCheckpoint(eager=True)
     return triangle_count(edges)
 
 
