@@ -670,6 +670,11 @@ def decontaminate(
         counts: dict = {}
         for pdf in batches:
             for i, t in zip(pdf[id_col], pdf[text]):
+                if i is not None and not isinstance(i, str) and i != i:
+                    # NULL numeric ids arrive as float NaN, and NaN
+                    # objects don't compare equal as dict keys — fold
+                    # them to one None group, matching groupBy(NULL)
+                    i = None
                 if t is None or not isinstance(t, str):
                     continue
                 toks = t.split(" ")

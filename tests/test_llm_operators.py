@@ -360,6 +360,8 @@ def test_decontaminate_kernel_matches_explode_join_reference(spark):
             (4, "q r"),                # short doc -> never flagged
             (5, "a b c a b c a b c"),  # repeated shingles stay DISTINCT per row
             (5, "b c d x y z"),        # duplicate id: counts add across rows
+            (None, "a b c d"),         # NULL ids group as ONE key,
+            (None, "b c d e"),         # like groupBy(NULL) did
         ],
         "doc_id long, text string",
     )
