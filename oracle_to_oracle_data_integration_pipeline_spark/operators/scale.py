@@ -132,6 +132,11 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
 
     Pure integer expression — identical bit-for-bit in any engine; the
     32 single-bit terms occupy disjoint positions so `+` is `|`.
+
+    (Column-operator form, kept for arbitrary Column inputs; the
+    production path `with_zorder_key` uses the parsed-SQL twin
+    `_zorder_sql` over named projections — one parser call instead of
+    ~200 py4j round trips, round 11 cProfile.)
     """
     terms = []
     for i in range(bits):
@@ -141,6 +146,20 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     for t in terms[1:]:
         z = z + t
     return z
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int) -> str:
+    """Parsed-SQL twin of :func:`zorder_key` over two named LONG
+    columns — identical expression tree (shiftleft/shiftright/&/+),
+    built by the SQL parser in one call instead of 12·bits py4j
+    round trips (the kmeans `_sqdist_sql` rationale; round 11 cProfile
+    showed plan CONSTRUCTION, not execution, dominating
+    zorder_cluster's driver gap)."""
+    return " + ".join(
+        f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})"
+        for i in range(bits)
+    )
 
 
 def quantize_col(v: Column, vmin: Column, vmax: Column, bits: int = 16) -> Column:
@@ -173,12 +192,17 @@ def with_zorder_key(
         F.min(cy).alias("__miny"), F.max(cy).alias("__maxy"),
     )
     j = df.crossJoin(F.broadcast(stats))
-    z = zorder_key(
-        quantize_col(F.col(cx), F.col("__minx"), F.col("__maxx"), bits),
-        quantize_col(F.col(cy), F.col("__miny"), F.col("__maxy"), bits),
-        bits,
+    # quantize into named projections, then ONE parsed interleave
+    # expression over them (same tree as zorder_key; _zorder_sql note)
+    j = j.withColumns(
+        {
+            "__zqx": quantize_col(F.col(cx), F.col("__minx"), F.col("__maxx"), bits),
+            "__zqy": quantize_col(F.col(cy), F.col("__miny"), F.col("__maxy"), bits),
+        }
     )
-    return j.withColumn(out, z).drop("__minx", "__maxx", "__miny", "__maxy")
+    return j.withColumn(out, F.expr(_zorder_sql("__zqx", "__zqy", bits))).drop(
+        "__minx", "__maxx", "__miny", "__maxy", "__zqx", "__zqy"
+    )
 
 
 def cluster_by_zorder(
