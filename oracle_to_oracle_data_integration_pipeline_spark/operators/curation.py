@@ -122,13 +122,13 @@ def semantic_dedup(
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
     cent = F.broadcast(
-        centroids.select("cid", "cvec", norm_col(F.col("cvec")).alias("centn"))
+        centroids.select("cid", "cvec", norm_col("cvec").alias("centn"))
     )
     scored = (
         embeddings.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("v"),
-            norm_col(F.col(vec_col)).alias("vn"),
+            norm_col(vec_col).alias("vn"),
         )
         .join(cent)
         .select(
@@ -137,24 +137,36 @@ def semantic_dedup(
             "vn",
             "cid",
             F.round(
-                _cosine_from_norms(F.col("v"), F.col("cvec"), F.col("vn"), F.col("centn")), 6
+                _cosine_from_norms("v", "cvec", "vn", "centn"), 6
             ).alias("c_cos"),
         )
     )
     w = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    cells = (
+    # cells feeds THREE consumers (both self-join sides + the final
+    # keep join) and Catalyst does not dedupe common subplans, so the
+    # scan + C cosines + top-1 window re-ran per consumer; persist it
+    # (registry-tracked, one live copy per session) and materialize
+    # with ONE uncontended action before the multi-branch plan runs —
+    # the neardup_pairs_lsh convoy fix (round 11). The window's own
+    # exchange by vid already parallelizes a single-file input.
+    from oracle_to_oracle_data_integration_pipeline_spark.operators.cache_registry import (
+        persist_tracked,
+    )
+
+    cells = persist_tracked(
         scored.withColumn("__r__", F.row_number().over(w))
         .filter(F.col("__r__") == 1)
-        .select("vid", "v", "vn", "cid")
+        .select("vid", "v", "vn", "cid"),
+        "curation_semdedup",
+        replace=True,
     )
+    cells.count()
     a, b = cells.alias("a"), cells.alias("b")
     dup_ids = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") < F.col("b.vid")))
         .filter(
             F.round(
-                _cosine_from_norms(
-                    F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn")
-                ),
+                _cosine_from_norms("a.v", "b.v", "a.vn", "b.vn"),
                 6,
             )
             >= threshold

@@ -23,12 +23,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot_col(a: Column, b: Column) -> Column:
+def _q(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for the
+    parsed fast paths below."""
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+def _hof_dot_sql(a: str, b: str) -> str:
+    """SQL text of the dot-product fold — token-identical to the
+    Column form below (same casts, same left-to-right aggregate)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    """Dot product. String inputs (column names, optionally
+    alias-qualified) take the parsed-SQL fast path: the python-lambda
+    HOF form costs ~28 ms of py4j round trips PER CALL to construct vs
+    ~1 ms parsed (round 11 cProfile — plan construction, not
+    execution, dominated the similarity queries' driver gap). Same
+    expression tree either way."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_hof_dot_sql(_q(a), _q(b)))
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_hof_dot_sql(_q(a), _q(a))})")
     return F.sqrt(dot_col(a, a))
 
 
@@ -36,13 +61,20 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
-def _cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def _cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
     """Cosine with the norms projected BEFORE the join: ``norm_col`` is
     a dim-length HOF aggregate, so evaluating it inside the pair score
     recomputes each vector's norm once per candidate pair. Precomputing
     sqrt(dot(v,v)) per side cuts the HOF work per pair from 3 aggregates
     to 1. IEEE-identical to ``cosine_col`` (same ops, same order), so
-    oracles need no change."""
+    oracles need no change. String inputs take the parsed fast path
+    (see dot_col)."""
+    if all(isinstance(v, str) for v in (a, b, na, nb)):
+        return F.expr(
+            f"{_hof_dot_sql(_q(a), _q(b))} / ({_q(na)} * {_q(nb)})"
+        )
     return dot_col(a, b) / (na * nb)
 
 
@@ -64,12 +96,12 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm_col(F.col(vec_col)).alias("qn"),
+        norm_col(vec_col).alias("qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        norm_col(F.col(vec_col)).alias("cn"),
+        norm_col(vec_col).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -78,7 +110,7 @@ def cosine_topk_bruteforce(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6
+                _cosine_from_norms("qvec", "cvec", "qn", "cn"), 6
             ).alias("cosine"),
         )
     )
@@ -101,12 +133,12 @@ def neardup_pairs_bruteforce(
     a = embeddings.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),
-        norm_col(F.col(vec_col)).alias("n1"),
+        norm_col(vec_col).alias("n1"),
     )
     b = embeddings.select(
         F.col(id_col).alias("d2"),
         F.col(vec_col).alias("v2"),
-        norm_col(F.col(vec_col)).alias("n2"),
+        norm_col(vec_col).alias("n2"),
     )
     return (
         a.crossJoin(b)
@@ -115,7 +147,7 @@ def neardup_pairs_bruteforce(
             "d1",
             "d2",
             F.round(
-                _cosine_from_norms(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+                _cosine_from_norms("v1", "v2", "n1", "n2"), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -179,7 +211,7 @@ def neardup_pairs_lsh(
         embeddings.repartition(n_part, F.col(id_col)).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm_col(F.col(vec_col)).alias("nrm"),
+            norm_col(vec_col).alias("nrm"),
             *[lsh_bucket_col(vec_col, b).alias(f"b{i}") for i, b in enumerate(bands)],
         ),
         "similarity_lsh",
@@ -213,7 +245,7 @@ def neardup_pairs_lsh(
             "d1",
             "d2",
             F.round(
-                _cosine_from_norms(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+                _cosine_from_norms("v1", "v2", "n1", "n2"), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -290,13 +322,13 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        norm_col(F.col(vec_col)).alias("cn"),
+        norm_col(vec_col).alias("cn"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm_col(F.col(vec_col)).alias("qn"),
+        norm_col(vec_col).alias("qn"),
         lsh_bucket_col(vec_col, planes).alias("qbucket"),
     )
     probe = F.bit_count(
@@ -309,7 +341,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6
+                _cosine_from_norms("qvec", "cvec", "qn", "cn"), 6
             ).alias("cosine"),
         )
     )
@@ -357,7 +389,7 @@ def ivf_topk(
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
     cent = F.broadcast(
-        centroids.select("cid", "cvec", norm_col(F.col("cvec")).alias("centn"))
+        centroids.select("cid", "cvec", norm_col("cvec").alias("centn"))
     )
 
     def assign(df: DataFrame, idc: str, out_id: str, out_vec: str, out_n: str, keep: int) -> DataFrame:
@@ -365,7 +397,7 @@ def ivf_topk(
             df.select(
                 F.col(idc).alias(out_id),
                 F.col(vec_col).alias(out_vec),
-                norm_col(F.col(vec_col)).alias(out_n),
+                norm_col(vec_col).alias(out_n),
             )
             .join(cent)
             .select(
@@ -373,9 +405,7 @@ def ivf_topk(
                 out_vec,
                 out_n,
                 "cid",
-                _cosine_from_norms(
-                    F.col(out_vec), F.col("cvec"), F.col(out_n), F.col("centn")
-                ).alias("c_cos"),
+                _cosine_from_norms(out_vec, "cvec", out_n, "centn").alias("c_cos"),
             )
         )
         w = Window.partitionBy(out_id).orderBy(F.col("c_cos").desc(), F.col("cid"))
@@ -398,7 +428,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(F.col("qvec"), F.col("cvec2"), F.col("qn"), F.col("cn")), 6
+                _cosine_from_norms("qvec", "cvec2", "qn", "cn"), 6
             ).alias("cosine"),
         )
     )
