@@ -164,8 +164,12 @@ NUM_PERM = 16
 
 def _signatures_from_exploded(exploded: DataFrame, id_col: str, num_perm: int) -> DataFrame:
     """The one place the signature scheme lives: h_i = min over
-    shingles of xxhash64(i, shingle)."""
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
+    shingles of xxhash64(i, shingle). Emitted as parsed expressions —
+    bit-identical to the ``F.min(F.xxhash64(F.lit(i), ...))`` Column
+    form (verified: integer SQL literals and F.lit(int) both type as
+    INT, and xxhash64 is type-width sensitive) at ~1/15th the py4j
+    construction cost (round 11)."""
+    mins = [F.expr(f"min(xxhash64({i}, sh)) AS h{i}") for i in range(num_perm)]
     return exploded.groupBy(id_col).agg(*mins)
 
 
@@ -185,18 +189,18 @@ def _band_table(
     index rows. Shared by self-join candidates and the incremental
     probe so both sides of any join bucket identically."""
     n_bands = num_perm // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    # one parsed generator expression (same named_struct/xxhash64 tree
+    # as the Column form, bit-identical; py4j-cheap — round 11)
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'bucket', xxhash64({b}, {hs}))".format(
+            b=b,
+            hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(n_bands)
     )
-    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
+    ).select(
         id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -397,16 +401,25 @@ def simhash_signatures(
         h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64(F.col("tok"))
+    # project the token hash ONCE under a name, then build the 60
+    # conditional sums + the 60-term signature reconstruction as
+    # parsed expressions: the Column-operator form was ~600 py4j round
+    # trips per call (round 11). Same trees — SQL int literals beyond
+    # int32 parse as BIGINT exactly like F.lit, CASE WHEN ≡ when/
+    # otherwise, & ≡ bitwiseAND (bit-identity pinned by the planted
+    # near-dup tests and the portable twin's oracle).
+    hashed = tok.select(id_col, h.alias("__h"))
     sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"s{b}")
+        F.expr(
+            f"sum(CASE WHEN (__h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS s{b}"
+        )
         for b in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*sums)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.cast("long").alias("simhash"))
+    agg = hashed.groupBy(id_col).agg(*sums)
+    sig_sql = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return agg.select(id_col, F.expr(f"CAST(({sig_sql}) AS BIGINT)").alias("simhash"))
 
 
 def simhash_neardup_pairs(
